@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query: a Spark DataFrame program plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB SQL text
+  * for the driver's oracle compare. Queries without `oracle` get the
+  * driver's weaker rows-only check (seeded/approximate algorithms). */
+final case class Declared(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object Registry {
+  /** Single source of truth wired into SparkEntry. Order = SURVEY.md §2
+    * inventory order (knn flagship first). */
+  lazy val all: Seq[Declared] =
+    graft.knn.KnnQueries.declared ++
+      graft.relational.Relational.declared ++
+      graft.streaming.TimeWindows.declared ++
+      graft.text.TextQueries.declared ++
+      graft.similarity.SimilarityQueries.declared ++
+      graft.mrdf.MrdfQueries.declared
+
+  def byName(n: String): Declared =
+    all.find(_.name == n).getOrElse(sys.error(s"no declared query $n"))
+}

@@ -1,0 +1,69 @@
+package graft.linalg
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector distance/similarity as pure Catalyst columns — higher-order
+  * functions (`zip_with` + `aggregate`), no UDFs, so the expressions
+  * stay inside whole-stage codegen.
+  *
+  * Rebuilds the reference's scalar distance (`utilities.py:11-13`,
+  * `np.linalg.norm(u1-u2)`) Spark-first.
+  *
+  * Determinism contract: every reduction is a strict left-to-right
+  * IEEE-754 double fold over the array in storage order. DuckDB's
+  * `list_reduce` on the same array folds in the same order, so the
+  * oracle's doubles are bit-identical (sqrt is correctly rounded per
+  * IEEE-754, so it preserves the guarantee).
+  */
+object Distances {
+  private def dbl(x: Column): Column = x.cast("double")
+
+  /** Strict left fold Σ over a double array; init 0.0 (0.0 + x == x
+    * exactly, matching DuckDB list_reduce's first-element init). */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, v) => acc + v)
+
+  /** Σ (a_i − b_i)², left fold. */
+  def squaredL2(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => (dbl(x) - dbl(y)) * (dbl(x) - dbl(y))))
+
+  def euclidean(a: Column, b: Column): Column = sqrt(squaredL2(a, b))
+
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => dbl(x) * dbl(y)))
+
+  def l2Norm(a: Column): Column =
+    sqrt(foldSum(transform(a, x => dbl(x) * dbl(x))))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarity(a, b)
+
+  /** JVM mirror of [[euclidean]] for per-partition local algorithms
+    * (MRDF block-local NN-Descent). Same fold order ⇒ same doubles. */
+  def euclideanLocal(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  def cosineSimilarityLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

@@ -1,0 +1,437 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, Tables}
+
+/** Declared relational query inventory — covers SURVEY.md §2's
+  * projections/filters, joins (inner/outer/semi/anti/range), aggregates
+  * (hash agg, distinct, rollup), windows (rank/lag/running), sorts,
+  * limits and set operations over the TPC-H-ish testdata tables, each
+  * paired with an equivalent DuckDB oracle SQL.
+  *
+  * Determinism rules (SURVEY.md §5.3): every query ends in ORDER BY on
+  * a unique key; money math is done in exact integer cents (2-decimal
+  * doubles, verified) so sums are order-independent and bit-identical
+  * across engines; mixed int/long widths are aligned by explicit casts
+  * on the DuckDB side.
+  */
+object Relational {
+
+  /** Exact integer cents of an (exact) 2-decimal double column. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // DuckDB fragment mirroring `cents`.
+  private def dCents(col: String): String = s"CAST(round($col * 100) AS BIGINT)"
+
+  val declared: Seq[Declared] = Seq(
+
+    // ----- aggregation: TPC-H Q1-style pricing summary (§2.4) -----
+    Declared(
+      "q01_pricing_summary",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
+            (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("sum_base_price"),
+            (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+              .cast("double") / 10000.0).as("sum_disc_price"),
+            (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+              * (lit(100L) + cents(col("l_tax")))).cast("double") / 1000000.0).as("sum_charge"),
+            (sum(cents(col("l_quantity"))).cast("double") / (count(lit(1)) * 100.0)).as("avg_qty"),
+            (sum(cents(col("l_extendedprice"))).cast("double") / (count(lit(1)) * 100.0)).as("avg_price"),
+            (sum(cents(col("l_discount"))).cast("double") / (count(lit(1)) * 100.0)).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(${dCents("l_quantity")}) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(sum(${dCents("l_extendedprice")}) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(sum(${dCents("l_extendedprice")} * (100 - ${dCents("l_discount")})) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(sum(${dCents("l_extendedprice")} * (100 - ${dCents("l_discount")}) * (100 + ${dCents("l_tax")})) AS DOUBLE) / 1000000.0 AS sum_charge,
+        |  CAST(sum(${dCents("l_quantity")}) AS DOUBLE) / (count(*) * 100.0) AS avg_qty,
+        |  CAST(sum(${dCents("l_extendedprice")}) AS DOUBLE) / (count(*) * 100.0) AS avg_price,
+        |  CAST(sum(${dCents("l_discount")}) AS DOUBLE) / (count(*) * 100.0) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      doc = "Hash aggregation with exact-cents money math (§2.4)"),
+
+    // ----- projection + filter, pushed to the parquet scan (§2.2) -----
+    Declared(
+      "q02_filter_project",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1998-01-01").cast("date")
+          && col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01' AND l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      doc = "Predicate + projection pushdown into the parquet scan (§2.2)"),
+
+    // ----- inner equi-join + aggregate (§2.3) -----
+    Declared(
+      "q03_join_agg",
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("revenue"))
+        .orderBy(col("c_mktsegment")),
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(${dCents("o_totalprice")}) AS DOUBLE) / 100.0 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      doc = "Inner equi-join (broadcast-able dim) + hash agg (§2.3/§2.4)"),
+
+    // ----- left outer join (§2.3 [absent] row) -----
+    Declared(
+      "q04_outer_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          (sum(coalesce(cents(col("o_totalprice")), lit(0L))).cast("double") / 100.0)
+            .as("total_spent"))
+        .orderBy(col("c_custkey")),
+      Some(s"""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |  CAST(sum(coalesce(${dCents("o_totalprice")}, 0)) AS DOUBLE) / 100.0 AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin),
+      doc = "Left outer join preserving customers without orders (§2.3)"),
+
+    // ----- left semi join / EXISTS (§2.3 [absent] row) -----
+    Declared(
+      "q05_semi_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+      doc = "Left-semi join = EXISTS (§2.3)"),
+
+    // ----- left anti join / NOT EXISTS (§2.3 [absent] row) -----
+    Declared(
+      "q06_anti_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin),
+      doc = "Left-anti join = NOT EXISTS (§2.3)"),
+
+    // ----- non-equi range join (§2.3 [absent] row) -----
+    Declared(
+      "q07_range_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_acctbal"))),
+          col("c_acctbal") >= col("s_acctbal") - 100
+            && col("c_acctbal") <= col("s_acctbal") + 100)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_close"),
+          (sum(cents(col("c_acctbal"))).cast("double") / 100.0).as("sum_bal"))
+        .orderBy(col("s_suppkey")),
+      Some(s"""SELECT s_suppkey, count(*) AS n_close,
+        |  CAST(sum(${dCents("c_acctbal")}) AS DOUBLE) / 100.0 AS sum_bal
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin),
+      doc = "Range (non-equi) join, small side broadcast (§2.3)"),
+
+    // ----- rollup (§2.4 [absent] row) -----
+    Declared(
+      "q08_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(${dCents("l_quantity")}) AS DOUBLE) / 100.0 AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+      doc = "ROLLUP grouping sets (§2.4)"),
+
+    // ----- distinct aggregation (§2.4 [absent] row) -----
+    Declared(
+      "q09_distinct_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      doc = "Exact distinct aggregation (§2.4)"),
+
+    // HLL sketch — approximate, so no SQL oracle (rows-only check).
+    Declared(
+      "q09b_approx_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag")),
+      None,
+      doc = "HLL approx_count_distinct (§2.4; sketch ⇒ rows-only check)"),
+
+    // ----- ranking window + top-k per key (§2.5) -----
+    Declared(
+      "q10_window_rank",
+      (s, dir) => {
+        val byPrice = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        val byPriceOnly = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc)
+        t(s, dir, "part")
+          .withColumn("rn", row_number().over(byPrice))
+          .withColumn("rk", rank().over(byPriceOnly))
+          .filter(col("rn") <= 3)
+          .select(col("p_brand"), col("rn"), col("rk"), col("p_partkey"), col("p_retailprice"))
+          .orderBy(col("p_brand"), col("rn"))
+      },
+      Some("""SELECT p_brand, CAST(rn AS INTEGER) AS rn, CAST(rk AS INTEGER) AS rk,
+        |       p_partkey, p_retailprice
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |        row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn,
+        |        rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rk
+        |      FROM part)
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin),
+      doc = "row_number/rank windows, top-3 per brand (§2.5)"),
+
+    // ----- running-total window frame (§2.5 [absent] row) -----
+    Declared(
+      "q11_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          (sum(cents(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / 100.0).as("running_total"),
+          row_number().over(w).as("order_seq"))
+          .orderBy(col("o_custkey"), col("order_seq"))
+      },
+      Some(s"""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(sum(${dCents("o_totalprice")}) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_total,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
+        |FROM orders ORDER BY o_custkey, order_seq""".stripMargin),
+      doc = "Cumulative sum window frame in exact cents (§2.5)"),
+
+    // ----- lag/lead analytic window (§2.5 [absent] row) -----
+    Declared(
+      "q12_window_lag",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), to_date(lag(col("o_orderdate"), 1).over(w)))
+            .as("days_since_prev"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |    CAST(lag(o_orderdate) OVER w AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+        |  lag(o_orderkey) OVER w AS prev_order,
+        |  lead(o_orderkey) OVER w AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      doc = "lag/lead analytics with day deltas (§2.5)"),
+
+    // ----- global sort + limit (§2.6) -----
+    Declared(
+      "q13_top_orders",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(15)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin),
+      doc = "Global top-k via sort + limit (TakeOrderedAndProject) (§2.6)"),
+
+    // ----- set operations (§2.7 [absent] row) -----
+    Declared(
+      "q14_setops",
+      (s, dir) => {
+        val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+        val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+        cn.intersect(sn).withColumn("tag", lit("both"))
+          .unionAll(cn.except(sn).withColumn("tag", lit("customer_only")))
+          .unionAll(sn.except(cn).withColumn("tag", lit("supplier_only")))
+          .select(col("tag"), col("nk"))
+          .orderBy(col("tag"), col("nk"))
+      },
+      Some("""SELECT tag, nk FROM (
+        |  SELECT 'both' AS tag, nk FROM (
+        |    SELECT DISTINCT c_nationkey AS nk FROM customer
+        |    INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'customer_only' AS tag, nk FROM (
+        |    SELECT DISTINCT c_nationkey AS nk FROM customer
+        |    EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'supplier_only' AS tag, nk FROM (
+        |    SELECT DISTINCT s_nationkey AS nk FROM supplier
+        |    EXCEPT SELECT DISTINCT c_nationkey FROM customer))
+        |ORDER BY tag, nk""".stripMargin),
+      doc = "UNION ALL / INTERSECT / EXCEPT (§2.7)"),
+
+    // ----- multi-way join through the dimension chain (§2.3) -----
+    Declared(
+      "q15_multi_join",
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("revenue"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some(s"""SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(${dCents("o_totalprice")}) AS DOUBLE) / 100.0 AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+      doc = "4-way join, dims broadcast (§2.3)"),
+
+    // ----- string scalar surface (§2.8 [absent] row) -----
+    Declared(
+      "q16_string_funcs",
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, upper(p_name) AS name_upper,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  substr(p_name, 1, 8) AS name_prefix,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels
+        |FROM part ORDER BY p_partkey""".stripMargin),
+      doc = "String scalar functions (§2.8)"),
+
+    // ----- date scalar surface (§2.8 [absent] row) -----
+    Declared(
+      "q17_date_funcs",
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(lit("2000-01-01").cast("date"), to_date(col("o_orderdate"))).as("days_to_y2k"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+      doc = "Date/time scalar functions (§2.8)"),
+
+    // ----- math scalar surface (§2.8 [absent] row) -----
+    Declared(
+      "q18_math_funcs",
+      (s, dir) => t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_disc"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        floor(col("l_quantity")).as("qty_floor"),
+        round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        pmod(col("l_orderkey"), lit(7L)).as("key_mod"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_disc,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  round(sqrt(l_extendedprice), 6) AS price_sqrt,
+        |  round(ln(l_extendedprice), 6) AS price_ln,
+        |  l_orderkey % 7 AS key_mod
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      doc = "Math scalar functions; sqrt exact per IEEE, ln rounded (§2.8)"),
+
+    // ----- array scalar surface over vectors (§2.8 + §2.1) -----
+    Declared(
+      "q19_array_funcs",
+      (s, dir) => {
+        import graft.linalg.Distances
+        val emb = t(s, dir, "embeddings")
+        emb.select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+          round(Distances.l2Norm(col("embedding")), 6).as("l2_norm"),
+          round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+            (acc, v) => acc + v.cast("double")), 6).as("head8_sum"),
+          col("label"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        |  round(${graft.DuckSql.l2Norm("embedding")}, 6) AS l2_norm,
+        |  round(list_reduce(list_transform(range(8), i -> CAST(embedding[i+1] AS DOUBLE)),
+        |        (x, y) -> x + y), 6) AS head8_sum,
+        |  label
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
+      doc = "Array functions + deterministic fold over vectors (§2.8)"),
+
+    // ----- JSON extraction (§2.8 [absent] row) -----
+    Declared(
+      "q20_json_funcs",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(k) AS DOUBLE) / count(*) AS avg_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "JSON field extraction from events.props (§2.8)")
+  )
+}

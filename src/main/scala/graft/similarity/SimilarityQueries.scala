@@ -1,0 +1,51 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, DuckSql, Tables}
+import graft.linalg.Distances
+
+/** Similarity search over the embedding column (north-star extension):
+  * brute-force cosine top-k as the exact baseline (oracle-matched);
+  * LSH/IVF approximate variants live in [[Ann]] (recall-tested). */
+object SimilarityQueries {
+
+  private val K = 10
+
+  /** Top-k cosine neighbors for a query subset against the full set.
+    * The candidate side is broadcast; similarity is rounded before
+    * ranking with (sim desc, nbr) tie-break for oracle determinism. */
+  def cosineTopK(emb: DataFrame, k: Int, queryPred: org.apache.spark.sql.Column): DataFrame = {
+    val q = emb.filter(queryPred).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("nbr"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
+    q.join(broadcast(c), col("qid") =!= col("nbr"))
+      .withColumn("sim", round(Distances.cosineSimilarity(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nbr"), col("sim"), col("rn"))
+  }
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q30_cosine_topk",
+      (s, dir) => cosineTopK(Tables.load(s, dir, "embeddings"), K, col("vec_id") < 20)
+        .orderBy(col("qid"), col("rn")),
+      Some {
+        val sim = DuckSql.cosineSimilarity("a.embedding", "b.embedding")
+        s"""WITH pairs AS (
+           |  SELECT a.vec_id AS qid, b.vec_id AS nbr, round($sim, 6) AS sim
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |  WHERE a.vec_id < 20
+           |), ranked AS (
+           |  SELECT qid, nbr, sim,
+           |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS rn
+           |  FROM pairs)
+           |SELECT qid, nbr, sim, CAST(rn AS INTEGER) AS rn
+           |FROM ranked WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+      },
+      doc = "Brute-force cosine top-k (exact ANN baseline)")
+  )
+}

@@ -1,0 +1,174 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, Tables}
+
+/** Training-data text pipeline over `documents` (north-star extensions):
+  * exact dedup, n-gram Jaccard near-dup pairs, language-ID heuristic,
+  * quality scoring, token counting, rolling-hash fingerprinting.
+  * All are ANSI-SQL-expressible and oracle-matched; MinHash/SimHash
+  * live in [[Dedup]] (validated against exact Jaccard in tests).
+  */
+object TextQueries {
+
+  private val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Word 3-shingles per doc (distinct), the unit for Jaccard dedup. */
+  def wordShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val words = split(col("text"), " ")
+    docs
+      .filter(size(words) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(words) - lit(n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(words, i + lit(o))): _*))))
+          .as("shingle"))
+  }
+
+  /** Near-duplicate candidate pairs by exact n-gram Jaccard ≥ threshold,
+    * via inverted-index self-join (scales: only docs sharing a shingle
+    * ever meet; no N² compare). */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = wordShingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("s1.sz") + col("s2.sz") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(ws) - 1),
+       |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |       FROM w WHERE len(ws) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT d1, d2, jaccard FROM (
+       |  SELECT d1, d2, round(CAST(inter AS DOUBLE)
+       |           / CAST(s1.sz + s2.sz - inter AS DOUBLE), 4) AS jaccard
+       |  FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
+       |WHERE jaccard >= $threshold ORDER BY d1, d2""".stripMargin
+
+  /** English stopword-ratio language heuristic. */
+  def langId(docs: DataFrame): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    docs.select(col("doc_id"), col("lang"),
+        size(words).as("n_words"),
+        size(filter(words, w => w.isin(Stopwords: _*))).as("n_stop"))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_words"), 4))
+      .withColumn("lang_pred", when(col("stop_ratio") >= 0.05, "en").otherwise("other"))
+  }
+
+  /** Length/punctuation/structure quality score. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        length(col("text")).as("len_chars"),
+        size(split(col("text"), " ")).as("n_words"),
+        length(regexp_replace(col("text"), "[a-z ]", "")).as("n_nonalpha"))
+      .withColumn("avg_word_len",
+        round((col("len_chars") - col("n_words") + 1).cast("double") / col("n_words"), 4))
+      .withColumn("quality",
+        round(least(col("n_words").cast("double"), lit(100.0)) / 100.0
+          * (lit(1.0) - col("n_nonalpha").cast("double") / col("len_chars")), 4))
+
+  /** Whitespace + regex token counts, plus chars/4 BPE estimate. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+")).as("alpha_runs"),
+      ceil(length(col("text")).cast("double") / 4.0).as("est_bpe_tokens"))
+
+  /** Polynomial rolling hash over character codes — deterministic
+    * document fingerprint: h ← (h·131 + code) mod 1e9+7, left fold. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("aggregate(transform(sequence(1, length(text)), " +
+        "i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), 0L, " +
+        "(h, c) -> (h * 131 + c) % 1000000007)").as("fp"))
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q24_dedup_exact",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), length(col("text")).as("n_chars"))
+        .orderBy(col("keep_id")),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  CAST(length(text) AS INTEGER) AS n_chars
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin),
+      doc = "Exact dedup: group-by-content, keep min id"),
+
+    Declared(
+      "q25_ngram_jaccard",
+      (s, dir) => jaccardPairs(Tables.load(s, dir, "documents"), 0.1)
+        .orderBy(col("d1"), col("d2")),
+      Some(jaccardOracle(0.1)),
+      doc = "Word-3-gram Jaccard near-dup pairs via inverted index"),
+
+    Declared(
+      "q26_lang_id",
+      (s, dir) => langId(Tables.load(s, dir, "documents")).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, lang,
+        |  CAST(len(ws) AS INTEGER) AS n_words,
+        |  CAST(len(list_filter(ws, w -> list_contains(
+        |    [${Stopwords.map(w => s"'$w'").mkString(", ")}], w))) AS INTEGER) AS n_stop,
+        |  round(CAST(len(list_filter(ws, w -> list_contains(
+        |    [${Stopwords.map(w => s"'$w'").mkString(", ")}], w))) AS DOUBLE)
+        |    / len(ws), 4) AS stop_ratio,
+        |  CASE WHEN round(CAST(len(list_filter(ws, w -> list_contains(
+        |    [${Stopwords.map(w => s"'$w'").mkString(", ")}], w))) AS DOUBLE)
+        |    / len(ws), 4) >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+        |FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+      doc = "Stopword-ratio language-ID heuristic"),
+
+    Declared(
+      "q27_quality_score",
+      (s, dir) => qualityScore(Tables.load(s, dir, "documents")).orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS len_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS INTEGER) AS n_nonalpha,
+        |  round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS avg_word_len,
+        |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE), 100.0) / 100.0
+        |    * (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |       / length(text)), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Document quality scoring (length/punct/structure)"),
+
+    Declared(
+      "q28_token_counts",
+      (s, dir) => tokenCounts(Tables.load(s, dir, "documents")).orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS alpha_runs,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Token counting: whitespace, regex runs, BPE estimate"),
+
+    Declared(
+      "q29_fingerprint",
+      (s, dir) => fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |  list_reduce(list_transform(range(length(text)),
+        |    i -> CAST(ord(substr(text, CAST(i + 1 AS INTEGER), 1)) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Rolling polynomial hash document fingerprint")
+  )
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Runs graft.Verify at a scale factor, then replays each oracle SQL in
+DuckDB over the same parquet tables and diffs against the Spark parquet
+output (columns sorted by name, values compared row-by-row after the
+query's own ORDER BY).
+
+Usage: tools/check.py [sfdir] [--no-run] [--only q01,...]
+"""
+import duckdb, json, math, os, subprocess, sys, glob
+
+sf_dir = "/root/testdata/sf0.01"
+only = None
+run = True
+for a in sys.argv[1:]:
+    if a == "--no-run":
+        run = False
+    elif a.startswith("--only="):
+        only = set(a.split("=", 1)[1].split(","))
+    else:
+        sf_dir = a
+out = "/tmp/verify_out"
+
+if run:
+    r = subprocess.run(["sbt", "--batch", f"runMain graft.Verify {sf_dir} {out}"],
+                       cwd="/root/repo", capture_output=True, text=True)
+    sys.stdout.write(r.stdout[-4000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-4000:])
+        sys.exit("sbt runMain graft.Verify failed")
+
+con = duckdb.connect()
+for t in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(t)[: -len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    if only and name not in only:
+        continue
+    sql = oracle[name]
+    res_glob = f"{out}/{name}/*.parquet"
+    try:
+        got = con.execute(f"SELECT * FROM read_parquet('{res_glob}')").fetchall()
+        got_cols = [d[0] for d in con.description]
+    except Exception as e:
+        print(f"FAIL {name}: spark output unreadable: {e}")
+        n_fail += 1
+        continue
+    try:
+        exp = con.execute(sql).fetchall()
+        exp_cols = [d[0] for d in con.description]
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql error: {e}")
+        n_fail += 1
+        continue
+    gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+    ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+    if sorted(got_cols) != sorted(exp_cols):
+        print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}")
+        n_fail += 1
+        continue
+    g = [tuple(norm(r[i]) for i in gi) for r in got]
+    e = [tuple(norm(r[i]) for i in ei) for r in exp]
+    if len(g) != len(e):
+        print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+        n_fail += 1
+        continue
+    bad = next((k for k in range(len(g)) if g[k] != e[k]), None)
+    if bad is not None:
+        print(f"FAIL {name}: first diff at row {bad}:")
+        print(f"  spark : {g[bad]}")
+        print(f"  duckdb: {e[bad]}")
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(g)} rows)")
+        n_pass += 1
+
+print(f"\n{n_pass} passed, {n_fail} failed, {len(oracle)} oracles total")
+sys.exit(1 if n_fail else 0)
