@@ -20,7 +20,9 @@ object Registry {
       graft.relational.Relational.declared ++
       graft.streaming.TimeWindows.declared ++
       graft.text.TextQueries.declared ++
+      graft.text.Dedup.declared ++
       graft.similarity.SimilarityQueries.declared ++
+      graft.multimodal.Multimodal.declared ++
       graft.mrdf.MrdfQueries.declared
 
   def byName(n: String): Declared =

@@ -1,0 +1,51 @@
+package graft.agg
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+final case class Keyed(h: Long, id: Long)
+final case class KeyedList(items: Seq[Keyed])
+final case class IdList(ids: Seq[Long])
+
+/** Deterministic n-sample per key — replaces the reference's reservoir
+  * (`utilities.py:15-30`, buggy per SURVEY §3 B3: replacement index
+  * drawn from the reservoir length, so not uniform).
+  *
+  * Instead of sequential Algorithm R (whose output depends on partition
+  * visit order — nondeterministic on a cluster), this is a *bottom-n
+  * sketch*: every item gets a pseudo-random rank `h = mix(seed, id)`
+  * (splitmix64 finalizer — public-domain constant mixing, same family
+  * Spark's xxhash uses) and the n smallest ranks win. Order-independent
+  * ⇒ identical samples on any partitioning, mergeable map-side, and
+  * uniform for distinct ids.
+  */
+final class ReservoirSample(n: Int, seed: Long)
+    extends Aggregator[Long, KeyedList, IdList] {
+
+  private def mix(id: Long): Long = {
+    var z = id + seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def insert(sorted: Seq[Keyed], e: Keyed): Seq[Keyed] = {
+    if (sorted.exists(_.id == e.id)) return sorted
+    if (sorted.length >= n) {
+      val last = sorted.last
+      if (e.h > last.h || (e.h == last.h && e.id >= last.id)) return sorted
+    }
+    val i = sorted.indexWhere(x => x.h > e.h || (x.h == e.h && x.id > e.id))
+    val ins = if (i < 0) sorted :+ e else sorted.patch(i, Seq(e), 0)
+    if (ins.length > n) ins.dropRight(ins.length - n) else ins
+  }
+
+  override def zero: KeyedList = KeyedList(Vector.empty)
+  override def reduce(b: KeyedList, id: Long): KeyedList =
+    KeyedList(insert(b.items, Keyed(mix(id), id)))
+  override def merge(x: KeyedList, y: KeyedList): KeyedList =
+    KeyedList(y.items.foldLeft(x.items)(insert))
+  override def finish(r: KeyedList): IdList = IdList(r.items.map(_.id))
+  override def bufferEncoder: Encoder[KeyedList] = Encoders.product[KeyedList]
+  override def outputEncoder: Encoder[IdList] = Encoders.product[IdList]
+}

@@ -1,0 +1,50 @@
+package graft.agg
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One weighted edge candidate (neighbor id, weight). */
+final case class WEdge(nbr: Long, w: Double)
+
+/** Buffer/output wrapper so the product encoder handles the Seq. */
+final case class EdgeList(edges: Seq[WEdge])
+
+/** Typed k-min merge Aggregator — the per-key top-k of the reference's
+  * `graph_update` reduceByKey (`mrdf.py:166-170`) and `nn_update_heap`
+  * (`nndescent.py:174-192`), rebuilt as a Catalyst-aggregable unit.
+  *
+  * Unlike a window top-k (full shuffle, then sort), an Aggregator gets
+  * partial/final aggregation for free: each map task pre-merges its
+  * edges down to ≤ k per id before the shuffle — at 100 TB that is the
+  * difference between shuffling all candidate edges and shuffling k per
+  * key. Dedupes by neighbor id (keeping the smaller weight) and orders
+  * by (w, nbr) — the reference's deterministic tie-break (mrdf.py:169).
+  *
+  * Merge law (ScalaCheck-verified): topK(a ++ b) == topK(topK(a) ++
+  * topK(b)) — the property the reference's reduceByKey relies on.
+  */
+final class TopKByWeight(k: Int) extends Aggregator[WEdge, EdgeList, EdgeList] {
+
+  private def insert(sorted: Seq[WEdge], e: WEdge): Seq[WEdge] = {
+    val existing = sorted.indexWhere(_.nbr == e.nbr)
+    val base =
+      if (existing < 0) sorted
+      else if (sorted(existing).w <= e.w) return sorted
+      else sorted.patch(existing, Nil, 1)
+    if (base.length >= k) {
+      val last = base.last
+      if (e.w > last.w || (e.w == last.w && e.nbr >= last.nbr)) return base
+    }
+    val i = base.indexWhere(x => x.w > e.w || (x.w == e.w && x.nbr > e.nbr))
+    val inserted = if (i < 0) base :+ e else base.patch(i, Seq(e), 0)
+    if (inserted.length > k) inserted.dropRight(inserted.length - k) else inserted
+  }
+
+  override def zero: EdgeList = EdgeList(Vector.empty)
+  override def reduce(b: EdgeList, a: WEdge): EdgeList = EdgeList(insert(b.edges, a))
+  override def merge(x: EdgeList, y: EdgeList): EdgeList =
+    EdgeList(y.edges.foldLeft(x.edges)(insert))
+  override def finish(r: EdgeList): EdgeList = r
+  override def bufferEncoder: Encoder[EdgeList] = Encoders.product[EdgeList]
+  override def outputEncoder: Encoder[EdgeList] = Encoders.product[EdgeList]
+}

@@ -1,0 +1,159 @@
+package graft.mrdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.linalg.Distances
+
+/** Multiway Random Division Forest (Kim & Park, KDD 2023) — distributed
+  * approximate KNN-graph construction, Spark-first.
+  *
+  * Rebuilds the *intended* semantics of `/root/reference/mrdf.py:13-72`
+  * (outer loop: divide the vector set into blocks ≤ α via sampled
+  * centroids → NN-Descent per block → merge into the global graph →
+  * stop when the edge-change ratio ≤ τ), fixing the reference's bugs:
+  * B1 (graph keyed by vec[0], mrdf.py:197), B2 (partition-phase guard
+  * tested on the wrong RDD, mrdf.py:47 — so the division never ran),
+  * B3 (non-uniform reservoir, mrdf.py:116).
+  *
+  * Spark-native design (SURVEY.md §7 step 6):
+  *  - points stay a DataFrame (id, vec, path); every phase is a
+  *    declarative plan (Catalyst prunes/pushes/broadcasts);
+  *  - centroid sampling is a deterministic per-path bottom-ρ by
+  *    xxhash64(seed, iter, id) — order-independent, cluster-safe,
+  *    replacing the reference's driver-side reservoir;
+  *  - nearest-centroid assignment is a broadcast join + per-id argmin
+  *    window (the centroid set is ≤ ρ × #oversized-paths rows);
+  *  - block-local NN-Descent runs inside `flatMapGroups` per path —
+  *    blocks ≤ α by construction, so they fit an executor, and all
+  *    blocks run in parallel (the reference collected every block to
+  *    the driver and looped sequentially, mrdf.py:148-153);
+  *  - graph merge is union + per-id k-min window; convergence is one
+  *    anti-join count. `localCheckpoint` truncates lineage per round
+  *    (replacing collect+parallelize at mrdf.py:159,192).
+  *
+  * At 100 TB the same plan holds: division is O(iterations) broadcast
+  * joins + shuffles on `path`, NN-Descent is embarrassingly parallel
+  * over blocks, and the merge shuffles once per round on `id`.
+  */
+object Mrdf {
+
+  final case class Params(
+      k: Int = 30,
+      rho: Int = 15,
+      alpha: Int = 150000,
+      tau: Double = 0.01,
+      seed: Long = 42L,
+      maxIter: Int = 10,
+      precision: Double = 0.001,
+      maxDivideIter: Int = 20)
+
+  /** Build the approximate KNN edge table (id, nbr, dist) for points
+    * (idCol: Long, vecCol: Array[Float]). */
+  def buildGraph(points: DataFrame, p: Params,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val pts = points.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .persist()
+    val n = pts.count()
+
+    var g: DataFrame = spark.emptyDataset[(Long, Long, Double)]
+      .toDF("id", "nbr", "dist")
+    var ratio = 1.0
+    var iter = 0
+    while (ratio > p.tau && iter < p.maxIter) {
+      iter += 1
+      val assigned = divide(pts, p, iter)
+      val blockEdges = localGraphs(assigned, p, iter)
+      val merged = mergeGraphs(g, blockEdges, p.k).localCheckpoint()
+      val changedEdges = merged.join(g, Seq("id", "nbr"), "left_anti").count()
+      ratio = changedEdges.toDouble / (n.toDouble * p.k)
+      g = merged
+    }
+    pts.unpersist()
+    g
+  }
+
+  /** Partition phase: split every block with > α members into ≤ ρ
+    * sub-blocks by nearest sampled centroid, repeatedly, extending the
+    * tree path (reference mrdf.py:43-57/75-146 with B2/B3 fixed). */
+  private def divide(pts: DataFrame, p: Params, iter: Int): DataFrame = {
+    val spark = pts.sparkSession
+    var assigned = pts.withColumn("path", lit(""))
+    var divideIter = 0
+    var anyOversized = true
+    while (anyOversized && divideIter < p.maxDivideIter) {
+      divideIter += 1
+      val oversized = assigned.groupBy(col("path")).count()
+        .filter(col("count") > p.alpha).select(col("path"))
+      if (oversized.limit(1).count() == 0) {
+        anyOversized = false
+      } else {
+        val over = assigned.join(broadcast(oversized), Seq("path"), "left_semi")
+        val keep = assigned.join(broadcast(oversized), Seq("path"), "left_anti")
+        // Deterministic bottom-ρ per path (order-independent sampler).
+        val centroids = over
+          .withColumn("h", xxhash64(lit(p.seed), lit(iter), lit(divideIter), col("id")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("path")).orderBy(col("h"), col("id"))))
+          .filter(col("rn") <= p.rho)
+          .select(col("path"), (col("rn") - 1).as("cidx"), col("vec").as("cvec"))
+        // Nearest-centroid assignment: broadcast join + per-id argmin
+        // (reference tree_path_extension, mrdf.py:123-146).
+        assigned = keep.unionByName(
+          over.join(broadcast(centroids), Seq("path"))
+            .withColumn("d", Distances.euclidean(col("vec"), col("cvec")))
+            .withColumn("best", row_number().over(
+              Window.partitionBy(col("id")).orderBy(col("d"), col("cidx"))))
+            .filter(col("best") === 1)
+            .select(col("id"), col("vec"),
+              concat(col("path"), lit(","), col("cidx").cast("string")).as("path")))
+          .localCheckpoint()
+      }
+    }
+    assigned
+  }
+
+  /** Block-local NN-Descent, distributed over blocks (one group per
+    * tree path; block ≤ α rows by construction). */
+  private def localGraphs(assigned: DataFrame, p: Params, iter: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.select(col("path"), col("id"), col("vec"))
+      .as[(String, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (path, rows) =>
+        val block = rows.map(t => NnDescentLocal.Pt(t._2, t._3)).toArray
+        NnDescentLocal.run(block, p.k,
+          seed = p.seed ^ (iter.toLong << 32) ^ path.hashCode.toLong,
+          precision = p.precision)
+      }
+      .toDF("id", "nbr", "dist")
+  }
+
+  /** Per-id k-min merge of the running graph with new block edges
+    * (reference graph_update, mrdf.py:155-170, with (w, nbr) tie-break).
+    * Uses the typed TopKByWeight Aggregator so each map task pre-merges
+    * to ≤ k edges per id before the shuffle (partial aggregation) —
+    * a window top-k would shuffle every candidate edge instead. */
+  private def mergeGraphs(g: DataFrame, fresh: DataFrame, k: Int): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    g.unionByName(fresh)
+      .select(col("id"), col("nbr"), col("dist")).as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.agg.WEdge(t._2, t._3))
+      .agg(new graft.agg.TopKByWeight(k).toColumn.name("top"))
+      .flatMap { case (id, el) => el.edges.map(e => (id, e.nbr, e.w)) }
+      .toDF("id", "nbr", "dist")
+  }
+
+  /** G2 output shape (id, sorted [nbr...]) — mrdf.py:199-215. */
+  def asAdjacency(edges: DataFrame): DataFrame =
+    edges.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("dist"), col("nbr")))).as("s"))
+      .select(col("id"), transform(col("s"), x => x("nbr")).as("nbrs"))
+}

@@ -1,10 +1,43 @@
 package graft.mrdf
 
-import graft.Declared
+import org.apache.spark.sql.functions._
 
-/** MRDF declared queries — filled in once graft.mrdf.Mrdf lands
-  * (seeded/approximate ⇒ rows-only driver check; quality is asserted by
-  * the recall ScalaTest per SURVEY.md §5.4). */
+import graft.{Declared, Tables}
+import graft.knn.{BruteForceKnn, Recall}
+
+/** MRDF declared queries. Seeded + approximate ⇒ no SQL oracle (driver
+  * records rows-only checks); graph quality is asserted by the recall
+  * ScalaTest (≥ 0.9 vs brute force, SURVEY.md §5.4) and surfaced here
+  * as the `mrdf_recall` single-row query. */
 object MrdfQueries {
-  val declared: Seq[Declared] = Seq.empty
+
+  /** Test-scale parameters: embeddings are 500–2000 rows, so α=200
+    * forces a real multi-block division (the 100 TB path uses the
+    * reference defaults α=150000, ρ=15 via [[Mrdf.Params]]). ρ=4 keeps
+    * blocks large relative to N so each round co-locates more true
+    * neighbors; recall converges in ~6–10 rounds. */
+  val testParams: Mrdf.Params =
+    Mrdf.Params(k = 10, rho = 4, alpha = 200, tau = 0.005, seed = 42L, maxIter = 10)
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "mrdf_knn_graph",
+      (s, dir) => Mrdf
+        .buildGraph(Tables.load(s, dir, "embeddings"), testParams)
+        .orderBy(col("id"), col("dist"), col("nbr")),
+      None,
+      doc = "MRDF approximate KNN edge table (mrdf.py:13-72, paper semantics)"),
+
+    Declared(
+      "mrdf_recall",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val truth = BruteForceKnn.asAdjacency(
+          BruteForceKnn.knnGraph(emb, testParams.k))
+        val approx = Mrdf.asAdjacency(Mrdf.buildGraph(emb, testParams))
+        Recall.recall(truth, approx)
+      },
+      None,
+      doc = "MRDF recall vs exact KNN (getrecall.py:14-35)")
+  )
 }

@@ -1,0 +1,104 @@
+package graft.similarity
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.linalg.Distances
+
+/** Approximate nearest-neighbor search over the embedding column —
+  * the scale path beyond brute force (north-star extension).
+  *
+  * Two bucketing strategies, both ending in exact cosine re-ranking of
+  * the candidate set only:
+  *  - LSH: random-hyperplane sign bits, banded so a query meets only
+  *    docs sharing a band value — at 100 TB the join is bucket-local,
+  *    no N² pairs, no broadcast of the big side.
+  *  - IVF: per-label centroids (the coarse quantizer); queries probe
+  *    the nprobe nearest centroids and scan only those inverted lists.
+  * Seeded hyperplanes ⇒ deterministic, but not SQL-mirrorable (no
+  * oracle); recall vs brute force is asserted in ScalaTest.
+  */
+object Ann {
+
+  /** Sign-bit LSH signature bands. planes = bands × bitsPerBand
+    * hyperplanes with deterministic ±1 components from `seed`. */
+  def lshBands(emb: DataFrame, dim: Int, bands: Int, bitsPerBand: Int,
+               seed: Long, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val rnd = new Random(seed)
+    val planes = Array.fill(bands * bitsPerBand)(
+      Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    def bit(p: Int): Column = {
+      val w = typedlit(planes(p).toSeq)
+      when(aggregate(zip_with(col(vecCol), w,
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (a, x) => a + x) >= 0, 1L).otherwise(0L)
+    }
+    val bandCols = (0 until bands).map { b =>
+      val v = (0 until bitsPerBand)
+        .map(i => bit(b * bitsPerBand + i) * lit(1L << i))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), v.as("bv"))
+    }
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("vec"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+  }
+
+  /** LSH-bucketed approximate cosine top-k for a query subset. */
+  def lshTopK(emb: DataFrame, k: Int, dim: Int, queryPred: Column,
+              bands: Int = 4, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val buckets = lshBands(emb, dim, bands, bitsPerBand, seed)
+    val q = buckets.filter(queryPred).select(
+      col("id").as("qid"), col("vec").as("qv"), col("band"), col("bv"))
+    val cands = q.join(buckets.select(col("id").as("nbr"), col("vec").as("cv"),
+        col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("qid") =!= col("nbr"))
+      .select(col("qid"), col("qv"), col("nbr"), col("cv"))
+      .dropDuplicates("qid", "nbr")
+    rerank(cands, k)
+  }
+
+  /** IVF-style ANN: coarse centroids from the label column (the
+    * testdata's cluster assignment), queries probe the nprobe nearest
+    * centroids, exact re-rank inside the probed lists. */
+  def ivfTopK(emb: DataFrame, k: Int, queryPred: Column,
+              nprobe: Int = 2): DataFrame = {
+    // centroid per label: mean vector via posexplode + per-(label,pos) avg
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("s"))
+      .select(col("label").as("clabel"),
+        transform(col("s"), e => e("m").cast("float")).as("cvec"))
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("cd", Distances.euclidean(col("qv"), col("cvec")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cd"), col("clabel"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("clabel"))
+    val cands = probes.join(
+        emb.select(col("vec_id").as("nbr"), col("embedding").as("cv"), col("label")),
+        col("clabel") === col("label"))
+      .filter(col("qid") =!= col("nbr"))
+      .select(col("qid"), col("qv"), col("nbr"), col("cv"))
+    rerank(cands, k)
+  }
+
+  /** Exact cosine re-rank of (qid, qv, nbr, cv) candidates → top-k. */
+  private def rerank(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
+    cands
+      .withColumn("sim", round(Distances.cosineSimilarity(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nbr"), col("sim"), col("rn"))
+  }
+}

@@ -30,6 +30,22 @@ object SimilarityQueries {
 
   val declared: Seq[Declared] = Seq(
     Declared(
+      "q35_ann_lsh",
+      (s, dir) => Ann.lshTopK(Tables.load(s, dir, "embeddings"), K, dim = 64,
+        queryPred = col("id") < 20)
+        .orderBy(col("qid"), col("rn")),
+      None,
+      doc = "LSH-bucketed approximate cosine top-k (recall-tested vs exact)"),
+
+    Declared(
+      "q36_ann_ivf",
+      (s, dir) => Ann.ivfTopK(Tables.load(s, dir, "embeddings"), K,
+        queryPred = col("vec_id") < 20)
+        .orderBy(col("qid"), col("rn")),
+      None,
+      doc = "IVF (centroid-probed) approximate cosine top-k"),
+
+    Declared(
       "q30_cosine_topk",
       (s, dir) => cosineTopK(Tables.load(s, dir, "embeddings"), K, col("vec_id") < 20)
         .orderBy(col("qid"), col("rn")),

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.knn.{BruteForceKnn, Recall}
+import graft.similarity.Ann
+import graft.text.{Dedup, TextQueries}
+
+/** Spark-backed integration specs: recall metric, dedup sketches vs
+  * exact Jaccard, ANN recall vs brute force (SURVEY.md §5.1/§5.4). */
+class PipelineSpecs extends SparkSpec {
+
+  test("recall: identical graphs → 1.0, disjoint → 0.0 (getrecall.py)") {
+    import spark.implicits._
+    val g1 = Seq((1L, Seq(2L, 3L)), (2L, Seq(1L, 3L)), (3L, Seq(1L, 2L)))
+      .toDF("id", "nbrs")
+    val g2 = Seq((1L, Seq(4L, 5L)), (2L, Seq(4L, 5L)), (3L, Seq(4L, 5L)))
+      .toDF("id", "nbrs")
+    assert(Recall.recall(g1, g1).collect()(0).getDouble(0) === 1.0)
+    assert(Recall.recall(g1, g2).collect()(0).getDouble(0) === 0.0)
+  }
+
+  test("brute-force KNN is permutation-invariant (§5.2)") {
+    val emb = Tables.load(spark, sf0001, "embeddings").limit(100)
+    val a = BruteForceKnn.knnGraph(emb, 5).collect().map(_.toSeq).sortBy(_.toString)
+    val b = BruteForceKnn.knnGraph(emb.orderBy(rand(7)), 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("MinHash estimated Jaccard tracks exact n-gram Jaccard") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base),
+      (1L, base),                                    // exact dup
+      (2L, base.replace("quick", "slow")),           // near dup
+      (3L, "completely different words with zero overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    val est = Dedup.minhashPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(est.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 },
+      s"exact dup must estimate 1.0; got ${est.mkString(", ")}")
+    val exact = TextQueries.jaccardPairs(docs, 0.1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    est.foreach { case (a, b, j) =>
+      val e = exact.getOrElse((a, b), 0.0)
+      assert(math.abs(j - e) < 0.35, s"pair ($a,$b): est $j vs exact $e")
+    }
+  }
+
+  test("SimHash: identical docs collide, distinct docs differ") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(2L))
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+  }
+
+  // The driver embeddings are near-isotropic for cosine (top-10 sims
+  // ≈ 0.3; labels uncorrelated with geometry — measured 0.089 label
+  // agreement vs 0.1 random), so NO bucketed ANN can beat scanning
+  // there. Validate the algorithms on planted clusters, where recall
+  // is information-bearing.
+  test("LSH ANN recall ≥ 0.8 and IVF recall ≥ 0.9 on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 300).map { i =>
+      val c = i % 10
+      val v = centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      (i.toLong, v.toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val exact = graft.similarity.SimilarityQueries
+      .cosineTopK(emb, 10, col("vec_id") < 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(emb, 10, dim = dim, queryPred = col("id") < 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, 10, queryPred = col("vec_id") < 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    info(s"LSH recall = $lshRecall, IVF recall = $ivfRecall")
+    assert(lshRecall >= 0.8, s"LSH recall $lshRecall")
+    assert(ivfRecall >= 0.9, s"IVF recall $ivfRecall")
+  }
+
+  test("multimodal chunking covers every payload byte exactly once") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(50)
+    val media = graft.multimodal.Multimodal.asMedia(docs)
+    val chunks = graft.multimodal.Multimodal.chunked(media).collect()
+    val byDoc = chunks.groupBy(_.doc_id)
+    val lens = docs.select(col("doc_id"), length(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (id, cs) =>
+      assert(cs.map(_.chunk_len).sum == lens(id))
+      assert(cs.map(_.chunk_idx).sorted.toSeq == (0 until cs.length).toSeq)
+    }
+  }
+}

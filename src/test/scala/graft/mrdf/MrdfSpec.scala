@@ -1,0 +1,43 @@
+package graft.mrdf
+
+import graft.{SparkSpec, Tables}
+import graft.knn.{BruteForceKnn, Recall}
+
+class MrdfSpec extends SparkSpec {
+
+  test("MRDF graph recall vs brute force ≥ 0.9 on sf0.001 (SURVEY §5.4)") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val p = MrdfQueries.testParams
+    val truth = BruteForceKnn.asAdjacency(BruteForceKnn.knnGraph(emb, p.k))
+    val approx = Mrdf.asAdjacency(Mrdf.buildGraph(emb, p))
+    val recall = Recall.recall(truth, approx).collect()(0).getDouble(0)
+    info(s"recall = $recall")
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
+  test("MRDF is deterministic for a fixed seed") {
+    val emb = Tables.load(spark, sf0001, "embeddings").limit(300)
+    val p = MrdfQueries.testParams.copy(maxIter = 2)
+    val a = Mrdf.buildGraph(emb, p).collect().map(_.toSeq).sortBy(_.toString)
+    val b = Mrdf.buildGraph(emb, p).collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("NN-Descent alone reaches high recall on a single block") {
+    val emb = Tables.load(spark, sf0001, "embeddings").limit(200)
+    import org.apache.spark.sql.functions.col
+    val pts = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => NnDescentLocal.Pt(r.getLong(0), r.getSeq[Float](1).toArray))
+    val edges = NnDescentLocal.run(pts, k = 10, seed = 42L).toArray
+    assert(edges.nonEmpty)
+    val byId = edges.groupBy(_.id)
+    assert(byId.values.forall(_.length <= 10))
+    // exact truth on the same 200 points
+    val truth = BruteForceKnn.knnGraph(emb, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = edges.count(e => truth.contains((e.id, e.nbr)))
+    val recall = hits.toDouble / truth.size
+    info(s"single-block NN-Descent recall = $recall")
+    assert(recall >= 0.9)
+  }
+}
