@@ -71,6 +71,8 @@ object Mrdf {
       val merged = mergeGraphs(g, blockEdges, p.k).localCheckpoint()
       val changedEdges = merged.join(g, Seq("id", "nbr"), "left_anti").count()
       ratio = changedEdges.toDouble / (n.toDouble * p.k)
+      if (sys.env.contains("GRAFT_MRDF_DEBUG"))
+        println(f"[mrdf] iter=$iter ratio=$ratio%.4f")
       g = merged
     }
     pts.unpersist()
@@ -87,13 +89,19 @@ object Mrdf {
     var anyOversized = true
     while (anyOversized && divideIter < p.maxDivideIter) {
       divideIter += 1
+      // The per-path histogram is tiny (≤ N/α · ρ rows) — one collect
+      // drives the loop condition AND the oversized set, instead of a
+      // separate existence job + two repeated joins.
       val oversized = assigned.groupBy(col("path")).count()
         .filter(col("count") > p.alpha).select(col("path"))
-      if (oversized.limit(1).count() == 0) {
+        .collect().map(_.getString(0))
+      if (oversized.isEmpty) {
         anyOversized = false
       } else {
-        val over = assigned.join(broadcast(oversized), Seq("path"), "left_semi")
-        val keep = assigned.join(broadcast(oversized), Seq("path"), "left_anti")
+        val isOver =
+          if (oversized.length <= 1000) col("path").isin(oversized.toIndexedSeq: _*)
+          else col("path").isInCollection(oversized.toIndexedSeq)
+        val over = assigned.filter(isOver)
         // Deterministic bottom-ρ per path (order-independent sampler).
         val centroids = over
           .withColumn("h", xxhash64(lit(p.seed), lit(iter), lit(divideIter), col("id")))
@@ -103,7 +111,7 @@ object Mrdf {
           .select(col("path"), (col("rn") - 1).as("cidx"), col("vec").as("cvec"))
         // Nearest-centroid assignment: broadcast join + per-id argmin
         // (reference tree_path_extension, mrdf.py:123-146).
-        assigned = keep.unionByName(
+        assigned = assigned.filter(!isOver).unionByName(
           over.join(broadcast(centroids), Seq("path"))
             .withColumn("d", Distances.euclidean(col("vec"), col("cvec")))
             .withColumn("best", row_number().over(

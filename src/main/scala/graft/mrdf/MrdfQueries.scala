@@ -17,7 +17,7 @@ object MrdfQueries {
     * blocks large relative to N so each round co-locates more true
     * neighbors; recall converges in ~6–10 rounds. */
   val testParams: Mrdf.Params =
-    Mrdf.Params(k = 10, rho = 4, alpha = 200, tau = 0.005, seed = 42L, maxIter = 10)
+    Mrdf.Params(k = 10, rho = 4, alpha = 200, tau = 0.01, seed = 42L, maxIter = 10)
 
   val declared: Seq[Declared] = Seq(
     Declared(
