@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.{CosineSimilarity, EuclideanDistance}
+
+/** SparkSessionExtensions hook — registers graft's custom expressions
+  * as SQL functions so `spark.sql("... euclidean_distance(a, b) ...")`
+  * works cluster-wide:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("euclidean_distance"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[EuclideanDistance].getName, "euclidean_distance"),
+        (children: Seq[Expression]) => EuclideanDistance(children(0), children(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[CosineSimilarity].getName, "cosine_similarity"),
+        (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+  }
+}

@@ -413,6 +413,37 @@ object Relational {
         |FROM embeddings ORDER BY vec_id""".stripMargin),
       doc = "Array functions + deterministic fold over vectors (§2.8)"),
 
+    // ----- cube grouping sets (§2.4 [absent] row) -----
+    Declared(
+      "q08b_cube",
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("revenue"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(${dCents("o_totalprice")}) AS DOUBLE) / 100.0 AS revenue
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
+      doc = "CUBE grouping sets (§2.4)"),
+
+    // ----- deterministic TABLESAMPLE (§2.10 [absent] row) -----
+    // df.sample(seed) is engine-specific, so the declared sample is a
+    // content-hash Bernoulli sample: md5 of the key — identical row
+    // set in any engine, statistically a ~10% sample, trivially
+    // distributed (pure row-local predicate, no shuffle).
+    Declared(
+      "q37_hash_sample",
+      (s, dir) => t(s, dir, "orders")
+        .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 100 < 10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 10
+        |ORDER BY o_orderkey""".stripMargin),
+      doc = "Deterministic content-hash Bernoulli sample (§2.10)"),
+
     // ----- JSON extraction (§2.8 [absent] row) -----
     Declared(
       "q20_json_funcs",

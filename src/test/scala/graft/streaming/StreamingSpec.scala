@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Drives the Structured Streaming pipelines end-to-end with a file
+  * source fed from the events testdata (SURVEY.md §2.11). */
+class StreamingSpec extends SparkSpec {
+
+  private def eventsBatch() = {
+    import spark.implicits._
+    Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+  }
+
+  test("streaming tumbling counts match the batch plan") {
+    val src = Files.createTempDirectory("graft-stream-src").toString
+    eventsBatch().write.mode("overwrite").parquet(src)
+    val stream = StreamingPipelines.readEventsStream(spark, src)
+    val q = StreamingPipelines.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // watermark holds back open windows in append mode; compare the
+    // closed prefix against the batch result
+    val got = spark.table("tumbling")
+      .select(col("w_start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val all = StreamingPipelines.tumblingCounts(eventsBatch())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "streaming produced no closed windows")
+    assert(got.subsetOf(all), "streaming window disagrees with batch")
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions at the gap") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-stream-sess").toString
+    eventsBatch().write.mode("overwrite").parquet(src)
+    val stream = StreamingPipelines.readEventsStream(spark, src)
+      .as[StreamingPipelines.Event]
+    val q = StreamingPipelines.sessionizeStream(stream)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch gaps-and-islands reference: all but each user's last session
+    // (streaming cannot close the final session without more input)
+    val batch = TimeWindows.sessionize(eventsBatch()).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty, "no sessions closed")
+    assert(got.subsetOf(batch),
+      s"streaming sessions must agree with batch; extras: ${(got -- batch).take(3)}")
+  }
+}
