@@ -26,6 +26,66 @@ object KnnQueries {
 
   val declared: Seq[Declared] = Seq(
     Declared(
+      // §2.9 reverse-edge generation as a distributed op (the edge-table
+      // form makes generate_reverses, nndescent.py:102-113, a plain
+      // projection) + in-degree profile of the KNN graph.
+      "q39_reverse_degree",
+      (s, dir) => BruteForceKnn
+        .knnGraph(Tables.load(s, dir, "embeddings"), K)
+        .select(col("nbr").as("id"), col("id").as("nbr"))
+        .groupBy(col("id")).agg(count(lit(1)).as("in_degree"))
+        .orderBy(col("id")),
+      Some {
+        val d = DuckSql.euclidean("a.embedding", "b.embedding")
+        s"""WITH pairs AS (
+           |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |), ranked AS (
+           |  SELECT id, nbr, dist,
+           |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
+           |  FROM pairs)
+           |SELECT nbr AS id, count(*) AS in_degree
+           |FROM ranked WHERE rn <= $K GROUP BY nbr ORDER BY id""".stripMargin
+      },
+      doc = "Reverse edges (flatMap→projection) + in-degree (§2.9)"),
+
+    Declared(
+      // §2.7 set difference on adjacency arrays: the k=10 neighbors a
+      // node loses when k shrinks to 5 (array_except semantics).
+      "q38_graph_delta",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val g10 = BruteForceKnn.asAdjacency(BruteForceKnn.knnGraph(emb, 10))
+          .withColumnRenamed("nbrs", "nbrs10")
+        val g5 = BruteForceKnn.asAdjacency(BruteForceKnn.knnGraph(emb, 5))
+          .withColumnRenamed("nbrs", "nbrs5")
+        g10.join(g5, Seq("id"))
+          .select(col("id"),
+            array_except(col("nbrs10"), col("nbrs5")).as("dropped"),
+            size(array_intersect(col("nbrs10"), col("nbrs5"))).as("kept"))
+          .orderBy(col("id"))
+      },
+      Some {
+        val d = DuckSql.euclidean("a.embedding", "b.embedding")
+        s"""WITH pairs AS (
+           |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |), ranked AS (
+           |  SELECT id, nbr, dist,
+           |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
+           |  FROM pairs),
+           |g10 AS (SELECT id, list(nbr ORDER BY dist, nbr) AS nbrs10
+           |        FROM ranked WHERE rn <= 10 GROUP BY id),
+           |g5 AS (SELECT id, list(nbr ORDER BY dist, nbr) AS nbrs5
+           |       FROM ranked WHERE rn <= 5 GROUP BY id)
+           |SELECT g10.id,
+           |  list_filter(nbrs10, x -> NOT list_contains(nbrs5, x)) AS dropped,
+           |  CAST(len(list_filter(nbrs10, x -> list_contains(nbrs5, x))) AS INTEGER) AS kept
+           |FROM g10 JOIN g5 ON g10.id = g5.id ORDER BY g10.id""".stripMargin
+      },
+      doc = "Adjacency set difference/intersection (§2.7 array_except)"),
+
+    Declared(
       "knn_bruteforce",
       (s, dir) => BruteForceKnn
         .knnGraph(Tables.load(s, dir, "embeddings"), K)

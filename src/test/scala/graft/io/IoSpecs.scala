@@ -21,6 +21,39 @@ class IoSpecs extends SparkSpec {
     assert(back.toSeq == Seq((0L, Seq(1L, 2L)), (1L, Seq(0L)), (2L, Seq())))
   }
 
+  test("csv and json sources round-trip the orders table (§2.1)") {
+    val orders = graft.Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    val base = Files.createTempDirectory("graft-io").toString
+    orders.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    orders.write.mode("overwrite").json(s"$base/json")
+    val fromCsv = spark.read.option("header", "true")
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+      .csv(s"$base/csv")
+    val fromJson = spark.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+      .json(s"$base/json")
+    val want = orders.orderBy(col("o_orderkey")).collect().map(_.toSeq).toSeq
+    assert(fromCsv.orderBy(col("o_orderkey")).collect().map(_.toSeq).toSeq == want)
+    assert(fromJson.orderBy(col("o_orderkey")).collect().map(_.toSeq).toSeq == want)
+  }
+
+  test("salted join equals plain join under key skew") {
+    import spark.implicits._
+    // 10k rows of one hot key + uniform tail, joined to a small dim
+    val left = ((1 to 10000).map(i => (7L, i)) ++ (1 to 1000).map(i => (i.toLong % 50, i)))
+      .toDF("k", "v")
+    val right = (0L to 60L).map(k => (k, s"dim$k")).toDF("rk", "name")
+    val plain = left.join(right, col("k") === col("rk"))
+      .select(col("k"), col("v"), col("name"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = graft.relational.SkewJoin.saltedJoin(left, right, "k", "rk", 8)
+      .select(col("k"), col("v"), col("name"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.sameElements(plain))
+  }
+
   test("GraftExtensions registers SQL functions") {
     // injectFunction path: register directly on the live session's
     // registry (same code path the extension uses at session build)
