@@ -36,6 +36,15 @@ import graft.linalg.Distances
   * At 100 TB the same plan holds: division is O(iterations) broadcast
   * joins + shuffles on `path`, NN-Descent is embarrassingly parallel
   * over blocks, and the merge shuffles once per round on `id`.
+  *
+  * Design note (measured): warm-starting each round's block NN-Descent
+  * with the running graph's intra-block edges does NOT accelerate
+  * convergence — in-block NN-Descent can only emit in-block edges, so
+  * recall growth is governed by which true neighbors each fresh random
+  * division co-locates, and pre-seeding only displaces exploration
+  * (identical edge-churn ratios, recall 0.977 vs 0.987 cold). The
+  * per-round graph union + k-min merge IS the cross-round knowledge
+  * transfer, exactly as in the paper.
   */
 object Mrdf {
 

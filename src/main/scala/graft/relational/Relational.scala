@@ -444,6 +444,83 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin),
       doc = "Deterministic content-hash Bernoulli sample (§2.10)"),
 
+    // ----- fuzzy string matching (north-star text dedup adjunct) -----
+    Declared(
+      "q40_levenshtein_pairs",
+      (s, dir) => {
+        val p1 = t(s, dir, "part").select(col("p_brand"),
+          col("p_partkey").as("k1"), col("p_name").as("n1"))
+          .filter(col("k1") % 20 === 0)
+        val p2 = t(s, dir, "part").select(col("p_brand").as("b2"),
+          col("p_partkey").as("k2"), col("p_name").as("n2"))
+        p1.join(p2, col("p_brand") === col("b2") && col("k1") < col("k2"))
+          .withColumn("lev", levenshtein(col("n1"), col("n2")))
+          .filter(col("lev") <= 4)
+          .select(col("k1"), col("k2"), col("lev"))
+          .orderBy(col("k1"), col("k2"))
+      },
+      Some("""SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey % 20 = 0 AND levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY k1, k2""".stripMargin),
+      doc = "Levenshtein fuzzy-match pairs within brand blocks (§2.8)"),
+
+    // ----- conditional aggregation / pivot shape (§2.4) -----
+    Declared(
+      "q41_pivot",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      doc = "Pivot / conditional aggregation (§2.4)"),
+
+    // ----- summary statistics with exact arithmetic (§2.4) -----
+    // stddev built explicitly from exact integer sums, so both engines
+    // compute the identical closed form (library stddev accumulations
+    // differ in rounding; this does not).
+    Declared(
+      "q42_stats",
+      (s, dir) => {
+        val c = cents(col("o_totalprice"))
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            // c² sums past int64 at scale — exact decimal accumulation
+            // (DuckDB's BIGINT sum widens to HUGEINT by itself)
+            sum(c).as("s"), sum((c * c).cast("decimal(38,0)")).as("ss"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+          .select(col("o_orderstatus"), col("n"),
+            (col("s").cast("double") / (col("n") * 100.0)).as("mean_price"),
+            round(sqrt((col("ss").cast("double")
+              - col("s").cast("double") * col("s").cast("double") / col("n"))
+              / (col("n") - 1)) / 100.0, 4).as("stddev_price"),
+            col("min_price"), col("max_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, n,
+        |  CAST(s AS DOUBLE) / (n * 100.0) AS mean_price,
+        |  round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |        / (n - 1)) / 100.0, 4) AS stddev_price,
+        |  min_price, max_price
+        |FROM (SELECT o_orderstatus, count(*) AS n,
+        |        sum(${dCents("o_totalprice")}) AS s,
+        |        sum(${dCents("o_totalprice")} * ${dCents("o_totalprice")}) AS ss,
+        |        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |      FROM orders GROUP BY o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin),
+      doc = "Summary stats; stddev from exact integer moments (§2.4)"),
+
     // ----- JSON extraction (§2.8 [absent] row) -----
     Declared(
       "q20_json_funcs",
