@@ -444,6 +444,50 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin),
       doc = "Deterministic content-hash Bernoulli sample (§2.10)"),
 
+    // ----- as-of (time-series) join (§2.3 [absent] row) -----
+    Declared(
+      "q43_asof_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+        AsOfJoin.asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("click_id"))
+          .select(col("event_id"), col("user_id"), col("asof_click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, c.click_id AS asof_click_id
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin),
+      doc = "As-of join: latest prior click per purchase (§2.3; union+window composition)"),
+
+    // ----- GROUPING SETS through the SQL surface (§2.4) -----
+    Declared(
+      "q44_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+          |                        (l_returnflag, l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+          |""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+      doc = "Explicit GROUPING SETS via spark.sql (§2.4)"),
+
     // ----- fuzzy string matching (north-star text dedup adjunct) -----
     Declared(
       "q40_levenshtein_pairs",

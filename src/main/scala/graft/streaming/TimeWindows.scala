@@ -84,6 +84,38 @@ object TimeWindows {
       doc = "Sliding 1h/15min event-time windows (§2.11)"),
 
     Declared(
+      // Native session_window() (batch/streaming-unified). Oracle via
+      // integer-microsecond gaps-and-islands: session start = first
+      // event ts, new session when the µs gap exceeds 30 min — exactly
+      // session_window's semantics.
+      "q23b_session_native",
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("sess_start"),
+          col("user_id"), col("n_events"))
+        .orderBy(col("user_id"), col("sess_start")),
+      Some("""WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM flagged)
+        |SELECT strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+        |  user_id, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin),
+      doc = "Native session_window over event time (§2.11)"),
+
+    Declared(
       "q23_session_window",
       (s, dir) => sessionize(Tables.load(s, dir, "events"))
         .withColumn("sess_id", col("sess_id").cast("long"))

@@ -39,6 +39,31 @@ class IoSpecs extends SparkSpec {
     assert(fromJson.orderBy(col("o_orderkey")).collect().map(_.toSeq).toSeq == want)
   }
 
+  test("orc source round-trips (§2.1)") {
+    val orders = graft.Tables.load(spark, sf0001, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val dir = Files.createTempDirectory("graft-orc").toString
+    orders.write.mode("overwrite").orc(dir)
+    assert(spark.read.orc(dir).orderBy(col("o_orderkey")).collect().map(_.toSeq).toSeq
+      == orders.orderBy(col("o_orderkey")).collect().map(_.toSeq).toSeq)
+  }
+
+  test("asofJoin: hand-checked semantics incl. equal-ts and no-match rows") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq((1L, 10L, ts(100)), (1L, 11L, ts(200)), (2L, 20L, ts(50)))
+      .toDF("k", "lid", "lts")
+    val right = Seq((1L, ts(100), "a"), (1L, ts(150), "b"), (2L, ts(60), "c"))
+      .toDF("k", "rts", "v")
+    val out = graft.relational.AsOfJoin
+      .asofJoin(left, right, "k", "lts", "rts", Seq("v"))
+      .select(col("lid"), col("asof_v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == "a", "equal-ts right row must match (<= semantics)")
+    assert(out(11L) == "b", "latest prior row wins")
+    assert(out(20L) == null, "no prior row → null")
+  }
+
   test("salted join equals plain join under key skew") {
     import spark.implicits._
     // 10k rows of one hot key + uniform tail, joined to a small dim
