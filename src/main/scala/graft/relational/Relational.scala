@@ -336,13 +336,15 @@ object Relational {
         length(col("p_name")).as("name_len"),
         substring(col("p_name"), 1, 8).as("name_prefix"),
         concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
-        regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"))
+        regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
         .orderBy(col("p_partkey")),
       Some("""SELECT p_partkey, upper(p_name) AS name_upper,
         |  CAST(length(p_name) AS INTEGER) AS name_len,
         |  substr(p_name, 1, 8) AS name_prefix,
         |  concat_ws('/', p_brand, p_type) AS brand_type,
-        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
         |FROM part ORDER BY p_partkey""".stripMargin),
       doc = "String scalar functions (§2.8)"),
 
@@ -443,6 +445,23 @@ object Relational {
         |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 10
         |ORDER BY o_orderkey""".stripMargin),
       doc = "Deterministic content-hash Bernoulli sample (§2.10)"),
+
+    // ----- generator / UNNEST (§2.12 flatMap row) -----
+    Declared(
+      "q45_posexplode",
+      (s, dir) => Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).cast("double").as("min_x"),
+          max(col("x")).cast("double").as("max_x"))
+        .orderBy(col("pos")),
+      Some("""SELECT CAST(i AS INTEGER) AS pos, count(*) AS n,
+        |  CAST(min(embedding[i + 1]) AS DOUBLE) AS min_x,
+        |  CAST(max(embedding[i + 1]) AS DOUBLE) AS max_x
+        |FROM embeddings, (SELECT unnest(range(64)) AS i)
+        |GROUP BY i ORDER BY pos""".stripMargin),
+      doc = "posexplode/UNNEST generator + per-position extremes (§2.12)"),
 
     // ----- as-of (time-series) join (§2.3 [absent] row) -----
     Declared(
