@@ -21,6 +21,7 @@ object Registry {
       graft.streaming.TimeWindows.declared ++
       graft.text.TextQueries.declared ++
       graft.text.Dedup.declared ++
+      graft.text.CorpusPipeline.declared ++
       graft.similarity.SimilarityQueries.declared ++
       graft.multimodal.Multimodal.declared ++
       graft.mrdf.MrdfQueries.declared

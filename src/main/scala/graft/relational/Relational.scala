@@ -446,6 +446,55 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin),
       doc = "Deterministic content-hash Bernoulli sample (§2.10)"),
 
+    // ----- argmin/argmax aggregation (§2.4) -----
+    // max_by needs a unique ordering value for determinism: compose
+    // (cents, key) into one bigint so ties cannot occur.
+    Declared(
+      "q46_argmax",
+      (s, dir) => {
+        def ord = cents(col("o_totalprice")) * 100000 + col("o_orderkey")
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(max_by(col("o_orderkey"), ord).as("top_order"),
+            min_by(col("o_orderkey"), ord).as("bottom_order"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus,
+        |  arg_max(o_orderkey, ${dCents("o_totalprice")} * 100000 + o_orderkey) AS top_order,
+        |  arg_min(o_orderkey, ${dCents("o_totalprice")} * 100000 + o_orderkey) AS bottom_order
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      doc = "arg_max/arg_min with tie-free composite ordering (§2.4)"),
+
+    // ----- exact percentile (§2.4) -----
+    Declared(
+      "q47_percentile",
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("c", cents(col("o_totalprice")))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(c, 0.5)") / 100.0, 2).as("median_price"),
+          round(expr("percentile(c, 0.9)") / 100.0, 2).as("p90_price"))
+        .orderBy(col("o_orderstatus")),
+      Some(s"""SELECT o_orderstatus,
+        |  round(quantile_cont(${dCents("o_totalprice")}, 0.5) / 100.0, 2) AS median_price,
+        |  round(quantile_cont(${dCents("o_totalprice")}, 0.9) / 100.0, 2) AS p90_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      doc = "Exact interpolated percentiles over integer cents (§2.4)"),
+
+    // ----- ordered string aggregation / listagg (§2.4) -----
+    Declared(
+      "q48_listagg",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |  count(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      doc = "Deterministic ordered listagg (§2.4)"),
+
     // ----- generator / UNNEST (§2.12 flatMap row) -----
     Declared(
       "q45_posexplode",

@@ -62,6 +62,69 @@ object Ann {
     rerank(cands, k)
   }
 
+  /** Distributed Lloyd's k-means — the IVF coarse quantizer. Seeded
+    * deterministic init (bottom-k by hash, the same order-independent
+    * sampler as MRDF's centroid pick); each round is one broadcast
+    * argmin join + one per-(cluster, dim) mean. Centroid tables are k
+    * rows — driver-free and broadcast-sized at any data scale. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 5, seed: Long = 42L,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pts = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // orderBy+limit is a distributed TakeOrdered; the (unpartitioned)
+    // row_number window then only ever sees k rows
+    var cent = pts
+      .withColumn("h", xxhash64(lit(seed), col("id")))
+      .orderBy(col("h"), col("id")).limit(k)
+      .withColumn("cid", row_number().over(
+        Window.orderBy(col("h"), col("id"))) - 1)
+      .select(col("cid"), col("vec").as("cvec"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = pts.join(broadcast(cent))
+        .withColumn("d", Distances.euclidean(col("vec"), col("cvec")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("d"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("vec"))
+      cent = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("s"))
+        .select(col("cid"), transform(col("s"), e => e("m").cast("float")).as("cvec"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** IVF with the k-means quantizer: build inverted lists by nearest
+    * centroid, probe the nprobe nearest lists per query, exact re-rank. */
+  def ivfKmeansTopK(emb: DataFrame, k: Int, queryPred: Column,
+                    nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 5,
+                    seed: Long = 42L): DataFrame = {
+    val cent = kmeansCentroids(emb, nlist, kmeansIters, seed)
+    val pts = emb.select(col("vec_id").as("nbr"), col("embedding").as("cv"))
+    val lists = pts.join(broadcast(cent))
+      .withColumn("d", Distances.euclidean(col("cv"), col("cvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("nbr")).orderBy(col("d"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("nbr"), col("cv"))
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("cd", Distances.euclidean(col("qv"), col("cvec")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cd"), col("cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val cands = probes.join(lists, Seq("cid"))
+      .filter(col("qid") =!= col("nbr"))
+      .select(col("qid"), col("qv"), col("nbr"), col("cv"))
+    rerank(cands, k)
+  }
+
   /** IVF-style ANN: coarse centroids from the label column (the
     * testdata's cluster assignment), queries probe the nprobe nearest
     * centroids, exact re-rank inside the probed lists. */

@@ -38,6 +38,14 @@ object SimilarityQueries {
       doc = "LSH-bucketed approximate cosine top-k (recall-tested vs exact)"),
 
     Declared(
+      "q36b_ann_ivf_kmeans",
+      (s, dir) => Ann.ivfKmeansTopK(Tables.load(s, dir, "embeddings"), K,
+        queryPred = col("vec_id") < 20, nlist = 8, nprobe = 3)
+        .orderBy(col("qid"), col("rn")),
+      None,
+      doc = "IVF over distributed k-means coarse quantizer (rows-only)"),
+
+    Declared(
       "q36_ann_ivf",
       (s, dir) => Ann.ivfTopK(Tables.load(s, dir, "embeddings"), K,
         queryPred = col("vec_id") < 20)

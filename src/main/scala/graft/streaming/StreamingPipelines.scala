@@ -62,6 +62,32 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming exact dedup: one row per (user_id, event_type) with a
+    * watermark bounding the dedup state — the streaming form of the
+    * corpus-dedup operator. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding 30 minutes. Watermarks on both
+    * sides + the time-bound condition let Spark expire join state. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES")
+        && col("c_ts") <= col("p_ts"))
+  }
+
   /** File-source streaming read of events-shaped parquet. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

@@ -86,11 +86,16 @@ class PipelineSpecs extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Ann.ivfTopK(emb, 10, queryPred = col("vec_id") < 30)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kmeansIvf = Ann.ivfKmeansTopK(emb, 10, queryPred = col("vec_id") < 30,
+        nlist = 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lshRecall = (exact & lsh).size.toDouble / exact.size
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
-    info(s"LSH recall = $lshRecall, IVF recall = $ivfRecall")
+    val kmRecall = (exact & kmeansIvf).size.toDouble / exact.size
+    info(s"LSH recall = $lshRecall, IVF recall = $ivfRecall, kmeans-IVF recall = $kmRecall")
     assert(lshRecall >= 0.8, s"LSH recall $lshRecall")
     assert(ivfRecall >= 0.9, s"IVF recall $ivfRecall")
+    assert(kmRecall >= 0.9, s"kmeans-IVF recall $kmRecall")
   }
 
   test("multimodal chunking covers every payload byte exactly once") {

@@ -37,6 +37,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.subsetOf(all), "streaming window disagrees with batch")
   }
 
+  test("streaming dedup emits one row per (user, event_type)") {
+    val src = Files.createTempDirectory("graft-stream-dedup").toString
+    eventsBatch().write.mode("overwrite").parquet(src)
+    val q = StreamingPipelines.dedupStream(
+        StreamingPipelines.readEventsStream(spark, src))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == got.distinct.length, "duplicates survived")
+    val expected = eventsBatch().select(col("user_id"), col("event_type"))
+      .distinct().count()
+    assert(got.length == expected)
+  }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val src = Files.createTempDirectory("graft-stream-ssj").toString
+    eventsBatch().write.mode("overwrite").parquet(src)
+    val q = StreamingPipelines.purchaseClickJoin(
+        StreamingPipelines.readEventsStream(spark, src))
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val got = spark.table("ssjoin").select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = StreamingPipelines.purchaseClickJoin(eventsBatch())
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch, s"missing=${(batch -- got).size} extra=${(got -- batch).size}")
+    assert(batch.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions at the gap") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft-stream-sess").toString
