@@ -446,6 +446,80 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin),
       doc = "Deterministic content-hash Bernoulli sample (§2.10)"),
 
+    // ----- RANGE window frame over a numeric time axis (§2.5) -----
+    Declared(
+      "q50_range_frame",
+      (s, dir) => {
+        val days = datediff(to_date(col("o_orderdate")), lit("1990-01-01").cast("date"))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_n"))
+          .rangeBetween(-30, Window.currentRow)
+        t(s, dir, "orders")
+          .withColumn("day_n", days)
+          .select(col("o_custkey"), col("o_orderkey"),
+            (sum(cents(col("o_totalprice"))).over(w).cast("double") / 100.0)
+              .as("rev_30d"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some(s"""SELECT o_custkey, o_orderkey,
+        |  CAST(sum(${dCents("o_totalprice")}) OVER (PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS rev_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      doc = "RANGE frame: trailing-30-day revenue per customer (§2.5)"),
+
+    // ----- remaining ranking/analytic family (§2.5) -----
+    Declared(
+      "q51_rank_family",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+        t(s, dir, "orders").select(
+          col("o_orderstatus"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).as("quartile"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+          .orderBy(col("o_orderstatus"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin),
+      doc = "percent_rank/cume_dist/ntile/first/nth_value (§2.5)"),
+
+    // ----- TPC-H Q3 shape: filtered 3-way join + agg + top-k (§2.3/§2.4/§2.6) -----
+    Declared(
+      "q53_shipping_priority",
+      (s, dir) => t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .filter(to_date(col("o_orderdate")) < lit("1998-01-01").cast("date"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(to_date(col("l_shipdate")) > lit("1998-01-01").cast("date"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20),
+      Some(s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(sum(${dCents("l_extendedprice")} * (100 - ${dCents("l_discount")})) AS DOUBLE)
+        |    / 10000.0 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin),
+      doc = "TPC-H Q3 shape: selective joins → agg → global top-k (§2.3/2.6)"),
+
     // ----- argmin/argmax aggregation (§2.4) -----
     // max_by needs a unique ordering value for determinism: compose
     // (cents, key) into one bigint so ties cannot occur.
