@@ -28,7 +28,32 @@ object SimilarityQueries {
       .select(col("qid"), col("nbr"), col("sim"), col("rn"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the vector-space member
+    * of the dedup family (exact all-pairs form; the LSH/IVF buckets in
+    * [[Ann]] are the 100 TB path, this is their oracle). */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("vb"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .withColumn("sim", round(Distances.cosineSimilarity(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("d1"), col("d2"), col("sim"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q54_embedding_dedup",
+      (s, dir) => cosineNearDupPairs(Tables.load(s, dir, "embeddings"), 0.35)
+        .orderBy(col("d1"), col("d2")),
+      Some {
+        val sim = DuckSql.cosineSimilarity("a.embedding", "b.embedding")
+        s"""SELECT d1, d2, sim FROM (
+           |  SELECT a.vec_id AS d1, b.vec_id AS d2, round($sim, 6) AS sim
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+           |WHERE sim >= 0.35 ORDER BY d1, d2""".stripMargin
+      },
+      doc = "Embedding-cosine near-dup pairs (exact; LSH/IVF are the scale path)"),
+
     Declared(
       "q35_ann_lsh",
       (s, dir) => Ann.lshTopK(Tables.load(s, dir, "embeddings"), K, dim = 64,

@@ -64,6 +64,21 @@ class IoSpecs extends SparkSpec {
     assert(out(20L) == null, "no prior row → null")
   }
 
+  test("partitioned parquet sink: lang partitions + partition pruning") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val dir = Files.createTempDirectory("graft-part").toString
+    graft.text.CorpusPipeline.curate(docs)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.select("lang").distinct().count() >= 3)
+    val pruned = back.filter(col("lang") === "en")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") || pruned.count() > 0)
+    // pruning must actually reduce the files read
+    val explain = pruned.queryExecution.toString
+    assert(explain.contains("lang"), "partition column must appear in plan")
+  }
+
   test("salted join equals plain join under key skew") {
     import spark.implicits._
     // 10k rows of one hot key + uniform tail, joined to a small dim
