@@ -69,6 +69,41 @@ object Main {
   }
 }
 
+/** Completion of the reference's *unfinished* `getrecallivecs.py`
+  * (`getrecallivecs.py:2-3,40-42` — "not yet finished"): score a
+  * text-graph folder against an ANN-benchmark ivecs ground-truth file.
+  * `--groundtruth gt.ivecs --graph <dir> [--k n]` → `Recall: <r>`.
+  * Ground-truth ids are the 0-based record index; k defaults to the
+  * graph's own list length per row. */
+object GetRecallIvecs {
+  def run(spark: SparkSession, args: Array[String]): Double = {
+    import spark.implicits._
+    val a = args.grouped(2).collect { case Array(k, v) => k -> v }.toMap
+    val gtPath = a.getOrElse("--groundtruth", sys.error("--groundtruth required"))
+    val graphPath = a.getOrElse("--graph", sys.error("--graph required"))
+    val k = a.getOrElse("--k", "0").toInt
+    val gt = io.Fvecs.decodeIvecs(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(gtPath)), k = k)
+      .map { case (id, nbrs) => (id, nbrs.map(_.toLong).toSeq) }
+    val truth = spark.createDataset(gt).toDF("id", "nbrs")
+    val approx = io.GraphText.read(spark, graphPath)
+    val r = knn.Recall.recall(truth, approx).collect()(0).getDouble(0)
+    println(s"Recall: $r")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("MRDFGetRecallIvecs")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, args)
+    spark.stop()
+  }
+}
+
 /** Drop-in CLI for `getrecall.py:14-35`: `--knn <dir> --mrdf <dir>`,
   * prints `Recall: <r>`. */
 object GetRecall {

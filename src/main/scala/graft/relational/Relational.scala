@@ -491,6 +491,32 @@ object Relational {
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin),
       doc = "percent_rank/cume_dist/ntile/first/nth_value (§2.5)"),
 
+    // ----- map type construction + lookup (§2.8) -----
+    // Map output itself is never emitted (entry order is engine-
+    // dependent); only scalar lookups leave the query.
+    Declared(
+      "q52_map_funcs",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type")).count()
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("count"))))
+          .as("m"))
+        .select(col("user_id"),
+          element_at(col("m"), "click").as("n_click"),
+          element_at(col("m"), "error").as("n_error"),
+          size(map_keys(col("m"))).as("n_types"))
+        .orderBy(col("user_id")),
+      Some("""WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, map(list(event_type), list(n)) AS m
+        |      FROM c GROUP BY user_id)
+        |SELECT user_id,
+        |  element_at(m, 'click')[1] AS n_click,
+        |  element_at(m, 'error')[1] AS n_error,
+        |  CAST(cardinality(m) AS INTEGER) AS n_types
+        |FROM m ORDER BY user_id""".stripMargin),
+      doc = "Map construction + keyed lookup, scalar outputs only (§2.8)"),
+
     // ----- TPC-H Q3 shape: filtered 3-way join + agg + top-k (§2.3/§2.4/§2.6) -----
     Declared(
       "q53_shipping_priority",

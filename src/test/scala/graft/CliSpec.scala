@@ -33,5 +33,17 @@ class CliSpec extends SparkSpec {
     val firstLine = spark.read.text(s"$base/knn")
       .orderBy(col("value")).limit(1).collect()(0).getString(0)
     assert(firstLine.matches("""\(\d+, \[\d+(, \d+)*\]\)"""), firstLine)
+
+    // getrecallivecs completion: ivecs ground truth vs the mrdf graph
+    val truthAdj = io.GraphText.read(spark, s"$base/knn")
+      .orderBy(col("id")).collect()
+      .map(r => r.getSeq[Long](1).map(_.toInt).toArray)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/gt.ivecs"),
+      io.Fvecs.encodeIvecs(truthAdj.toSeq))
+    val r2 = GetRecallIvecs.run(spark,
+      Array("--groundtruth", s"$base/gt.ivecs", "--graph", s"$base/mrdf"))
+    assert(math.abs(r2 - recall) < 1e-9,
+      s"ivecs-scored recall $r2 must equal text-scored $recall")
   }
 }
