@@ -31,7 +31,10 @@ object TextQueries {
     * via inverted-index self-join (scales: only docs sharing a shingle
     * ever meet; no N² compare). */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // join on the 64-bit shingle hash, not the string: same pairs
+    // (collisions are ~n²/2⁶⁴), half the shuffle bytes
     val sh = wordShingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -98,6 +98,25 @@ class PipelineSpecs extends SparkSpec {
     assert(kmRecall >= 0.9, s"kmeans-IVF recall $kmRecall")
   }
 
+  test("codegen distance expressions are bit-identical to the JVM fold") {
+    import graft.linalg.Distances
+    val emb = Tables.load(spark, sf0001, "embeddings").limit(50)
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val viaSql = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        Distances.euclidean(col("a.embedding"), col("b.embedding")).as("d"),
+        Distances.cosineSimilarity(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect()
+    viaSql.foreach { r =>
+      val (i, j) = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(2) == Distances.euclideanLocal(rows(i), rows(j)),
+        s"euclidean mismatch at ($i,$j)")
+      assert(r.getDouble(3) == Distances.cosineSimilarityLocal(rows(i), rows(j)),
+        s"cosine mismatch at ($i,$j)")
+    }
+  }
+
   test("multimodal chunking covers every payload byte exactly once") {
     val docs = Tables.load(spark, sf0001, "documents").limit(50)
     val media = graft.multimodal.Multimodal.asMedia(docs)
