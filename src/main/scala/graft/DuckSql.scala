@@ -31,4 +31,11 @@ object DuckSql {
     * Summing cents as BIGINT is order-independent, so Spark and DuckDB
     * agree bit-for-bit; divide by 100.0 only at the very end. */
   def cents(col: String): String = s"CAST(round($col * 100) AS BIGINT)"
+
+  /** Spark-side mirror of [[cents]] — the single definition both query
+    * modules import, so the two sides cannot drift. */
+  def centsCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.round
+    round(c * 100).cast("long")
+  }
 }

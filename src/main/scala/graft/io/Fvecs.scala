@@ -18,12 +18,18 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object Fvecs {
 
+  private def checkDim(dim: Int, remaining: Int, id: Long): Unit =
+    require(dim > 0 && dim.toLong * 4 <= remaining,
+      s"corrupt/truncated vecs file: record $id declares dim=$dim " +
+        s"with only $remaining payload bytes left")
+
   def decodeFvecs(bytes: Array[Byte], inputMax: Int = 0): Seq[(Long, Array[Float])] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val out = Seq.newBuilder[(Long, Array[Float])]
     var id = 0L
     while (bb.remaining() >= 4 && (inputMax <= 0 || id < inputMax)) {
       val dim = bb.getInt
+      checkDim(dim, bb.remaining(), id)
       val v = new Array[Float](dim)
       var i = 0
       while (i < dim) { v(i) = bb.getFloat; i += 1 }
@@ -48,6 +54,7 @@ object Fvecs {
     var id = 0L
     while (bb.remaining() >= 4 && (inputMax <= 0 || id < inputMax)) {
       val dim = bb.getInt
+      checkDim(dim, bb.remaining(), id)
       val v = new Array[Int](dim)
       var i = 0
       while (i < dim) { v(i) = bb.getInt; i += 1 }

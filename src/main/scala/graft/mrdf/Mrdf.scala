@@ -168,9 +168,9 @@ object Mrdf {
       .toDF("id", "nbr", "dist")
   }
 
-  /** G2 output shape (id, sorted [nbr...]) — mrdf.py:199-215. */
+  /** G2 output shape (id, sorted [nbr...]) — mrdf.py:199-215. One
+    * shared implementation with the brute-force path so the adjacency
+    * contract cannot drift between the two graph producers. */
   def asAdjacency(edges: DataFrame): DataFrame =
-    edges.groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("dist"), col("nbr")))).as("s"))
-      .select(col("id"), transform(col("s"), x => x("nbr")).as("nbrs"))
+    graft.knn.BruteForceKnn.asAdjacency(edges)
 }

@@ -20,14 +20,13 @@ import graft.{Declared, Tables}
   */
 object Relational {
 
-  /** Exact integer cents of an (exact) 2-decimal double column. */
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** Exact integer cents — shared definition (graft.DuckSql). */
+  private def cents(c: Column): Column = graft.DuckSql.centsCol(c)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  // DuckDB fragment mirroring `cents`.
-  private def dCents(col: String): String = s"CAST(round($col * 100) AS BIGINT)"
+  private def dCents(col: String): String = graft.DuckSql.cents(col)
 
   val declared: Seq[Declared] = Seq(
 
@@ -548,11 +547,13 @@ object Relational {
 
     // ----- argmin/argmax aggregation (§2.4) -----
     // max_by needs a unique ordering value for determinism: compose
-    // (cents, key) into one bigint so ties cannot occur.
+    // (cents, key) into one bigint so ties cannot occur. The key
+    // multiplier must exceed any orderkey (10^9 covers far beyond the
+    // bench scale; cents·10^9 ≈ 5·10^16 stays inside int64).
     Declared(
       "q46_argmax",
       (s, dir) => {
-        def ord = cents(col("o_totalprice")) * 100000 + col("o_orderkey")
+        def ord = cents(col("o_totalprice")) * 1000000000L + col("o_orderkey")
         t(s, dir, "orders")
           .groupBy(col("o_orderstatus"))
           .agg(max_by(col("o_orderkey"), ord).as("top_order"),
@@ -560,8 +561,8 @@ object Relational {
           .orderBy(col("o_orderstatus"))
       },
       Some(s"""SELECT o_orderstatus,
-        |  arg_max(o_orderkey, ${dCents("o_totalprice")} * 100000 + o_orderkey) AS top_order,
-        |  arg_min(o_orderkey, ${dCents("o_totalprice")} * 100000 + o_orderkey) AS bottom_order
+        |  arg_max(o_orderkey, ${dCents("o_totalprice")} * 1000000000 + o_orderkey) AS top_order,
+        |  arg_min(o_orderkey, ${dCents("o_totalprice")} * 1000000000 + o_orderkey) AS bottom_order
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
       doc = "arg_max/arg_min with tie-free composite ordering (§2.4)"),
 

@@ -62,13 +62,16 @@ object StreamingPipelines {
       }
   }
 
-  /** Streaming exact dedup: one row per (user_id, event_type) with a
-    * watermark bounding the dedup state — the streaming form of the
-    * corpus-dedup operator. */
+  /** Streaming exact dedup: one row per (user_id, event_type). Uses
+    * dropDuplicatesWithinWatermark — plain dropDuplicates only evicts
+    * state when the event-time column is among the dedup keys, so with
+    * (user_id, event_type) keys its state would grow forever; the
+    * WithinWatermark variant expires entries once the watermark passes
+    * them, bounding state at any cardinality. */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding 30 minutes. Watermarks on both

@@ -15,8 +15,8 @@ import graft.{Declared, Tables}
   */
 object TimeWindows {
 
-  private def cents(c: Column): Column = round(c * 100).cast("long")
-  private def dCents(col: String): String = s"CAST(round($col * 100) AS BIGINT)"
+  private def cents(c: Column): Column = graft.DuckSql.centsCol(c)
+  private def dCents(col: String): String = graft.DuckSql.cents(col)
 
   /** Tumbling 1-hour windows via the unified `window()` function. */
   def tumblingHourly(events: DataFrame): DataFrame =
@@ -87,7 +87,9 @@ object TimeWindows {
       // Native session_window() (batch/streaming-unified). Oracle via
       // integer-microsecond gaps-and-islands: session start = first
       // event ts, new session when the µs gap exceeds 30 min — exactly
-      // session_window's semantics.
+      // session_window's semantics (measured: an event at exactly
+      // prev+gap is MERGED into the session, so the island break is
+      // strict `>`).
       "q23b_session_native",
       (s, dir) => Tables.load(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -100,13 +102,13 @@ object TimeWindows {
       Some("""WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |flagged AS (
-        |  SELECT user_id, us,
+        |  SELECT user_id, event_id, us,
         |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |sess AS (
         |  SELECT user_id, us,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
         |  FROM flagged)
         |SELECT strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,

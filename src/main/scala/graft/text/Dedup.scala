@@ -111,10 +111,14 @@ object Dedup {
       doc = "64-bit SimHash fingerprints (xxhash64 ⇒ rows-only)"),
 
     Declared(
+      // maxHamming = 3 is the banding's completeness bound: 4 chunks
+      // and ≤ 3 differing bits force ≥ 1 identical chunk (pigeonhole),
+      // so at this threshold the candidate set is EXACT. A larger
+      // threshold would silently miss pairs that differ in every chunk.
       "q34b_simhash_pairs",
-      (s, dir) => simhashPairs(graft.Tables.load(s, dir, "documents"), 16)
+      (s, dir) => simhashPairs(graft.Tables.load(s, dir, "documents"), 3)
         .orderBy(col("d1"), col("d2")),
       None,
-      doc = "SimHash near-dup pairs via 16-bit chunk banding")
+      doc = "SimHash near-dup pairs via 16-bit chunk banding (exact ≤ 3 bits)")
   )
 }

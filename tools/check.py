@@ -13,9 +13,12 @@ import duckdb, json, math, os, subprocess, sys, glob
 sf_dir = "/root/testdata/sf0.01"
 only = None
 run = True
-for a in sys.argv[1:]:
+args = iter(sys.argv[1:])
+for a in args:
     if a == "--no-run":
         run = False
+    elif a == "--only":
+        only = set(next(args).split(","))
     elif a.startswith("--only="):
         only = set(a.split("=", 1)[1].split(","))
     else:
