@@ -98,6 +98,41 @@ class PipelineSpecs extends SparkSpec {
     assert(kmRecall >= 0.9, s"kmeans-IVF recall $kmRecall")
   }
 
+  test("approx_count_distinct stays within 10% of exact (q09b quality gate)") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+      s"HLL estimate $approx vs exact $exact")
+  }
+
+  test("TopKByWeight merge equals a window top-k on the same edges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val edges = (1 to 5000).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(400).toLong, rnd.nextInt(20).toDouble))
+      .distinct.toDF("id", "nbr", "dist")
+    // custom aggregator path (MRDF's merge)
+    val viaAgg = edges.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.agg.WEdge(t._2, t._3))
+      .agg(new graft.agg.TopKByWeight(10).toColumn.name("top"))
+      .flatMap { case (id, el) => el.edges.map(e => (id, e.nbr, e.w)) }
+      .collect().toSet
+    // stock window path (dedupe by (id,nbr) keeping min dist first)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dist"), col("nbr"))
+    val viaWindow = edges
+      .groupBy(col("id"), col("nbr")).agg(min(col("dist")).as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("id"), col("nbr"), col("dist"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaAgg == viaWindow,
+      s"diff: ${(viaAgg diff viaWindow).take(3)} / ${(viaWindow diff viaAgg).take(3)}")
+  }
+
   test("codegen distance expressions are bit-identical to the JVM fold") {
     import graft.linalg.Distances
     val emb = Tables.load(spark, sf0001, "embeddings").limit(50)
