@@ -73,6 +73,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("foreachBatch sink: batch-wise parquet writes equal the input") {
+    val src = Files.createTempDirectory("graft-stream-feb-src").toString
+    val out = Files.createTempDirectory("graft-stream-feb-out").toString
+    eventsBatch().write.mode("overwrite").parquet(src)
+    val q = StreamingPipelines.readEventsStream(spark, src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(s"$out/data")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$out/data").select(col("event_id"))
+      .collect().map(_.getLong(0)).sorted
+    val want = eventsBatch().select(col("event_id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions at the gap") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft-stream-sess").toString
