@@ -1,5 +1,12 @@
 package graft
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every declared query on SPARK_GRAFT_SF_DIR and
+  * emits ONE summary JSON line — also written to bench_out.json so the
+  * driver's parser never depends on stdout tail order (sbt epilogue).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,17 +20,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+        val t0 = System.nanoTime()
+        // Failures are recorded, not timed: a broken query must not
+        // masquerade as a fast one in the benchmark output.
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200)
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Shared-session hygiene: release any RDD blocks a query pinned
+        // (localCheckpoint remnants) so later queries aren't taxed.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> (if (errors.contains(name)) -1.0 else dt)
+      }
+    def jq(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString) + "\""
+    val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$errJson,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
     spark.stop()
+    // Printed LAST, after Spark's shutdown chatter, and flushed.
+    println(line)
+    System.out.flush()
   }
 }

@@ -59,9 +59,13 @@ object KnnQueries {
           .withColumnRenamed("nbrs", "nbrs10")
         val g5 = BruteForceKnn.asAdjacency(BruteForceKnn.knnGraph(emb, 5))
           .withColumnRenamed("nbrs", "nbrs5")
+        // Array outputs are serialized to "," strings for engine-neutral
+        // interchange (mirrors the reference's text output, main.py:46);
+        // the array-typed operator itself is asAdjacency/array_except.
         g10.join(g5, Seq("id"))
           .select(col("id"),
-            array_except(col("nbrs10"), col("nbrs5")).as("dropped"),
+            array_join(transform(array_except(col("nbrs10"), col("nbrs5")),
+              _.cast("string")), ",").as("dropped"),
             size(array_intersect(col("nbrs10"), col("nbrs5"))).as("kept"))
           .orderBy(col("id"))
       },
@@ -79,7 +83,7 @@ object KnnQueries {
            |g5 AS (SELECT id, list(nbr ORDER BY dist, nbr) AS nbrs5
            |       FROM ranked WHERE rn <= 5 GROUP BY id)
            |SELECT g10.id,
-           |  list_filter(nbrs10, x -> NOT list_contains(nbrs5, x)) AS dropped,
+           |  array_to_string(list_filter(nbrs10, x -> NOT list_contains(nbrs5, x)), ',') AS dropped,
            |  CAST(len(list_filter(nbrs10, x -> list_contains(nbrs5, x))) AS INTEGER) AS kept
            |FROM g10 JOIN g5 ON g10.id = g5.id ORDER BY g10.id""".stripMargin
       },
@@ -95,8 +99,12 @@ object KnnQueries {
 
     Declared(
       "knn_adjacency",
+      // Adjacency list serialized to a "," string — the reference's own
+      // text interchange (main.py:46); asAdjacency keeps the array shape.
       (s, dir) => BruteForceKnn
         .asAdjacency(BruteForceKnn.knnGraph(Tables.load(s, dir, "embeddings"), K))
+        .select(col("id"),
+          array_join(transform(col("nbrs"), _.cast("string")), ",").as("nbrs"))
         .orderBy(col("id")),
       Some {
         val d = DuckSql.euclidean("a.embedding", "b.embedding")
@@ -108,7 +116,7 @@ object KnnQueries {
            |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
            |  FROM pairs
            |)
-           |SELECT id, list(nbr ORDER BY dist, nbr) AS nbrs
+           |SELECT id, string_agg(nbr, ',' ORDER BY dist, nbr) AS nbrs
            |FROM ranked WHERE rn <= $K GROUP BY id ORDER BY id""".stripMargin
       },
       doc = "G2 adjacency output (id, [nbr...]) — mrdf.py:199-215")

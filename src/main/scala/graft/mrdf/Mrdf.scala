@@ -78,7 +78,11 @@ object Mrdf {
       val assigned = divide(pts, p, iter)
       val blockEdges = localGraphs(assigned, p, iter)
       val merged = mergeGraphs(g, blockEdges, p.k).localCheckpoint()
+      // merged is eagerly materialized, so the division checkpoint is
+      // no longer needed; the old graph is released after the Δ-count.
+      graft.Checkpoints.release(assigned)
       val changedEdges = merged.join(g, Seq("id", "nbr"), "left_anti").count()
+      graft.Checkpoints.release(g)
       ratio = changedEdges.toDouble / (n.toDouble * p.k)
       if (sys.env.contains("GRAFT_MRDF_DEBUG"))
         println(f"[mrdf] iter=$iter ratio=$ratio%.4f")
@@ -120,7 +124,7 @@ object Mrdf {
           .select(col("path"), (col("rn") - 1).as("cidx"), col("vec").as("cvec"))
         // Nearest-centroid assignment: broadcast join + per-id argmin
         // (reference tree_path_extension, mrdf.py:123-146).
-        assigned = assigned.filter(!isOver).unionByName(
+        val next = assigned.filter(!isOver).unionByName(
           over.join(broadcast(centroids), Seq("path"))
             .withColumn("d", Distances.euclidean(col("vec"), col("cvec")))
             .withColumn("best", row_number().over(
@@ -129,6 +133,8 @@ object Mrdf {
             .select(col("id"), col("vec"),
               concat(col("path"), lit(","), col("cidx").cast("string")).as("path")))
           .localCheckpoint()
+        graft.Checkpoints.release(assigned)
+        assigned = next
       }
     }
     assigned

@@ -35,7 +35,10 @@ object Relational {
       "q01_pricing_summary",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-          .filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
+          // Direct timestamp comparison (≡ date ≤ 1998-09-02) so the
+          // predicate reaches the parquet scan's PushedFilters — a
+          // to_date() wrapper would force a full read at 100 TB.
+          .filter(col("l_shipdate") < lit("1998-09-03").cast("timestamp"))
         li.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
@@ -60,7 +63,7 @@ object Relational {
         |  CAST(sum(${dCents("l_discount")}) AS DOUBLE) / (count(*) * 100.0) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
-        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       doc = "Hash aggregation with exact-cents money math (§2.4)"),
@@ -69,14 +72,14 @@ object Relational {
     Declared(
       "q02_filter_project",
       (s, dir) => t(s, dir, "lineitem")
-        .filter(to_date(col("l_shipdate")) >= lit("1998-01-01").cast("date")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
           && col("l_quantity") >= 45)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))
         .orderBy(col("l_orderkey"), col("l_linenumber")),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
         |FROM lineitem
-        |WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01' AND l_quantity >= 45
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity >= 45
         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
       doc = "Predicate + projection pushdown into the parquet scan (§2.2)"),
 
@@ -523,9 +526,10 @@ object Relational {
         .filter(col("c_mktsegment") === "BUILDING")
         .join(t(s, dir, "orders"),
           col("c_custkey") === col("o_custkey"))
-        .filter(to_date(col("o_orderdate")) < lit("1998-01-01").cast("date"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .filter(to_date(col("l_shipdate")) > lit("1998-01-01").cast("date"))
+        // date > 1998-01-01 ≡ ts ≥ 1998-01-02 00:00 (pushdown-friendly)
+        .filter(col("l_shipdate") >= lit("1998-01-02").cast("timestamp"))
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
         .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
@@ -539,8 +543,8 @@ object Relational {
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
-        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
-        |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate >= TIMESTAMP '1998-01-02 00:00:00'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin),
       doc = "TPC-H Q3 shape: selective joins → agg → global top-k (§2.3/2.6)"),

@@ -86,7 +86,7 @@ object Ann {
           Window.partitionBy(col("id")).orderBy(col("d"), col("cid"))))
         .filter(col("rn") === 1)
         .select(col("cid"), col("vec"))
-      cent = assigned
+      val next = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("x")).as("m"))
@@ -94,6 +94,8 @@ object Ann {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("s"))
         .select(col("cid"), transform(col("s"), e => e("m").cast("float")).as("cvec"))
         .localCheckpoint()
+      graft.Checkpoints.release(cent)
+      cent = next
     }
     cent
   }

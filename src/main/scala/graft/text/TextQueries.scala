@@ -27,14 +27,28 @@ object TextQueries {
           .as("shingle"))
   }
 
+  /** Shingles with document frequency above this are dropped before the
+    * self-join (stop-shingle removal). Natural-language n-grams are
+    * Zipfian: one shingle shared by M docs yields M² join rows, so an
+    * uncapped inverted index melts a reducer at 100 TB. The cap bounds
+    * every posting list (max join fan-out per shingle = MaxShingleDf²)
+    * and is mirrored in the oracle so semantics stay engine-identical. */
+  val MaxShingleDf = 500
+
   /** Near-duplicate candidate pairs by exact n-gram Jaccard ≥ threshold,
     * via inverted-index self-join (scales: only docs sharing a shingle
     * ever meet; no N² compare). */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     // join on the 64-bit shingle hash, not the string: same pairs
     // (collisions are ~n²/2⁶⁴), half the shuffle bytes
-    val sh = wordShingles(docs)
+    val all = wordShingles(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    // Hot-shingle cap: df table is one small agg; left_semi keeps the
+    // posting lists ≤ MaxShingleDf. Sizes are computed AFTER the cap so
+    // Jaccard is exact over the capped shingle sets.
+    val kept = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select(col("shingle"))
+    val sh = all.join(kept, Seq("shingle"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -51,10 +65,13 @@ object TextQueries {
 
   private def jaccardOracle(threshold: Double): String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |sh AS (SELECT DISTINCT doc_id,
+       |sh0 AS (SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(ws) - 1),
        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
        |       FROM w WHERE len(ws) >= 3),
+       |keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+       |         HAVING count(*) <= ${MaxShingleDf}),
+       |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
