@@ -38,7 +38,15 @@ object Distances {
       CB.expression(a), CB.expression(b)))
   }
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the codegen expression (LSH signature hot path). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    CB.column(org.apache.spark.sql.graft.DotProduct(
+      CB.expression(a), CB.expression(b)))
+  }
+
+  /** Declarative dot (fold form) — reference shape for the oracle. */
+  def dotSql(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => dbl(x) * dbl(y)))
 
   def l2Norm(a: Column): Column =
@@ -53,7 +61,7 @@ object Distances {
 
   /** Declarative cosine (fold form) — reference shape for the oracle. */
   def cosineSimilaritySql(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    dotSql(a, b) / (l2Norm(a) * l2Norm(b))
 
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - cosineSimilarity(a, b)

@@ -137,6 +137,27 @@ object Mrdf {
         assigned = next
       }
     }
+    if (anyOversized) {
+      // Safety valve: paths still > α after maxDivideIter would hand
+      // flatMapGroups an oversized block (executor-OOM risk). Split the
+      // stragglers by id-hash into ⌈count/α⌉ sub-blocks — uniform, so
+      // every block is bounded; recall on those blocks degrades to
+      // random-partition quality, which later iterations repair.
+      val leftover = assigned.groupBy(col("path")).count()
+        .filter(col("count") > p.alpha)
+        .select(col("path"), ceil(col("count") / p.alpha.toDouble).cast("long").as("nsplit"))
+      if (!leftover.isEmpty) {
+        spark.sparkContext.setJobDescription(
+          s"[mrdf] hash-splitting paths still > alpha after ${p.maxDivideIter} divide rounds")
+        assigned = assigned
+          .join(broadcast(leftover), Seq("path"), "left_outer")
+          .withColumn("path",
+            when(col("nsplit").isNull, col("path"))
+              .otherwise(concat(col("path"), lit("#"),
+                pmod(xxhash64(lit(p.seed), col("id")), col("nsplit")).cast("string"))))
+          .drop("nsplit")
+      }
+    }
     assigned
   }
 

@@ -44,7 +44,9 @@ object Multimodal {
         while (i < n) { s += m.payload(i) & 0xff; i += 1 }
         val mean = BigDecimal(s.toDouble / n)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        MediaMeta(m.doc_id, n, 64 + n % 128, 64 + (n * 31) % 128, mean)
+        // Long math: n*31 would overflow Int past ~69 MB payloads and
+        // diverge from the oracle's BIGINT arithmetic.
+        MediaMeta(m.doc_id, n, 64 + n % 128, (64L + (n.toLong * 31L) % 128L).toInt, mean)
       }
     }
   }

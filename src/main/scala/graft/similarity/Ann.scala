@@ -31,12 +31,11 @@ object Ann {
     val rnd = new Random(seed)
     val planes = Array.fill(bands * bitsPerBand)(
       Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
-    def bit(p: Int): Column = {
-      val w = typedlit(planes(p).toSeq)
-      when(aggregate(zip_with(col(vecCol), w,
-        (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (a, x) => a + x) >= 0, 1L).otherwise(0L)
-    }
+    // codegen DotProduct, not an interpreted aggregate/zip_with lambda:
+    // 32 projections per vector make the signature the LSH hot path
+    def bit(p: Int): Column =
+      when(Distances.dot(col(vecCol), typedlit(planes(p).toSeq)) >= 0, 1L)
+        .otherwise(0L)
     val bandCols = (0 until bands).map { b =>
       val v = (0 until bitsPerBand)
         .map(i => bit(b * bitsPerBand + i) * lit(1L << i))

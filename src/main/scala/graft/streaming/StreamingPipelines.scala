@@ -32,33 +32,46 @@ object StreamingPipelines {
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
   /** 30-minute-gap sessionization with explicit keyed state —
-    * `flatMapGroupsWithState` with processing-time timeout; emits a
-    * session row when the gap closes it. */
+    * `flatMapGroupsWithState` with a processing-time timeout: a user
+    * idle for `gapSec` of wall-clock gets their trailing session
+    * flushed and the per-key state removed, so state stays bounded by
+    * the set of *recently active* users, not all users ever seen. */
   def sessionizeStream(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val sec = e.ts.getTime / 1000
-            cur match {
-              case Some(s) if sec - s.last <= gapSec =>
-                cur = Some(s.copy(n = s.n + 1, last = sec))
-              case Some(s) =>
-                closed += SessionOut(userId, s.n, s.start, s.last)
-                cur = Some(SessionState(1, sec, sec))
-              case None =>
-                cur = Some(SessionState(1, sec, sec))
+          if (state.hasTimedOut) {
+            // Idle past the gap: flush the open session, expire the key.
+            val out = state.getOption
+              .map(s => SessionOut(userId, s.n, s.start, s.last)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.last <= gapSec =>
+                  cur = Some(s.copy(n = s.n + 1, last = sec))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.n, s.start, s.last)
+                  cur = Some(SessionState(1, sec, sec))
+                case None =>
+                  cur = Some(SessionState(1, sec, sec))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapSec * 1000)
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 

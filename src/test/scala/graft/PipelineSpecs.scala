@@ -141,7 +141,9 @@ class PipelineSpecs extends SparkSpec {
     val viaSql = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         Distances.euclidean(col("a.embedding"), col("b.embedding")).as("d"),
-        Distances.cosineSimilarity(col("a.embedding"), col("b.embedding")).as("c"))
+        Distances.cosineSimilarity(col("a.embedding"), col("b.embedding")).as("c"),
+        Distances.dot(col("a.embedding"), col("b.embedding")).as("dp"),
+        Distances.dotSql(col("a.embedding"), col("b.embedding")).as("dpSql"))
       .collect()
     viaSql.foreach { r =>
       val (i, j) = (r.getLong(0), r.getLong(1))
@@ -149,6 +151,8 @@ class PipelineSpecs extends SparkSpec {
         s"euclidean mismatch at ($i,$j)")
       assert(r.getDouble(3) == Distances.cosineSimilarityLocal(rows(i), rows(j)),
         s"cosine mismatch at ($i,$j)")
+      assert(r.getDouble(4) == r.getDouble(5),
+        s"dot codegen vs fold mismatch at ($i,$j)")
     }
   }
 
