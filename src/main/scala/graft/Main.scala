@@ -35,8 +35,9 @@ object Main {
     val bruteforce = a.getOrElse("--bruteforce", "false").toBoolean
     val maxIter = if (maxIter0 <= 0) Int.MaxValue else maxIter0
 
-    val vecs = io.Fvecs.toDataset(spark,
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(input)), inputMax)
+    // Size-dispatched: large fixed-dim files stream in as record-aligned
+    // chunks across executors (no whole-file driver ingest).
+    val vecs = io.Fvecs.readAuto(spark, input, inputMax)
       .toDF("vec_id", "embedding")
 
     val start = System.nanoTime()

@@ -83,4 +83,95 @@ object Fvecs {
     import spark.implicits._
     spark.createDataset(decodeFvecs(bytes, inputMax))
   }
+
+  /** Files at or above this size go through [[readDistributed]] in
+    * [[readAuto]]; below it the driver decode is cheaper than a job. */
+  val DistributedThresholdBytes: Long = 64L << 20
+
+  /** Distributed, splittable fvecs read (SURVEY §2.1's scalable route;
+    * replaces the reference's whole-file driver ingest,
+    * `utilities.py:46-65` + `main.py:31`).
+    *
+    * fvecs has no sync markers, but every real corpus (SIFT/GIST/Deep)
+    * is fixed-dim, so record boundaries are computable: probe the first
+    * record's dim, require `fileLen % (4 + 4·dim) == 0`, and fan out
+    * record-aligned byte ranges as one task each. Ids are derived from
+    * the range's record offset — deterministic, no zipWithIndex job.
+    * Reads go through the Hadoop FileSystem API, so the same code path
+    * serves local files, HDFS and object stores on a real cluster.
+    *
+    * Driver memory: O(#chunks) range descriptors — a 1 TB file at the
+    * default 128 MB chunk is 8k tuples. Each task holds one chunk.
+    *
+    * @throws IllegalArgumentException if the file is not fixed-dim
+    *         (fall back to the driver codec for such fixtures). */
+  def readDistributed(spark: SparkSession, path: String, inputMax: Int = 0,
+                      chunkBytes: Long = 128L << 20): Dataset[(Long, Array[Float])] = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val sc = spark.sparkContext
+    val hp = new HPath(path)
+    val fs = FileSystem.get(hp.toUri, sc.hadoopConfiguration)
+    val fileLen = fs.getFileStatus(hp).getLen
+    require(fileLen >= 4, s"empty/truncated fvecs file: $path")
+    val header = new Array[Byte](4)
+    val probe = fs.open(hp)
+    try probe.readFully(0L, header) finally probe.close()
+    val dim = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(dim > 0, s"corrupt fvecs: leading dim=$dim in $path")
+    val stride = 4L + 4L * dim
+    require(fileLen % stride == 0,
+      s"$path is not fixed-dim (len=$fileLen, first dim=$dim): " +
+        "variable-dim fvecs is not splittable; use the driver codec")
+    val totalRecs = {
+      val n = fileLen / stride
+      if (inputMax > 0) math.min(n, inputMax.toLong) else n
+    }
+    val recsPerChunk = math.max(1L, chunkBytes / stride)
+    val ranges = (0L until totalRecs by recsPerChunk)
+      .map(s => (s, math.min(recsPerChunk, totalRecs - s)))
+    val pathStr = path
+    val rdd = sc.parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { case (startRec, nRecs) =>
+        // Fresh Configuration per task: default FS resolution comes from
+        // the path URI, which serves local/HDFS/object-store paths alike.
+        val tfs = FileSystem.get(new java.net.URI(pathStr),
+          new org.apache.hadoop.conf.Configuration())
+        val in = tfs.open(new HPath(pathStr))
+        try {
+          val buf = new Array[Byte]((nRecs * stride).toInt)
+          in.readFully(startRec * stride, buf)
+          val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+          (0L until nRecs).map { r =>
+            val d = bb.getInt
+            require(d == dim,
+              s"corrupt fvecs: record ${startRec + r} has dim=$d, expected $dim")
+            val v = new Array[Float](dim)
+            var i = 0
+            while (i < dim) { v(i) = bb.getFloat; i += 1 }
+            (startRec + r, v)
+          }
+        } finally in.close()
+      }
+    spark.createDataset(rdd)
+  }
+
+  /** Size-dispatched ingest: distributed chunked read for large
+    * fixed-dim files, driver codec for small or variable-dim ones. */
+  def readAuto(spark: SparkSession, path: String,
+               inputMax: Int = 0): Dataset[(Long, Array[Float])] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val hp = new HPath(path)
+    val fs = FileSystem.get(hp.toUri, spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(hp).getLen
+    if (len >= DistributedThresholdBytes)
+      try readDistributed(spark, path, inputMax)
+      catch { case e: IllegalArgumentException =>
+        // variable-dim: only the driver codec can walk the records
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"falling back to driver fvecs decode: ${e.getMessage}")
+        toDataset(spark, Files.readAllBytes(Paths.get(path)), inputMax)
+      }
+    else toDataset(spark, Files.readAllBytes(Paths.get(path)), inputMax)
+  }
 }

@@ -79,6 +79,27 @@ class IoSpecs extends SparkSpec {
     assert(explain.contains("lang"), "partition column must appear in plan")
   }
 
+  test("distributed fvecs read equals the driver codec, ids intact") {
+    val rnd = new scala.util.Random(11)
+    val dim = 24
+    val vecs = (0 until 5000).map(_ => Array.fill(dim)(rnd.nextFloat()))
+    val f = Files.createTempFile("graft-dist", ".fvecs").toString
+    Fvecs.writeFvecsFile(f, vecs)
+    // chunkBytes small enough to force many record-aligned chunks
+    val dist = Fvecs.readDistributed(spark, f, chunkBytes = 16L * (4 + 4 * dim))
+      .collect().sortBy(_._1)
+    assert(dist.length == 5000)
+    dist.foreach { case (id, v) => assert(v.sameElements(vecs(id.toInt)), s"id $id") }
+    // inputMax caps records, same convention as the driver codec
+    assert(Fvecs.readDistributed(spark, f, inputMax = 37,
+      chunkBytes = 16L * (4 + 4 * dim)).count() == 37)
+    // variable-dim files are rejected (readAuto falls back to driver)
+    val vf = Files.createTempFile("graft-vardim", ".fvecs").toString
+    Fvecs.writeFvecsFile(vf, Seq(Array.fill(8)(1f), Array.fill(9)(2f)))
+    intercept[IllegalArgumentException](Fvecs.readDistributed(spark, vf).collect())
+    assert(Fvecs.readAuto(spark, vf).count() == 2)
+  }
+
   test("salted join equals plain join under key skew") {
     import spark.implicits._
     // 10k rows of one hot key + uniform tail, joined to a small dim
