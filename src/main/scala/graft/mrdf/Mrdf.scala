@@ -58,23 +58,43 @@ object Mrdf {
       precision: Double = 0.001,
       maxDivideIter: Int = 20)
 
+  /** Per-outer-iteration run telemetry — the Spark-side equivalent of
+    * the reference's `write_out_mrdf_details` (`mrdf.py:217-226`:
+    * params + per-iteration memory/progress log). */
+  final case class IterStat(iter: Int, changedEdges: Long, ratio: Double,
+                            seconds: Double, heapUsedMb: Long)
+
   /** Build the approximate KNN edge table (id, nbr, dist) for points
     * (idCol: Long, vecCol: Array[Float]). */
   def buildGraph(points: DataFrame, p: Params,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    buildGraphWithStats(points, p, idCol, vecCol)._1
+
+  /** [[buildGraph]] plus the per-iteration telemetry trail. Stats are
+    * also logged via slf4j at INFO (and echoed to stdout when
+    * GRAFT_MRDF_DEBUG is set), so cluster runs get the reference's
+    * run-details log from the driver's standard logging. */
+  def buildGraphWithStats(points: DataFrame, p: Params,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): (DataFrame, Seq[IterStat]) = {
     val spark = points.sparkSession
     import spark.implicits._
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
     val pts = points.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .persist()
     val n = pts.count()
+    log.info(s"[mrdf] start n=$n k=${p.k} rho=${p.rho} alpha=${p.alpha} " +
+      s"tau=${p.tau} seed=${p.seed} maxIter=${p.maxIter}")
 
     var g: DataFrame = spark.emptyDataset[(Long, Long, Double)]
       .toDF("id", "nbr", "dist")
+    val stats = Seq.newBuilder[IterStat]
     var ratio = 1.0
     var iter = 0
     while (ratio > p.tau && iter < p.maxIter) {
       iter += 1
+      val t0 = System.nanoTime()
       val assigned = divide(pts, p, iter)
       val blockEdges = localGraphs(assigned, p, iter)
       val merged = mergeGraphs(g, blockEdges, p.k).localCheckpoint()
@@ -84,12 +104,18 @@ object Mrdf {
       val changedEdges = merged.join(g, Seq("id", "nbr"), "left_anti").count()
       graft.Checkpoints.release(g)
       ratio = changedEdges.toDouble / (n.toDouble * p.k)
+      val rt = Runtime.getRuntime
+      val stat = IterStat(iter, changedEdges, ratio,
+        (System.nanoTime() - t0) / 1e9, (rt.totalMemory() - rt.freeMemory()) >> 20)
+      stats += stat
+      log.info(f"[mrdf] iter=${stat.iter} changed=${stat.changedEdges} " +
+        f"ratio=${stat.ratio}%.4f sec=${stat.seconds}%.2f heapMb=${stat.heapUsedMb}")
       if (sys.env.contains("GRAFT_MRDF_DEBUG"))
-        println(f"[mrdf] iter=$iter ratio=$ratio%.4f")
+        println(f"[mrdf] iter=$iter ratio=$ratio%.4f sec=${stat.seconds}%.2f")
       g = merged
     }
     pts.unpersist()
-    g
+    (g, stats.result())
   }
 
   /** Partition phase: split every block with > α members into ≤ ρ

@@ -32,6 +32,22 @@ object MrdfQueries {
       doc = "MRDF approximate KNN edge table (mrdf.py:13-72, paper semantics)"),
 
     Declared(
+      // Determinism self-oracle: the graph is seeded, so its content
+      // hash is a stable single row — the driver's rows-only check gets
+      // a value that would change on ANY nondeterminism, and the
+      // fixed-seed spec asserts two builds produce this same hash.
+      // Runs at the reference-default params (single-block at test N,
+      // the 100 TB regime); multi-block divide determinism is asserted
+      // by the fixed-seed spec on testParams.
+      "mrdf_graph_hash",
+      (s, dir) => Mrdf
+        .buildGraph(Tables.load(s, dir, "embeddings"), Mrdf.Params())
+        .agg(count(lit(1)).as("n_edges"),
+          bit_xor(xxhash64(col("id"), col("nbr"))).as("edge_hash")),
+      None,
+      doc = "Seeded-run content hash (order-independent) — self-oracle"),
+
+    Declared(
       "mrdf_recall",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
