@@ -19,6 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before timing: first-job costs (executor spin-up,
+    // codegen compiler, parquet footer reads) otherwise land on whatever
+    // query happens to run first and distort its number by seconds.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.load(spark, sfDir, "region").count()
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries

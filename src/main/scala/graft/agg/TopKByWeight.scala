@@ -1,7 +1,8 @@
 package graft.agg
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.col
 
 /** One weighted edge candidate (neighbor id, weight). */
 final case class WEdge(nbr: Long, w: Double)
@@ -47,4 +48,22 @@ final class TopKByWeight(k: Int) extends Aggregator[WEdge, EdgeList, EdgeList] {
   override def finish(r: EdgeList): EdgeList = r
   override def bufferEncoder: Encoder[EdgeList] = Encoders.product[EdgeList]
   override def outputEncoder: Encoder[EdgeList] = Encoders.product[EdgeList]
+}
+
+object TopKByWeight {
+
+  /** Per-id k-min over an `(id, nbr, dist)` edge table — the shared
+    * reduction of brute-force KNN and the MRDF graph merge. Shuffles
+    * ≤ k edges per id (map-side partial aggregation), where a window
+    * top-k would shuffle and sort every candidate edge. */
+  def perId(edges: DataFrame, k: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("id"), col("nbr"), col("dist")).as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => WEdge(t._2, t._3))
+      .agg(new TopKByWeight(k).toColumn.name("top"))
+      .flatMap { case (id, el) => el.edges.map(e => (id, e.nbr, e.w)) }
+      .toDF("id", "nbr", "dist")
+  }
 }

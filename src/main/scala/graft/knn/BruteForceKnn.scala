@@ -1,7 +1,6 @@
 package graft.knn
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.linalg.Distances
@@ -23,17 +22,22 @@ object BruteForceKnn {
     * Distances are rounded to 6 dp BEFORE ranking and ties broken by
     * neighbor id, so the selected set and order are identical across
     * engines (oracle determinism, SURVEY.md §7).
+    *
+    * The per-id selection is the [[graft.agg.TopKByWeight]] partial
+    * aggregation, not a window top-k: each map task reduces its pair
+    * stream to ≤ k edges per id before the shuffle, so the exchange
+    * carries N·k edges instead of the N² pair stream — at scale that
+    * is the whole ballgame.
     */
   def knnGraph(vecs: DataFrame, k: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = vecs.select(col(idCol).as("id"), col(vecCol).as("va"))
     val b = vecs.select(col(idCol).as("nbr"), col(vecCol).as("vb"))
-    val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("nbr"))
-    a.join(broadcast(b), col("id") =!= col("nbr"))
-      .withColumn("dist", round(Distances.euclidean(col("va"), col("vb")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("id"), col("nbr"), col("dist"))
+    graft.agg.TopKByWeight.perId(
+      a.join(broadcast(b), col("id") =!= col("nbr"))
+        .select(col("id"), col("nbr"),
+          round(Distances.euclidean(col("va"), col("vb")), 6).as("dist")),
+      k)
   }
 
   /** G2 adjacency output shape `(id, [nbr...])` — reference

@@ -209,17 +209,8 @@ object Mrdf {
     * Uses the typed TopKByWeight Aggregator so each map task pre-merges
     * to ≤ k edges per id before the shuffle (partial aggregation) —
     * a window top-k would shuffle every candidate edge instead. */
-  private def mergeGraphs(g: DataFrame, fresh: DataFrame, k: Int): DataFrame = {
-    val spark = g.sparkSession
-    import spark.implicits._
-    g.unionByName(fresh)
-      .select(col("id"), col("nbr"), col("dist")).as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => graft.agg.WEdge(t._2, t._3))
-      .agg(new graft.agg.TopKByWeight(k).toColumn.name("top"))
-      .flatMap { case (id, el) => el.edges.map(e => (id, e.nbr, e.w)) }
-      .toDF("id", "nbr", "dist")
-  }
+  private def mergeGraphs(g: DataFrame, fresh: DataFrame, k: Int): DataFrame =
+    graft.agg.TopKByWeight.perId(g.unionByName(fresh), k)
 
   /** G2 output shape (id, sorted [nbr...]) — mrdf.py:199-215. One
     * shared implementation with the brute-force path so the adjacency
