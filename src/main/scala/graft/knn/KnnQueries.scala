@@ -55,9 +55,12 @@ object KnnQueries {
       "q38_graph_delta",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val g10 = BruteForceKnn.asAdjacency(BruteForceKnn.knnGraph(emb, 10))
+        // one N² scan: the k=5 graph is the per-id top-5 of the k=10
+        // edges (top-5 ⊆ top-10 under the same (dist, nbr) order)
+        val g10e = BruteForceKnn.knnGraph(emb, 10).localCheckpoint()
+        val g10 = BruteForceKnn.asAdjacency(g10e)
           .withColumnRenamed("nbrs", "nbrs10")
-        val g5 = BruteForceKnn.asAdjacency(BruteForceKnn.knnGraph(emb, 5))
+        val g5 = BruteForceKnn.asAdjacency(graft.agg.TopKByWeight.perId(g10e, 5))
           .withColumnRenamed("nbrs", "nbrs5")
         // Array outputs are serialized to "," strings for engine-neutral
         // interchange (mirrors the reference's text output, main.py:46);

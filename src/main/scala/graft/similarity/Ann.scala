@@ -50,7 +50,9 @@ object Ann {
   /** LSH-bucketed approximate cosine top-k for a query subset. */
   def lshTopK(emb: DataFrame, k: Int, dim: Int, queryPred: Column,
               bands: Int = 4, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
-    val buckets = lshBands(emb, dim, bands, bitsPerBand, seed)
+    // materialized once: the signature computation feeds the query side
+    // and the candidate side of the bucket join
+    val buckets = lshBands(emb, dim, bands, bitsPerBand, seed).localCheckpoint()
     val q = buckets.filter(queryPred).select(
       col("id").as("qid"), col("vec").as("qv"), col("band"), col("bv"))
     val cands = q.join(buckets.select(col("id").as("nbr"), col("vec").as("cv"),

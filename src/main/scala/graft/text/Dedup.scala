@@ -36,7 +36,10 @@ object Dedup {
     * candidate pair; estimated Jaccard = fraction of equal signature
     * components. */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sig = minhashSignatures(docs)
+    // materialized once: the signature table feeds both bucket-join
+    // sides AND both estimate joins (4× recompute of the shingle
+    // explode + 32-way agg otherwise); harness sweep releases it
+    val sig = minhashSignatures(docs).localCheckpoint()
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*).as("bh"))
@@ -79,7 +82,8 @@ object Dedup {
     * Hamming distance ≤ 3 must agree on ≥ 1 chunk), then exact Hamming
     * filter via bit_count(xor). */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sig = simhash(docs)
+    // materialized once: both chunk-join sides read the signature table
+    val sig = simhash(docs).localCheckpoint()
     val chunks = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("c"),

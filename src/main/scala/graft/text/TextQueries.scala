@@ -37,18 +37,26 @@ object TextQueries {
 
   /** Near-duplicate candidate pairs by exact n-gram Jaccard ≥ threshold,
     * via inverted-index self-join (scales: only docs sharing a shingle
-    * ever meet; no N² compare). */
+    * ever meet; no N² compare).
+    *
+    * Materializes the capped shingle table eagerly (`localCheckpoint`):
+    * it feeds both self-join sides and both size lookups, and without
+    * materialization Catalyst re-runs the shingle Generate once per
+    * consumer (8× in the observed plan). The caller (or the harness's
+    * per-query sweep) releases the pinned blocks when done. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     // join on the 64-bit shingle hash, not the string: same pairs
     // (collisions are ~n²/2⁶⁴), half the shuffle bytes
     val all = wordShingles(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .localCheckpoint()
     // Hot-shingle cap: df table is one small agg; left_semi keeps the
     // posting lists ≤ MaxShingleDf. Sizes are computed AFTER the cap so
     // Jaccard is exact over the capped shingle sets.
     val kept = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf).select(col("shingle"))
-    val sh = all.join(kept, Seq("shingle"), "left_semi")
+    val sh = all.join(kept, Seq("shingle"), "left_semi").localCheckpoint()
+    graft.Checkpoints.release(all)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

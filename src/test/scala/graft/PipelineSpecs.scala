@@ -156,6 +156,20 @@ class PipelineSpecs extends SparkSpec {
     }
   }
 
+  test("MRDF build pins only the final graph; release leaves zero RDDs") {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val g = graft.mrdf.Mrdf.buildGraph(emb, graft.mrdf.MrdfQueries.testParams)
+    assert(g.count() > 0)
+    // superseded divide/merge checkpoints must have been released inside
+    // the loop — only the returned graph's checkpoint may remain pinned
+    assert(sc.getPersistentRDDs.size <= 2,
+      s"leaked checkpoints: ${sc.getPersistentRDDs.keys}")
+    graft.Checkpoints.release(g)
+    assert(sc.getPersistentRDDs.isEmpty)
+  }
+
   test("multimodal chunking covers every payload byte exactly once") {
     val docs = Tables.load(spark, sf0001, "documents").limit(50)
     val media = graft.multimodal.Multimodal.asMedia(docs)
