@@ -22,6 +22,7 @@ object Registry {
       graft.text.TextQueries.declared ++
       graft.text.Dedup.declared ++
       graft.text.CorpusPipeline.declared ++
+      graft.text.CurationQueries.declared ++
       graft.similarity.SimilarityQueries.declared ++
       graft.multimodal.Multimodal.declared ++
       graft.mrdf.MrdfQueries.declared
