@@ -1,8 +1,8 @@
 package graft.agg
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions.{col, row_number}
 
 /** One weighted edge candidate (neighbor id, weight). */
 final case class WEdge(nbr: Long, w: Double)
@@ -65,5 +65,19 @@ object TopKByWeight {
       .agg(new TopKByWeight(k).toColumn.name("top"))
       .flatMap { case (id, el) => el.edges.map(e => (id, e.nbr, e.w)) }
       .toDF("id", "nbr", "dist")
+  }
+
+  /** Per-qid top-k by similarity DESC (ties by nbr asc), with a 1-based
+    * rank — the ranked-list output shape of the similarity family.
+    * Weight = −sim maps (sim desc, nbr) onto the aggregator's (w, nbr)
+    * order; double negation is sign-flip-exact, so values round-trip
+    * bit-identically. The rank window runs over the already-reduced
+    * ≤ k rows per qid, not the candidate stream. */
+  def topKBySimilarity(cands: DataFrame, k: Int): DataFrame = {
+    val top = perId(
+      cands.select(col("qid").as("id"), col("nbr"), (-col("sim")).as("dist")), k)
+    val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("nbr"))
+    top.withColumn("rn", row_number().over(w))
+      .select(col("id").as("qid"), col("nbr"), (-col("dist")).as("sim"), col("rn"))
   }
 }

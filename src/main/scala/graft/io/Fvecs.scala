@@ -131,12 +131,13 @@ object Fvecs {
     val ranges = (0L until totalRecs by recsPerChunk)
       .map(s => (s, math.min(recsPerChunk, totalRecs - s)))
     val pathStr = path
+    // Ship the driver's Hadoop conf (object-store credentials, FS impls)
+    // to the tasks — a fresh Configuration would drop them on a cluster.
+    val confHandle = org.apache.spark.graft.HadoopConfBridge
+      .broadcast(sc, sc.hadoopConfiguration)
     val rdd = sc.parallelize(ranges, math.max(1, ranges.size))
       .flatMap { case (startRec, nRecs) =>
-        // Fresh Configuration per task: default FS resolution comes from
-        // the path URI, which serves local/HDFS/object-store paths alike.
-        val tfs = FileSystem.get(new java.net.URI(pathStr),
-          new org.apache.hadoop.conf.Configuration())
+        val tfs = FileSystem.get(new java.net.URI(pathStr), confHandle.conf)
         val in = tfs.open(new HPath(pathStr))
         try {
           val buf = new Array[Byte]((nRecs * stride).toInt)

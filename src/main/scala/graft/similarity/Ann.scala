@@ -158,13 +158,12 @@ object Ann {
     rerank(cands, k)
   }
 
-  /** Exact cosine re-rank of (qid, qv, nbr, cv) candidates → top-k. */
-  private def rerank(cands: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
-    cands
-      .withColumn("sim", round(Distances.cosineSimilarity(col("qv"), col("cv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nbr"), col("sim"), col("rn"))
-  }
+  /** Exact cosine re-rank of (qid, qv, nbr, cv) candidates → top-k,
+    * via the TopKByWeight partial aggregation (≤ k per query cross the
+    * shuffle, not the whole candidate set). */
+  private def rerank(cands: DataFrame, k: Int): DataFrame =
+    graft.agg.TopKByWeight.topKBySimilarity(
+      cands.select(col("qid"), col("nbr"),
+        round(Distances.cosineSimilarity(col("qv"), col("cv")), 6).as("sim")),
+      k)
 }

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Declared, DuckSql, Tables}
@@ -16,16 +15,17 @@ object SimilarityQueries {
 
   /** Top-k cosine neighbors for a query subset against the full set.
     * The candidate side is broadcast; similarity is rounded before
-    * ranking with (sim desc, nbr) tie-break for oracle determinism. */
+    * ranking with (sim desc, nbr) tie-break for oracle determinism.
+    * Selection is the TopKByWeight partial aggregation — the shuffle
+    * carries ≤ k candidates per query, not the full pair stream. */
   def cosineTopK(emb: DataFrame, k: Int, queryPred: org.apache.spark.sql.Column): DataFrame = {
     val q = emb.filter(queryPred).select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val c = emb.select(col("vec_id").as("nbr"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
-    q.join(broadcast(c), col("qid") =!= col("nbr"))
-      .withColumn("sim", round(Distances.cosineSimilarity(col("qv"), col("cv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nbr"), col("sim"), col("rn"))
+    graft.agg.TopKByWeight.topKBySimilarity(
+      q.join(broadcast(c), col("qid") =!= col("nbr"))
+        .select(col("qid"), col("nbr"),
+          round(Distances.cosineSimilarity(col("qv"), col("cv")), 6).as("sim")),
+      k)
   }
 
   /** Embedding-cosine near-duplicate pairs — the vector-space member

@@ -29,7 +29,7 @@ object CurationQueries {
     val bench = sh.filter(col("doc_id") % 10 === 0).select(col("shingle")).distinct()
     val train = sh.filter(col("doc_id") % 10 =!= 0)
     val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val shared = train.join(bench, Seq("shingle"), "left_semi")
+    val shared = train.join(broadcast(bench), Seq("shingle"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     totals.join(shared, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_shingles"),
