@@ -149,15 +149,20 @@ object Mrdf {
           .filter(col("rn") <= p.rho)
           .select(col("path"), (col("rn") - 1).as("cidx"), col("vec").as("cvec"))
         // Nearest-centroid assignment: broadcast join + per-id argmin
-        // (reference tree_path_extension, mrdf.py:123-146).
+        // (reference tree_path_extension, mrdf.py:123-146). The argmin
+        // is min(struct(d, cidx, …)) — a hash aggregate that reduces
+        // map-side to one row per id before the shuffle; a row_number
+        // window would shuffle all N×ρ candidate rows. (d, cidx) is a
+        // unique prefix, so the selection is deterministic.
         val next = assigned.filter(!isOver).unionByName(
           over.join(broadcast(centroids), Seq("path"))
-            .withColumn("d", Distances.euclidean(col("vec"), col("cvec")))
-            .withColumn("best", row_number().over(
-              Window.partitionBy(col("id")).orderBy(col("d"), col("cidx"))))
-            .filter(col("best") === 1)
-            .select(col("id"), col("vec"),
-              concat(col("path"), lit(","), col("cidx").cast("string")).as("path")))
+            .select(col("id"), struct(
+              Distances.euclidean(col("vec"), col("cvec")).as("d"),
+              col("cidx").as("cidx"), col("path").as("path"),
+              col("vec").as("vec")).as("cand"))
+            .groupBy(col("id")).agg(min(col("cand")).as("m"))
+            .select(col("id"), col("m.vec").as("vec"),
+              concat(col("m.path"), lit(","), col("m.cidx").cast("string")).as("path")))
           .localCheckpoint()
         graft.Checkpoints.release(assigned)
         assigned = next

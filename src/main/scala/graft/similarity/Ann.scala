@@ -81,12 +81,14 @@ object Ann {
       .select(col("cid"), col("vec").as("cvec"))
       .localCheckpoint()
     (1 to iters).foreach { _ =>
+      // argmin as min(struct(d, cid, vec)): map-side partial agg → one
+      // row per point crosses the shuffle, vs N×k for a window argmin
       val assigned = pts.join(broadcast(cent))
-        .withColumn("d", Distances.euclidean(col("vec"), col("cvec")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("d"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("cid"), col("vec"))
+        .select(col("id"), struct(
+          Distances.euclidean(col("vec"), col("cvec")).as("d"),
+          col("cid").as("cid"), col("vec").as("vec")).as("cand"))
+        .groupBy(col("id")).agg(min(col("cand")).as("m"))
+        .select(col("m.cid").as("cid"), col("m.vec").as("vec"))
       val next = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -109,11 +111,11 @@ object Ann {
     val cent = kmeansCentroids(emb, nlist, kmeansIters, seed)
     val pts = emb.select(col("vec_id").as("nbr"), col("embedding").as("cv"))
     val lists = pts.join(broadcast(cent))
-      .withColumn("d", Distances.euclidean(col("cv"), col("cvec")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("nbr")).orderBy(col("d"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("cid"), col("nbr"), col("cv"))
+      .select(col("nbr"), struct(
+        Distances.euclidean(col("cv"), col("cvec")).as("d"),
+        col("cid").as("cid"), col("cv").as("cv")).as("cand"))
+      .groupBy(col("nbr")).agg(min(col("cand")).as("m"))
+      .select(col("m.cid").as("cid"), col("nbr"), col("m.cv").as("cv"))
     val q = emb.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val probes = q.join(broadcast(cent))
