@@ -62,7 +62,8 @@ object Mrdf {
     * the reference's `write_out_mrdf_details` (`mrdf.py:217-226`:
     * params + per-iteration memory/progress log). */
   final case class IterStat(iter: Int, changedEdges: Long, ratio: Double,
-                            seconds: Double, heapUsedMb: Long)
+                            seconds: Double, heapUsedMb: Long,
+                            divideSec: Double, mergeSec: Double, deltaSec: Double)
 
   /** Build the approximate KNN edge table (id, nbr, dist) for points
     * (idCol: Long, vecCol: Array[Float]). */
@@ -96,22 +97,29 @@ object Mrdf {
       iter += 1
       val t0 = System.nanoTime()
       val assigned = divide(pts, p, iter)
+      val t1 = System.nanoTime()
+      // merge materialization also runs the lazy block NN-Descent
       val blockEdges = localGraphs(assigned, p, iter)
       val merged = mergeGraphs(g, blockEdges, p.k).localCheckpoint()
+      val t2 = System.nanoTime()
       // merged is eagerly materialized, so the division checkpoint is
       // no longer needed; the old graph is released after the Δ-count.
       graft.Checkpoints.release(assigned)
       val changedEdges = merged.join(g, Seq("id", "nbr"), "left_anti").count()
+      val t3 = System.nanoTime()
       graft.Checkpoints.release(g)
       ratio = changedEdges.toDouble / (n.toDouble * p.k)
       val rt = Runtime.getRuntime
       val stat = IterStat(iter, changedEdges, ratio,
-        (System.nanoTime() - t0) / 1e9, (rt.totalMemory() - rt.freeMemory()) >> 20)
+        (t3 - t0) / 1e9, (rt.totalMemory() - rt.freeMemory()) >> 20,
+        (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
       stats += stat
       log.info(f"[mrdf] iter=${stat.iter} changed=${stat.changedEdges} " +
         f"ratio=${stat.ratio}%.4f sec=${stat.seconds}%.2f heapMb=${stat.heapUsedMb}")
       if (sys.env.contains("GRAFT_MRDF_DEBUG"))
-        println(f"[mrdf] iter=$iter ratio=$ratio%.4f sec=${stat.seconds}%.2f")
+        println(f"[mrdf] iter=$iter ratio=$ratio%.4f sec=${stat.seconds}%.2f " +
+          f"divide=${stat.divideSec}%.2f merge+descent=${stat.mergeSec}%.2f " +
+          f"delta=${stat.deltaSec}%.2f")
       g = merged
     }
     pts.unpersist()
