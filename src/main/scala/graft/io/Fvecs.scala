@@ -127,6 +127,10 @@ object Fvecs {
       val n = fileLen / stride
       if (inputMax > 0) math.min(n, inputMax.toLong) else n
     }
+    // one chunk = one task-local byte buffer; both must stay Int-sized
+    require(stride <= Int.MaxValue, s"fvecs record of $stride bytes (dim=$dim)")
+    require(chunkBytes > 0 && chunkBytes <= (1L << 30),
+      s"chunkBytes must be in (0, 1 GiB], got $chunkBytes")
     val recsPerChunk = math.max(1L, chunkBytes / stride)
     val ranges = (0L until totalRecs by recsPerChunk)
       .map(s => (s, math.min(recsPerChunk, totalRecs - s)))

@@ -79,6 +79,22 @@ class IoSpecs extends SparkSpec {
     assert(explain.contains("lang"), "partition column must appear in plan")
   }
 
+  test("fvecs codec round-trips arbitrary vectors (property)") {
+    val gen = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val vecs = (0 until 1 + gen.nextInt(40)).map { _ =>
+        Array.fill(1 + gen.nextInt(64))(
+          java.lang.Float.intBitsToFloat(gen.nextInt()) match {
+            case f if f.isNaN => 0f // NaN != NaN would fail sameElements
+            case f => f
+          })
+      }
+      val back = Fvecs.decodeFvecs(Fvecs.encodeFvecs(vecs))
+      assert(back.length == vecs.length)
+      back.foreach { case (id, v) => assert(v.sameElements(vecs(id.toInt))) }
+    }
+  }
+
   test("distributed fvecs read equals the driver codec, ids intact") {
     val rnd = new scala.util.Random(11)
     val dim = 24
