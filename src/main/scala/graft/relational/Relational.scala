@@ -586,6 +586,23 @@ object Relational {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
       doc = "Exact interpolated percentiles over integer cents (§2.4)"),
 
+    // ----- approximate percentile — the 100 TB path (§2.4) -----
+    Declared(
+      // exact percentile shuffles every value per group; the
+      // QuantileSummaries sketch merges map-side with bounded error
+      // (rows-only: sketch merge order is partition-dependent, so not
+      // hash-mirrorable; spec gates it within 1% of exact).
+      "q47b_percentile_approx",
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("c", cents(col("o_totalprice")))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile_approx(c, 0.5, 10000)") / 100.0, 2).as("median_price"),
+          round(expr("percentile_approx(c, 0.9, 10000)") / 100.0, 2).as("p90_price"))
+        .orderBy(col("o_orderstatus")),
+      None,
+      doc = "Sketch percentiles (map-side mergeable; scale path of q47)"),
+
     // ----- ordered string aggregation / listagg (§2.4) -----
     Declared(
       "q48_listagg",

@@ -108,6 +108,17 @@ class PipelineSpecs extends SparkSpec {
       s"HLL estimate $approx vs exact $exact")
   }
 
+  test("percentile_approx within 1% of exact (q47b quality gate)") {
+    val exact = Registry.byName("q47_percentile").run(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Registry.byName("q47b_percentile_approx").run(spark, sf0001).collect()
+      .foreach { r =>
+        val (m, p) = exact(r.getString(0))
+        assert(math.abs(r.getDouble(1) - m) / m <= 0.01, s"median ${r.getDouble(1)} vs $m")
+        assert(math.abs(r.getDouble(2) - p) / p <= 0.01, s"p90 ${r.getDouble(2)} vs $p")
+      }
+  }
+
   test("TopKByWeight merge equals a window top-k on the same edges") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
