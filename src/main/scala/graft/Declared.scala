@@ -23,6 +23,7 @@ object Registry {
       graft.text.Dedup.declared ++
       graft.text.CorpusPipeline.declared ++
       graft.text.CurationQueries.declared ++
+      graft.text.PipelineOps.declared ++
       graft.similarity.SimilarityQueries.declared ++
       graft.multimodal.Multimodal.declared ++
       graft.mrdf.MrdfQueries.declared

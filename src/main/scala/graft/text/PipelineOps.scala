@@ -1,0 +1,174 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, Tables}
+import graft.relational.ConnectedComponents
+
+/** Round-3 training-data pipeline operators (north-star extensions):
+  *
+  *  - duplicate clustering: near-dup PAIRS → connected components →
+  *    per-document canonical id (the step an actual dedup run needs
+  *    after q25/q33 emit pairs);
+  *  - sequence packing: contiguous token-budget binning per
+  *    (lang, shard) — the pretraining batch-assembly shape;
+  *  - TF-IDF keyword extraction: top terms per document;
+  *  - language rebalancing: deterministic content-hash stratified
+  *    downsampling of overrepresented languages.
+  *
+  * All four are ANSI-mirrorable and oracle-checked (the clustering
+  * oracle is a DuckDB recursive-CTE transitive closure — fine at
+  * oracle scale; the Spark side is the distributed min-label loop).
+  */
+object PipelineOps {
+
+  /** Near-duplicate clusters over the capped-Jaccard pair graph:
+    * (doc_id, cluster = min doc id in its component, is_canonical).
+    * Docs in no pair are their own singleton cluster. */
+  def dupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = TextQueries.jaccardPairs(docs, threshold)
+    val nodes = docs.select(col("doc_id").cast("long").as("id"))
+    val (labels, converged) = ConnectedComponents.label(
+      nodes,
+      pairs.select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b")))
+    require(converged, "connected components did not reach a fixpoint")
+    labels
+      .select(col("id").as("doc_id"), col("comp").as("cluster"),
+        (col("id") === col("comp")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic contiguous sequence packing: per (lang, shard),
+    * docs in id order are assigned to token-budget bins by their
+    * cumulative token count. Shard = portable md5 bucket — the
+    * parallelism unit: the running sum inside one (lang, shard) is
+    * inherently sequential, so at corpus scale the shard count (here
+    * 4, in production thousands) is what bounds the per-task window. */
+  def packSequences(docs: DataFrame, budget: Int = 2048, shards: Int = 4): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"),
+      // q28's BPE estimate: tokens ≈ ceil(chars / 4)
+      ceil(length(col("text")).cast("double") / 4.0).as("tokens"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % shards).as("shard"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / budget.toDouble).cast("long"))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
+      .orderBy(col("lang"), col("shard"), col("bin"))
+  }
+
+  /** Top-`topK` TF-IDF terms per document (q56's tokenization; idf =
+    * ln(N/df); rank by rounded score desc, term asc — deterministic
+    * across engines). The rank runs over per-doc term counts (already
+    * one row per (doc, term)), so the window input is the tf table,
+    * not the token stream; Spark's WindowGroupLimit prunes it to ≤
+    * topK per doc map-side. */
+  def tfidf(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = words.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("word")).crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .select(col("doc_id"), col("word"), col("score"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** Language-balance downsampling: every language is kept at ≤ the
+    * smallest language's volume via a per-stratum keep rate (permille,
+    * floored) applied as a deterministic content-hash Bernoulli filter
+    * (q37's portable md5 bucket). Row-local after a 5-row broadcast —
+    * no shuffle touches the corpus. */
+  def langBalance(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val target = counts.agg(min(col("n_docs")).as("target"))
+    val rates = counts.crossJoin(target)
+      .withColumn("keep_permille",
+        least(lit(1000L),
+          floor(col("target") * lit(1000.0) / col("n_docs")).cast("long")))
+      .select(col("lang"), col("n_docs"), col("keep_permille"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 1000 < col("keep_permille"))
+      .groupBy(col("lang"), col("n_docs"), col("keep_permille"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  private val Budget = 2048
+  private val Shards = 4
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q58_dup_clusters",
+      (s, dir) => dupClusters(Tables.load(s, dir, "documents"), 0.1),
+      Some(s"""WITH RECURSIVE ${TextQueries.jaccardCtes(0.1)},
+        |e AS (SELECT d1 AS a, d2 AS b FROM jp
+        |      UNION ALL SELECT d2, d1 FROM jp),
+        |r AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+        |      UNION
+        |      SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a)
+        |SELECT src AS doc_id, min(dst) AS cluster,
+        |       (src = min(dst)) AS is_canonical
+        |FROM r GROUP BY src ORDER BY doc_id""".stripMargin),
+      doc = "Near-dup clusters: pairs → connected components → canonical id"),
+
+    Declared(
+      "q59_pack_sequences",
+      (s, dir) => packSequences(Tables.load(s, dir, "documents"), Budget, Shards),
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+        |   CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS tokens,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+        |     % $Shards AS shard
+        | FROM documents),
+        |c AS (SELECT *, coalesce(sum(tokens) OVER (
+        |        PARTITION BY lang, shard ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM d)
+        |SELECT lang, shard, CAST(floor(cum_before / $Budget.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin),
+      doc = "Token-budget sequence packing per (lang, md5 shard)"),
+
+    Declared(
+      "q60_tfidf",
+      (s, dir) => tfidf(Tables.load(s, dir, "documents")),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |        FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, word,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM scored)
+        |SELECT doc_id, word, score, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin),
+      doc = "Top-5 TF-IDF terms per document"),
+
+    Declared(
+      "q61_lang_balance",
+      (s, dir) => langBalance(Tables.load(s, dir, "documents")),
+      Some("""WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT min(n_docs) AS target FROM counts),
+        |rates AS (SELECT lang, n_docs,
+        |    least(1000, CAST(floor(target * 1000.0 / n_docs) AS BIGINT)) AS keep_permille
+        |  FROM counts CROSS JOIN t)
+        |SELECT d.lang, r.n_docs, r.keep_permille, count(*) AS n_sampled
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+        |      % 1000 < keep_permille
+        |GROUP BY 1, 2, 3 ORDER BY d.lang""".stripMargin),
+      doc = "Language-balance stratified downsampling (portable hash)")
+  )
+}

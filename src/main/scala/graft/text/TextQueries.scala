@@ -71,8 +71,11 @@ object TextQueries {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  private def jaccardOracle(threshold: Double): String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** CTE chain producing `jp(d1, d2, jaccard)` — the capped-Jaccard
+    * near-dup pairs. Shared by the q25 oracle and the q58 clustering
+    * oracle so the two cannot drift. */
+  private[text] def jaccardCtes(threshold: Double): String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |sh0 AS (SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(ws) - 1),
        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
@@ -81,14 +84,18 @@ object TextQueries {
        |         HAVING count(*) <= ${MaxShingleDf}),
        |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
-       |SELECT d1, d2, jaccard FROM (
+       |          GROUP BY 1, 2),
+       |jp AS (SELECT d1, d2, jaccard FROM (
        |  SELECT d1, d2, round(CAST(inter AS DOUBLE)
        |           / CAST(s1.sz + s2.sz - inter AS DOUBLE), 4) AS jaccard
-       |  FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
-       |WHERE jaccard >= $threshold ORDER BY d1, d2""".stripMargin
+       |  FROM cand JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
+       |WHERE jaccard >= $threshold)""".stripMargin
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH ${jaccardCtes(threshold)}
+       |SELECT d1, d2, jaccard FROM jp ORDER BY d1, d2""".stripMargin
 
   /** English stopword-ratio language heuristic. */
   def langId(docs: DataFrame): DataFrame = {

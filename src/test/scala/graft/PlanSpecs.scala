@@ -27,7 +27,12 @@ class PlanSpecs extends SparkSpec {
   }
 
   test("knn top-k is aggregated, not windowed (N·k shuffle, not N²)") {
-    val p = plan("knn_bruteforce")
+    // The declared knn_* queries read the shared materialized graph
+    // (Materialized.table), so the scale-critical plan shape lives in
+    // the producer — assert on knnGraph itself.
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val p = graft.knn.BruteForceKnn.knnGraph(emb, 10)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin"),
       "pair stream must come from the broadcast NL join")
     assert(!p.contains("Window"),
