@@ -7,8 +7,16 @@ import org.apache.spark.sql.functions.{col, row_number}
 /** One weighted edge candidate (neighbor id, weight). */
 final case class WEdge(nbr: Long, w: Double)
 
-/** Buffer/output wrapper so the product encoder handles the Seq. */
+/** Output wrapper so the product encoder handles the Seq. */
 final case class EdgeList(edges: Seq[WEdge])
+
+/** Mutable top-k buffer: parallel primitive arrays kept sorted by
+  * (w, nbr), `n` live entries. A case class of encodable fields so the
+  * product encoder can ship partial buffers across the shuffle, but
+  * mutated in place on the hot path — the aggregator's reduce runs
+  * once per candidate edge (the N² pair stream in brute-force KNN), so
+  * per-row immutable-Vector copies dominate the whole aggregation. */
+final case class TopKBuf(nbrs: Array[Long], ws: Array[Double], var n: Int)
 
 /** Typed k-min merge Aggregator — the per-key top-k of the reference's
   * `graph_update` reduceByKey (`mrdf.py:166-170`) and `nn_update_heap`
@@ -24,29 +32,50 @@ final case class EdgeList(edges: Seq[WEdge])
   * Merge law (ScalaCheck-verified): topK(a ++ b) == topK(topK(a) ++
   * topK(b)) — the property the reference's reduceByKey relies on.
   */
-final class TopKByWeight(k: Int) extends Aggregator[WEdge, EdgeList, EdgeList] {
+final class TopKByWeight(k: Int) extends Aggregator[WEdge, TopKBuf, EdgeList] {
 
-  private def insert(sorted: Seq[WEdge], e: WEdge): Seq[WEdge] = {
-    val existing = sorted.indexWhere(_.nbr == e.nbr)
-    val base =
-      if (existing < 0) sorted
-      else if (sorted(existing).w <= e.w) return sorted
-      else sorted.patch(existing, Nil, 1)
-    if (base.length >= k) {
-      val last = base.last
-      if (e.w > last.w || (e.w == last.w && e.nbr >= last.nbr)) return base
+  /** In-place sorted insert with nbr-dedup (keep smaller w). O(k) scan
+    * + arraycopy, zero allocation on the reject path (the common case
+    * once the buffer is full of closer neighbors). */
+  private def insert(b: TopKBuf, nbr: Long, w: Double): TopKBuf = {
+    val nbrs = b.nbrs
+    val ws = b.ws
+    // existing entry for this neighbor: keep the smaller weight
+    var e = 0
+    while (e < b.n && nbrs(e) != nbr) e += 1
+    if (e < b.n) {
+      if (ws(e) <= w) return b
+      // remove the worse duplicate, then fall through to re-insert
+      System.arraycopy(nbrs, e + 1, nbrs, e, b.n - e - 1)
+      System.arraycopy(ws, e + 1, ws, e, b.n - e - 1)
+      b.n -= 1
+    } else if (b.n >= k) {
+      val lw = ws(b.n - 1)
+      if (w > lw || (w == lw && nbr >= nbrs(b.n - 1))) return b
     }
-    val i = base.indexWhere(x => x.w > e.w || (x.w == e.w && x.nbr > e.nbr))
-    val inserted = if (i < 0) base :+ e else base.patch(i, Seq(e), 0)
-    if (inserted.length > k) inserted.dropRight(inserted.length - k) else inserted
+    // insertion point under the (w, nbr) order
+    var i = 0
+    while (i < b.n && (ws(i) < w || (ws(i) == w && nbrs(i) < nbr))) i += 1
+    val newN = math.min(b.n + 1, k)
+    System.arraycopy(nbrs, i, nbrs, i + 1, newN - i - 1)
+    System.arraycopy(ws, i, ws, i + 1, newN - i - 1)
+    nbrs(i) = nbr
+    ws(i) = w
+    b.n = newN
+    b
   }
 
-  override def zero: EdgeList = EdgeList(Vector.empty)
-  override def reduce(b: EdgeList, a: WEdge): EdgeList = EdgeList(insert(b.edges, a))
-  override def merge(x: EdgeList, y: EdgeList): EdgeList =
-    EdgeList(y.edges.foldLeft(x.edges)(insert))
-  override def finish(r: EdgeList): EdgeList = r
-  override def bufferEncoder: Encoder[EdgeList] = Encoders.product[EdgeList]
+  override def zero: TopKBuf = TopKBuf(new Array[Long](k), new Array[Double](k), 0)
+  override def reduce(b: TopKBuf, a: WEdge): TopKBuf = insert(b, a.nbr, a.w)
+  override def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+    var i = 0
+    var b = x
+    while (i < y.n) { b = insert(b, y.nbrs(i), y.ws(i)); i += 1 }
+    b
+  }
+  override def finish(r: TopKBuf): EdgeList =
+    EdgeList((0 until r.n).map(i => WEdge(r.nbrs(i), r.ws(i))))
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   override def outputEncoder: Encoder[EdgeList] = Encoders.product[EdgeList]
 }
 

@@ -25,7 +25,11 @@ object CurationQueries {
   /** Training docs sharing ≥ 1 word n-gram with the benchmark slice
     * (stand-in: doc_id ≡ 0 (mod 10)), with overlap counts/ratio. */
   def contamination(docs: DataFrame, n: Int = 5): DataFrame = {
-    val sh = TextQueries.wordShingles(docs, n)
+    // materialized once: the shingle table feeds the benchmark slice,
+    // the train slice, and the totals agg — without it Catalyst
+    // re-runs the shingle Generate per consumer (same pattern as
+    // jaccardPairs); the harness sweep releases the pinned blocks
+    val sh = TextQueries.wordShingles(docs, n).localCheckpoint()
     val bench = sh.filter(col("doc_id") % 10 === 0).select(col("shingle")).distinct()
     val train = sh.filter(col("doc_id") % 10 =!= 0)
     val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))

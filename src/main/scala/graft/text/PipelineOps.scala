@@ -27,8 +27,9 @@ object PipelineOps {
   /** Near-duplicate clusters over the capped-Jaccard pair graph:
     * (doc_id, cluster = min doc id in its component, is_canonical).
     * Docs in no pair are their own singleton cluster. */
-  def dupClusters(docs: DataFrame, threshold: Double): DataFrame = {
-    val pairs = TextQueries.jaccardPairs(docs, threshold)
+  def dupClusters(docs: DataFrame, threshold: Double,
+                  pairsOverride: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsOverride.getOrElse(TextQueries.jaccardPairs(docs, threshold))
     val nodes = docs.select(col("doc_id").cast("long").as("id"))
     val (labels, converged) = ConnectedComponents.label(
       nodes,
@@ -110,7 +111,8 @@ object PipelineOps {
   val declared: Seq[Declared] = Seq(
     Declared(
       "q58_dup_clusters",
-      (s, dir) => dupClusters(Tables.load(s, dir, "documents"), 0.1),
+      (s, dir) => dupClusters(Tables.load(s, dir, "documents"), 0.1,
+        pairsOverride = Some(TextQueries.sharedJaccardPairs(s, dir, 0.1))),
       Some(s"""WITH RECURSIVE ${TextQueries.jaccardCtes(0.1)},
         |e AS (SELECT d1 AS a, d2 AS b FROM jp
         |      UNION ALL SELECT d2, d1 FROM jp),

@@ -97,6 +97,13 @@ object TextQueries {
     s"""WITH ${jaccardCtes(threshold)}
        |SELECT d1, d2, jaccard FROM jp ORDER BY d1, d2""".stripMargin
 
+  /** [[jaccardPairs]] over the `documents` table, materialized once per
+    * process/sf — the pair table feeds q25 and q58's clustering. */
+  def sharedJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    graft.Materialized.table(s, dir, s"jaccard_pairs_$threshold") {
+      jaccardPairs(graft.Tables.load(s, dir, "documents"), threshold)
+    }
+
   /** English stopword-ratio language heuristic. */
   def langId(docs: DataFrame): DataFrame = {
     val words = split(lower(col("text")), " ")
@@ -149,7 +156,7 @@ object TextQueries {
 
     Declared(
       "q25_ngram_jaccard",
-      (s, dir) => jaccardPairs(Tables.load(s, dir, "documents"), 0.1)
+      (s, dir) => sharedJaccardPairs(s, dir, 0.1)
         .orderBy(col("d1"), col("d2")),
       Some(jaccardOracle(0.1)),
       doc = "Word-3-gram Jaccard near-dup pairs via inverted index"),

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.agg.{EdgeList, ReservoirSample, TopKByWeight, WEdge}
+import graft.agg.{EdgeList, ReservoirSample, TopKBuf, TopKByWeight, WEdge}
 import graft.io.Fvecs
 
 /** Pure-JVM unit + property tests (SURVEY.md §5.1/§5.2; properties are
@@ -24,8 +24,10 @@ class UnitSpecs extends AnyFunSuite {
   }
 
   // --- TopKByWeight (mrdf.py:166-170 merge law + tie-breaks) ---
+  private def topkBuf(k: Int, xs: Seq[WEdge]): TopKBuf =
+    xs.foldLeft(new TopKByWeight(k).zero)((b, e) => new TopKByWeight(k).reduce(b, e))
   private def topk(k: Int, xs: Seq[WEdge]): Seq[WEdge] =
-    xs.foldLeft(new TopKByWeight(k).zero)((b, e) => new TopKByWeight(k).reduce(b, e)).edges
+    new TopKByWeight(k).finish(topkBuf(k, xs)).edges
 
   test("TopKByWeight keeps k smallest with (w, nbr) tie-break") {
     val xs = Seq(WEdge(5, 2.0), WEdge(3, 1.0), WEdge(7, 1.0), WEdge(9, 3.0))
@@ -45,7 +47,7 @@ class UnitSpecs extends AnyFunSuite {
         WEdge(rnd.nextInt(30).toLong, rnd.nextInt(10).toDouble))
       val (ea, eb) = (gen(), gen())
       val direct = topk(5, ea ++ eb)
-      val merged = agg.merge(EdgeList(topk(5, ea)), EdgeList(topk(5, eb))).edges
+      val merged = agg.finish(agg.merge(topkBuf(5, ea), topkBuf(5, eb))).edges
       assert(direct == merged, s"a=$ea b=$eb")
     }
   }
