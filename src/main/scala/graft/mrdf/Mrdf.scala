@@ -96,15 +96,15 @@ object Mrdf {
     while (ratio > p.tau && iter < p.maxIter) {
       iter += 1
       val t0 = System.nanoTime()
-      val assigned = divide(pts, p, iter)
+      val (assigned, pinned) = divide(pts, p, iter)
       val t1 = System.nanoTime()
       // merge materialization also runs the lazy block NN-Descent
       val blockEdges = localGraphs(assigned, p, iter)
       val merged = mergeGraphs(g, blockEdges, p.k).localCheckpoint()
       val t2 = System.nanoTime()
-      // merged is eagerly materialized, so the division checkpoint is
+      // merged is eagerly materialized, so the division caches are
       // no longer needed; the old graph is released after the Δ-count.
-      graft.Checkpoints.release(assigned)
+      pinned.foreach(_.unpersist(blocking = false))
       val changedEdges = merged.join(g, Seq("id", "nbr"), "left_anti").count()
       val t3 = System.nanoTime()
       graft.Checkpoints.release(g)
@@ -128,20 +128,56 @@ object Mrdf {
 
   /** Partition phase: split every block with > α members into ≤ ρ
     * sub-blocks by nearest sampled centroid, repeatedly, extending the
-    * tree path (reference mrdf.py:43-57/75-146 with B2/B3 fixed). */
-  private def divide(pts: DataFrame, p: Params, iter: Int): DataFrame = {
+    * tree path (reference mrdf.py:43-57/75-146 with B2/B3 fixed).
+    *
+    * Levels are persist()ed, not localCheckpoint()ed: persist keeps
+    * lineage, so on a real cluster an executor loss recomputes the
+    * lost blocks from the cached parent instead of failing the job
+    * (a localCheckpoint is unrecoverable by design), and the level's
+    * histogram action doubles as the cache materializer — no separate
+    * eager pass. The merge checkpoint in [[buildGraphWithStats]] still
+    * truncates lineage once per outer round.
+    *
+    * Returns the assignment plus the still-persisted level DataFrames
+    * backing it — the caller unpersists them once its consumer (the
+    * block NN-Descent + merge) has materialized. */
+  private def divide(pts: DataFrame, p: Params, iter: Int): (DataFrame, Seq[DataFrame]) = {
     val spark = pts.sparkSession
+    // level 0 is a trivial projection of the already-persisted pts —
+    // not re-persisted (it would double the cached footprint)
     var assigned = pts.withColumn("path", lit(""))
+    // the persisted DataFrame backing `assigned` (the safety valve may
+    // re-derive `assigned` on top of it without persisting)
+    var lastPersisted: DataFrame = null
+    var prev: DataFrame = null
     var divideIter = 0
     var anyOversized = true
+    import spark.implicits._
     while (anyOversized && divideIter < p.maxDivideIter) {
       divideIter += 1
-      // The per-path histogram is tiny (≤ N/α · ρ rows) — one collect
-      // drives the loop condition AND the oversized set, instead of a
-      // separate existence job + two repeated joins.
-      val oversized = assigned.groupBy(col("path")).count()
-        .filter(col("count") > p.alpha).select(col("path"))
-        .collect().map(_.getString(0))
+      // ONE aggregation job per level: the fused VecSample computes,
+      // per path, the block size AND the deterministic bottom-ρ
+      // centroid sample (with vectors) in a single pass — replacing a
+      // histogram job plus a sampling pass. Partial aggregation keeps
+      // it cluster-shaped: every map task reduces to ≤ ρ sampled rows
+      // per path before the shuffle. (The obvious row_number window is
+      // a scale trap here — at level 0 `path` is the constant "",
+      // Catalyst folds the partition spec away, and WindowExec funnels
+      // the ENTIRE level through one task.) The collect moves ≤
+      // #paths·(ρ·d floats) to the driver — the same magnitude as the
+      // centroid broadcast that follows, so it adds no new bottleneck.
+      // As a side effect this job materializes the level's persist().
+      val roundSeed = p.seed ^ (iter.toLong << 40) ^ (divideIter.toLong << 20)
+      val sampler = new graft.agg.VecSample(p.rho, roundSeed)
+      val stats = assigned.select(col("path"), col("id"), col("vec"))
+        .as[(String, Long, Array[Float])]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(sampler.toColumn.name("sample"))
+        .collect()
+      // the previous level fed this aggregation; its blocks are dead
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
+      val oversized = stats.filter(_._2.cnt > p.alpha).map(_._1)
       if (oversized.isEmpty) {
         anyOversized = false
       } else {
@@ -149,13 +185,17 @@ object Mrdf {
           if (oversized.length <= 1000) col("path").isin(oversized.toIndexedSeq: _*)
           else col("path").isInCollection(oversized.toIndexedSeq)
         val over = assigned.filter(isOver)
-        // Deterministic bottom-ρ per path (order-independent sampler).
-        val centroids = over
-          .withColumn("h", xxhash64(lit(p.seed), lit(iter), lit(divideIter), col("id")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("path")).orderBy(col("h"), col("id"))))
-          .filter(col("rn") <= p.rho)
-          .select(col("path"), (col("rn") - 1).as("cidx"), col("vec").as("cvec"))
+        // Centroid table from the oversized blocks' samples — local
+        // rows, so the broadcast needs no extra cluster job. Items are
+        // sorted by (rank, id) ⇒ the position is a stable index.
+        val overSet = oversized.toSet
+        val centroids = broadcast(
+          stats.iterator
+            .filter { case (path, s) => overSet(path) }
+            .flatMap { case (path, s) =>
+              s.items.iterator.zipWithIndex.map { case (kv, i) => (path, i, kv.vec) }
+            }
+            .toSeq.toDF("path", "cidx", "cvec"))
         // Nearest-centroid assignment: broadcast join + per-id argmin
         // (reference tree_path_extension, mrdf.py:123-146). The argmin
         // is min(struct(d, cidx, …)) — a hash aggregate that reduces
@@ -163,7 +203,7 @@ object Mrdf {
         // window would shuffle all N×ρ candidate rows. (d, cidx) is a
         // unique prefix, so the selection is deterministic.
         val next = assigned.filter(!isOver).unionByName(
-          over.join(broadcast(centroids), Seq("path"))
+          over.join(centroids, Seq("path"))
             .select(col("id"), struct(
               Distances.euclidean(col("vec"), col("cvec")).as("d"),
               col("cidx").as("cidx"), col("path").as("path"),
@@ -171,9 +211,10 @@ object Mrdf {
             .groupBy(col("id")).agg(min(col("cand")).as("m"))
             .select(col("id"), col("m.vec").as("vec"),
               concat(col("m.path"), lit(","), col("m.cidx").cast("string")).as("path")))
-          .localCheckpoint()
-        graft.Checkpoints.release(assigned)
+          .persist()
+        prev = assigned
         assigned = next
+        lastPersisted = next
       }
     }
     if (anyOversized) {
@@ -185,7 +226,12 @@ object Mrdf {
       val leftover = assigned.groupBy(col("path")).count()
         .filter(col("count") > p.alpha)
         .select(col("path"), ceil(col("count") / p.alpha.toDouble).cast("long").as("nsplit"))
-      if (!leftover.isEmpty) {
+      val anyLeft = !leftover.isEmpty
+      // that histogram materialized the last level's cache — the level
+      // before it is dead now (the in-loop release never ran on this
+      // exit path)
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
+      if (anyLeft) {
         spark.sparkContext.setJobDescription(
           s"[mrdf] hash-splitting paths still > alpha after ${p.maxDivideIter} divide rounds")
         assigned = assigned
@@ -197,7 +243,7 @@ object Mrdf {
           .drop("nsplit")
       }
     }
-    assigned
+    (assigned, Option(lastPersisted).toSeq)
   }
 
   /** Block-local NN-Descent, distributed over blocks (one group per
