@@ -125,6 +125,19 @@ object PipelineOps {
       doc = "Near-dup clusters: pairs → connected components → canonical id"),
 
     Declared(
+      // The 100 TB dedup path end-to-end: MinHash+LSH candidate pairs
+      // (banded bucket join, never N²) → connected components →
+      // canonical id per doc. Sketch-based ⇒ rows-only for the driver;
+      // the spec gates label agreement vs the exact-Jaccard clusters.
+      "q62_minhash_clusters",
+      (s, dir) => dupClusters(Tables.load(s, dir, "documents"), 0.5,
+        pairsOverride = Some(
+          Dedup.minhashPairs(Tables.load(s, dir, "documents"), 0.5)
+            .select(col("d1"), col("d2")))),
+      None,
+      doc = "Near-dup clusters over MinHash-LSH pairs (sketch ⇒ rows-only)"),
+
+    Declared(
       "q59_pack_sequences",
       (s, dir) => packSequences(Tables.load(s, dir, "documents"), Budget, Shards),
       Some(s"""WITH d AS (SELECT doc_id, lang,

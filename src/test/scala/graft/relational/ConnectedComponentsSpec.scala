@@ -50,6 +50,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
   }
 
+  test("minhash clusters track exact-Jaccard clusters (label agreement ≥ 0.9)") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val exact = graft.text.PipelineOps.dupClusters(docs, 0.5)
+      .select(col("doc_id"), col("cluster").as("exact"))
+    val sketch = graft.text.PipelineOps.dupClusters(docs, 0.5,
+        pairsOverride = Some(graft.text.Dedup.minhashPairs(docs, 0.5)
+          .select(col("d1"), col("d2"))))
+      .select(col("doc_id"), col("cluster").as("sketch"))
+    val joined = exact.join(sketch, "doc_id")
+    val n = joined.count()
+    val agree = joined.filter(col("exact") === col("sketch")).count()
+    assert(n > 0 && agree.toDouble / n >= 0.9,
+      s"label agreement ${agree.toDouble / n} below 0.9")
+  }
+
   test("dup clusters: every member maps to its component's min doc id") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val out = graft.text.PipelineOps.dupClusters(docs, 0.1)
