@@ -9,7 +9,8 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Brute-force exact KNN over embeddings — scan → broadcast join →
-    * codegen'd distance fold → window top-k (SURVEY.md §7 step 4). */
+    * codegen'd distance fold → TopKByWeight partial aggregation
+    * (SURVEY.md §7 step 4). */
   def entry(spark: SparkSession): DataFrame =
     Registry.byName("knn_bruteforce").run(spark, "/root/testdata/sf0.001")
 

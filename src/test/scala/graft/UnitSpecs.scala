@@ -72,6 +72,27 @@ class UnitSpecs extends AnyFunSuite {
     assert(out.toSet == Set(1L, 2L, 3L))
   }
 
+  test("VecSample: count is exact, sample matches ReservoirSample, merge law") {
+    val n = 4
+    val seed = 7L
+    val vs = new graft.agg.VecSample(n, seed)
+    val rs = new ReservoirSample(n, seed)
+    val items = (1L to 60L).map(i => (i, Array(i.toFloat)))
+    def run(xs: Seq[(Long, Array[Float])]) = xs.foldLeft(vs.zero)(vs.reduce)
+    val whole = run(items)
+    assert(whole.cnt == 60L, "fused count must be the group size")
+    // same ranking function ⇒ same winners as the id-only sampler
+    val expectIds = rs.finish(items.map(_._1).foldLeft(rs.zero)(rs.reduce)).ids
+    assert(whole.items.map(_.id) == expectIds)
+    assert(whole.items.forall(kv => kv.vec.sameElements(Array(kv.id.toFloat))),
+      "sampled vectors must ride along with their ids")
+    // order-independence + merge == single pass (incl. count addition)
+    val shuffled = run(new scala.util.Random(3).shuffle(items))
+    assert(shuffled.items.map(_.id) == expectIds && shuffled.cnt == 60L)
+    val merged = vs.merge(run(items.take(25)), run(items.drop(25)))
+    assert(merged.items.map(_.id) == expectIds && merged.cnt == 60L)
+  }
+
   // --- fvecs/ivecs codec (utilities.py:32-143; FIXTURES.md fixture) ---
   test("fvecs round-trip with the FIXTURES.md 4-vector fixture") {
     val vecs = Seq(Array(0f, 0f), Array(1f, 0f), Array(0f, 1f), Array(5f, 5f))
