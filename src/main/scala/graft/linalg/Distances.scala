@@ -79,6 +79,26 @@ object Distances {
     math.sqrt(s)
   }
 
+  /** [[euclideanLocal]] with an early-exit bound: returns the EXACT
+    * distance when it is ≤ `bound`, or `Double.PositiveInfinity` as
+    * soon as the partial squared sum proves dist > bound. Callers that
+    * discard candidates above `bound` (k-NN pruning) get identical
+    * decisions at a fraction of the flops — the partial-sum exit is
+    * sound because squared terms only ever grow the sum. */
+  def euclideanLocalBounded(a: Array[Float], b: Array[Float], bound: Double): Double = {
+    if (bound.isInfinite) return euclideanLocal(a, b)
+    val b2 = bound * bound
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += d * d
+      if (s > b2) return Double.PositiveInfinity
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
   def cosineSimilarityLocal(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

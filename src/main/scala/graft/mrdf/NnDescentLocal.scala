@@ -42,6 +42,9 @@ object NnDescentLocal {
     // Init: kk distinct random neighbors at w=∞, flagged new
     // (reference initial_sample / sample_infinity, nndescent.py:70-74,194-203).
     val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Nbr])
+    // O(1) membership beside each sorted list — the member scan was the
+    // hottest line of the whole loop (every candidate pays it otherwise)
+    val members = new Array[mutable.HashSet[Int]](n)
     var v = 0
     while (v < n) {
       val seen = mutable.HashSet.empty[Int]
@@ -50,26 +53,41 @@ object NnDescentLocal {
         if (j != v) seen += j
       }
       adj(v) ++= seen.toArray.sorted.map(new Nbr(Double.PositiveInfinity, _, true))
+      members(v) = seen
       v += 1
     }
 
-    def contains(v: Int, u: Int): Boolean = adj(v).exists(_.idx == u)
-
     /** Try to insert (u, w) into B[v]; returns 1 if B[v] changed.
       * Keeps the list sorted by (w, idx) and capped at kk — the
-      * per-key k-min merge of mrdf.py:166-170 / nn_update_heap. */
+      * per-key k-min merge of mrdf.py:166-170 / nn_update_heap.
+      * Cheap weight rejection runs before the membership check; the
+      * order is equivalent because a member's re-offered weight is the
+      * same deterministic distance, so whichever check fires first the
+      * answer is 0. */
     def insert(v: Int, u: Int, w: Double): Int = {
-      if (u == v || contains(v, u)) return 0
+      if (u == v) return 0
       val b = adj(v)
       if (b.size >= kk) {
         val last = b.last
         if (w > last.w || (w == last.w && u >= last.idx)) return 0
+      }
+      if (members(v).contains(u)) return 0
+      if (b.size >= kk) {
+        members(v) -= b.last.idx
         b.remove(b.size - 1)
       }
       var i = 0
       while (i < b.size && (b(i).w < w || (b(i).w == w && b(i).idx < u))) i += 1
       b.insert(i, new Nbr(w, u, true))
+      members(v) += u
       1
+    }
+
+    /** Largest distance B[v] could still accept — ∞ while under
+      * capacity, else the current worst weight. */
+    def acceptBound(v: Int): Double = {
+      val b = adj(v)
+      if (b.size < kk) Double.PositiveInfinity else b.last.w
     }
 
     val sampleK = math.max(1, (sampleRate * kk).toInt)
@@ -109,6 +127,9 @@ object NnDescentLocal {
         val oldAll = (olds(v) ++ sampleN(oldR(v), sampleK, rnd)).distinct
         // candidate pairs (get_nn_updates_to_make, nndescent.py:139-172):
         // new×new (ordered) and new×old, both directions updated.
+        // Bounded distance: once the partial squared sum exceeds BOTH
+        // sides' acceptance thresholds the pair is rejected either way,
+        // so the computation can stop early (≡ decisions, fewer flops).
         var i = 0
         while (i < newAll.length) {
           val u1 = newAll(i)
@@ -116,8 +137,10 @@ object NnDescentLocal {
           while (j < newAll.length) {
             val u2 = newAll(j)
             if (u1 != u2) {
-              val w = Distances.euclideanLocal(pts(u1).vec, pts(u2).vec)
-              changed += insert(u1, u2, w) + insert(u2, u1, w)
+              val bound = math.max(acceptBound(u1), acceptBound(u2))
+              val w = Distances.euclideanLocalBounded(pts(u1).vec, pts(u2).vec, bound)
+              if (w != Double.PositiveInfinity)
+                changed += insert(u1, u2, w) + insert(u2, u1, w)
             }
             j += 1
           }
@@ -125,8 +148,10 @@ object NnDescentLocal {
           while (j < oldAll.length) {
             val u2 = oldAll(j)
             if (u1 != u2) {
-              val w = Distances.euclideanLocal(pts(u1).vec, pts(u2).vec)
-              changed += insert(u1, u2, w) + insert(u2, u1, w)
+              val bound = math.max(acceptBound(u1), acceptBound(u2))
+              val w = Distances.euclideanLocalBounded(pts(u1).vec, pts(u2).vec, bound)
+              if (w != Double.PositiveInfinity)
+                changed += insert(u1, u2, w) + insert(u2, u1, w)
             }
             j += 1
           }
