@@ -50,6 +50,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
   }
 
+  test("property: labels equal a union-find oracle on random graphs (30 cases)") {
+    val rnd = new scala.util.Random(19)
+    (1 to 30).foreach { _ =>
+      val n = 2 + rnd.nextInt(30)
+      val nodes = (0L until n.toLong).toSeq
+      val edges = Seq.fill(rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      // local union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(v => v -> {
+        // component label = min member id; min root via full scan
+        val r = find(v.toInt)
+        nodes.filter(u => find(u.toInt) == r).min
+      }).toMap
+      val got = run(nodes, edges)
+      assert(got == expected, s"n=$n edges=$edges")
+    }
+  }
+
   test("minhash clusters track exact-Jaccard clusters (label agreement ≥ 0.9)") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val exact = graft.text.PipelineOps.dupClusters(docs, 0.5)
