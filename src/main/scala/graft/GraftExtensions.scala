@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{CosineSimilarity, EuclideanDistance}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, EuclideanDistance}
 
 /** SparkSessionExtensions hook — registers graft's custom expressions
   * as SQL functions so `spark.sql("... euclidean_distance(a, b) ...")`
@@ -26,5 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineSimilarity].getName, "cosine_similarity"),
         (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotProduct].getName, "dot_product"),
+        (children: Seq[Expression]) => DotProduct(children(0), children(1))))
   }
 }

@@ -174,13 +174,20 @@ class IoSpecs extends SparkSpec {
       "cosine_similarity",
       es => org.apache.spark.sql.graft.CosineSimilarity(es(0), es(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      es => org.apache.spark.sql.graft.DotProduct(es(0), es(1)),
+      "built-in")
     val r = spark.sql(
       """SELECT euclidean_distance(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)),
         |                          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
         |       cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
-        |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c
+        |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       dot_product(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+        |                   array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS p
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) === 5.0)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getDouble(2) === 23.0)
   }
 }
