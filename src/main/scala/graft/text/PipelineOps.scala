@@ -72,8 +72,13 @@ object PipelineOps {
   def tfidf(docs: DataFrame, topK: Int = 5): DataFrame = {
     val words = docs.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("word"))
+    // materialized once: tf feeds both the df aggregation and the
+    // scoring join (the harness sweep releases the pinned blocks)
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val dfreq = words.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    // document frequency falls out of tf (already one row per
+    // (doc, term)) — no second explode + distinct over the token stream
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("word")).crossJoin(broadcast(n))
       .withColumn("score",
