@@ -104,6 +104,42 @@ object StreamingPipelines {
         && col("c_ts") <= col("p_ts"))
   }
 
+  /** Streaming corpus curation — the batch [[graft.text.CorpusPipeline]]
+    * gate as an incremental pipeline over an ingest-timestamped
+    * document stream: content dedup via `dropDuplicatesWithinWatermark`
+    * on a 64-bit content hash (state is one hash per recent doc, not
+    * the text, and expires with the watermark), then the row-local
+    * quality gate and annotations, which fuse into the same stage.
+    *
+    * Semantics note vs batch q49: a stream cannot keep min-doc_id
+    * state over all history with bounded memory, so streaming dedup
+    * keeps the FIRST-SEEN copy within the watermark horizon — the
+    * standard incremental contract (the kept CONTENT set is identical;
+    * only which duplicate's id survives differs). */
+  def curateStream(docs: DataFrame, minWords: Int = 20,
+                   maxNonAlphaRatio: Double = 0.05): DataFrame = {
+    val words = split(col("text"), " ")
+    docs
+      .withColumn("content_hash", xxhash64(col("text")))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .withColumn("n_words", size(words))
+      .withColumn("nonalpha_ratio",
+        round(length(regexp_replace(col("text"), "[a-z ]", "")).cast("double")
+          / length(col("text")), 4))
+      .filter(col("n_words") >= minWords
+        && col("nonalpha_ratio") <= maxNonAlphaRatio)
+      .withColumn("est_tokens", ceil(length(col("text")).cast("double") / 4.0))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("est_tokens"),
+        col("content_hash"))
+  }
+
+  /** File-source streaming read of ingest-timestamped documents. */
+  def readDocsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id BIGINT, lang STRING, text STRING, ingest_ts TIMESTAMP")
+      .parquet(dir)
+
   /** File-source streaming read of events-shaped parquet. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

@@ -92,6 +92,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("streaming curation keeps the same content set as the batch gate") {
+    val src = Files.createTempDirectory("graft-stream-curate").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        // deterministic ingest time: one doc per second
+        timestamp_seconds(lit(1600000000L) + col("doc_id")).as("ingest_ts"))
+    docs.select(col("doc_id"), col("lang"), col("text"), col("ingest_ts"))
+      .write.mode("overwrite").parquet(src)
+    val q = StreamingPipelines.curateStream(
+        StreamingPipelines.readDocsStream(spark, src))
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("curated").collect()
+    // one survivor per distinct content...
+    assert(got.map(_.getLong(4)).distinct.length == got.length,
+      "duplicate content survived streaming dedup")
+    // ...and the kept CONTENT set equals the batch gate's (ids may
+    // differ: first-seen vs min-id — the documented semantic delta)
+    val batch = graft.text.CorpusPipeline.curate(docs).collect()
+    assert(got.length == batch.length,
+      s"streaming kept ${got.length} docs, batch kept ${batch.length}")
+    val gotTokens = got.map(r => (r.getInt(2), r.getLong(3))).sorted.toSeq
+    val batchTokens = batch.map(r => (r.getInt(3), r.getLong(5))).sorted.toSeq
+    assert(gotTokens == batchTokens,
+      "per-doc (n_words, est_tokens) multiset must match the batch gate")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions at the gap") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft-stream-sess").toString
