@@ -110,6 +110,45 @@ object PipelineOps {
       .orderBy(col("lang"))
   }
 
+  /** Sliding context-window chunking: split each document into
+    * `winChars`-char windows advancing by `stride` (overlap =
+    * winChars − stride) — the long-document splitting step before
+    * sequence packing. Row-local explode: no shuffle at any corpus
+    * size. Window count for length L: 1 if L ≤ winChars, else
+    * ⌈(L − winChars)/stride⌉ + 1 (last window may be short). */
+  def chunkWindows(docs: DataFrame, winChars: Int = 200, stride: Int = 150): DataFrame = {
+    val nChunks = when(length(col("text")) <= winChars, lit(1L))
+      .otherwise(ceil((length(col("text")) - lit(winChars)).cast("double") / stride) + 1L)
+    docs.select(col("doc_id"), col("text"), nChunks.as("n_chunks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"),
+        col("text"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substring(text, CAST(chunk_idx * $stride + 1 AS INT), $winChars)")
+          .as("chunk"))
+      .withColumn("chunk_chars", length(col("chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Temperature-based source mixing (the multinomial-sampling weights
+    * a pretraining run uses to rebalance corpora): integer weight
+    * w_s = round(n_s^τ) — integer so the cross-engine sum is exact —
+    * target fraction w_s/Σw, and the implied per-doc up/down-sampling
+    * factor. One tiny aggregation; everything else is arithmetic. */
+  def sourceMixture(docs: DataFrame, temperature: Double = 0.7): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val weighted = counts.withColumn("w",
+      round(pow(col("n_docs").cast("double"), temperature)).cast("long"))
+    val totals = weighted.agg(sum(col("w")).as("w_total"),
+      sum(col("n_docs")).as("n_total"))
+    weighted.crossJoin(totals)
+      .select(col("source"), col("n_docs"), col("w"),
+        round(col("w").cast("double") / col("w_total"), 6).as("target_frac"),
+        round(col("w").cast("double") / col("w_total")
+          * col("n_total") / col("n_docs"), 4).as("sample_factor"))
+      .orderBy(col("source"))
+  }
+
   private val Budget = 2048
   private val Shards = 4
 
@@ -175,6 +214,39 @@ object PipelineOps {
         |SELECT doc_id, word, score, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin),
       doc = "Top-5 TF-IDF terms per document"),
+
+    Declared(
+      "q63_chunk_windows",
+      (s, dir) => chunkWindows(Tables.load(s, dir, "documents")),
+      Some("""WITH d AS (SELECT doc_id, text,
+        |    CASE WHEN length(text) <= 200 THEN 1
+        |         ELSE CAST(ceil(CAST(length(text) - 200 AS DOUBLE) / 150) AS BIGINT) + 1
+        |    END AS n_chunks
+        |  FROM documents),
+        |e AS (SELECT doc_id, text,
+        |        unnest(range(n_chunks)) AS chunk_idx FROM d)
+        |SELECT doc_id, chunk_idx,
+        |  substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200) AS chunk,
+        |  CAST(length(substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200))
+        |    AS INTEGER) AS chunk_chars
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin),
+      doc = "Sliding 200-char context windows, stride 150 (long-doc splitting)"),
+
+    Declared(
+      "q64_source_mixture",
+      (s, dir) => sourceMixture(Tables.load(s, dir, "documents")),
+      Some("""WITH counts AS (SELECT source, count(*) AS n_docs
+        |        FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |        CAST(round(pow(CAST(n_docs AS DOUBLE), 0.7)) AS BIGINT) AS w
+        |      FROM counts),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total,
+        |             CAST(sum(n_docs) AS BIGINT) AS n_total FROM w)
+        |SELECT source, n_docs, w,
+        |  round(CAST(w AS DOUBLE) / w_total, 6) AS target_frac,
+        |  round(CAST(w AS DOUBLE) / w_total * n_total / n_docs, 4) AS sample_factor
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin),
+      doc = "Temperature-0.7 source-mixture weights (pretraining data mixing)"),
 
     Declared(
       "q61_lang_balance",
