@@ -47,16 +47,16 @@ object Bench {
     def jq(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString) + "\""
-    // 3-decimal (ms-precision) timings keep the whole line well under
-    // the driver's ~2000-char stdout tail window; "failed" is emitted
-    // only when non-empty for the same reason.
-    val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // 2-decimal timings keep the whole line well under the driver's
+    // ~2000-char stdout tail window at any query count; "failed" is
+    // emitted only when non-empty for the same reason.
+    val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString(""""failed":{""", ",", "},")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$errJson"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,$errJson"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
     spark.stop()
     // Printed LAST, after Spark's shutdown chatter, and flushed.
