@@ -89,6 +89,36 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"label agreement ${agree.toDouble / n} below 0.9")
   }
 
+  test("chunkWindows: boundary lengths produce hand-computed windows") {
+    import spark.implicits._
+    // win=10, stride=6 → overlap 4; lengths chosen at the boundaries
+    val docs = Seq(
+      (1L, "a" * 9),   // L < win           → 1 window, short
+      (2L, "b" * 10),  // L == win          → 1 window, exact
+      (3L, "c" * 11),  // L == win+1        → 2 windows (2nd = 5 chars)
+      (4L, "d" * 16),  // L == win+stride   → 2 windows (2nd exact tail)
+      (5L, "e" * 17)   // L == win+stride+1 → 3 windows (3rd = 5 chars)
+    ).toDF("doc_id", "text")
+    val got = graft.text.PipelineOps.chunkWindows(docs, winChars = 10, stride = 6)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 9), (2L, 0L, 10),
+      (3L, 0L, 10), (3L, 1L, 5),
+      (4L, 0L, 10), (4L, 1L, 10),
+      (5L, 0L, 10), (5L, 1L, 10), (5L, 2L, 5)))
+    // every char position is covered by at least one window
+    val covered = got.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.map { case (_, idx, n) => (idx * 6 + 1, idx * 6 + n) }
+        .sortBy(_._1) }
+    covered.foreach { case (id, spans) =>
+      spans.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 <= e1 + 1, s"gap in doc $id")
+        case _ => ()
+      }
+    }
+  }
+
   test("dup clusters: every member maps to its component's min doc id") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val out = graft.text.PipelineOps.dupClusters(docs, 0.1)
