@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked process's stdout straight through (no "[info] "
+// logger prefix) so the bench summary line is raw, parseable JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // The driver parses the LAST ~2000 stdout chars of `sbt runMain
 // graft.Bench` for the summary JSON line; sbt's "[success] Total time"
 // epilogue would land after it and break the parse.

@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine's core count: the driver invokes this
+    // without SPARK_GRAFT_CPUS, and a hardcoded small default would
+    // run the whole suite at a fraction of available parallelism.
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,10 +42,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // Shared-session hygiene: release any RDD blocks a query pinned
-        // (localCheckpoint remnants) so later queries aren't taxed.
+        // Shared-session hygiene, charged to the gap BETWEEN queries
+        // (dt is already computed): release pinned RDD blocks and
+        // cached plans *blocking*, so the cleanup storm of a heavy
+        // query (e.g. the MRDF build) can't overlap — and tax — the
+        // next timed query.
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
         name -> (if (errors.contains(name)) -1.0 else dt)
       }
     def jq(s: String): String =
@@ -49,14 +57,16 @@ object Bench {
         .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString) + "\""
     // 2-decimal timings keep the whole line well under the driver's
     // ~2000-char stdout tail window at any query count; "failed" is
-    // emitted only when non-empty for the same reason.
-    val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+    // emitted only when non-empty for the same reason. Locale.ROOT:
+    // a comma-decimal default locale would emit invalid JSON.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val qs = results.map { case (k, v) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString(""""failed":{""", ",", "},")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,$errJson"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$errJson"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
     spark.stop()
     // Printed LAST, after Spark's shutdown chatter, and flushed.

@@ -40,7 +40,9 @@ object Materialized {
     * first use in this process. */
   def table(spark: SparkSession, sfDir: String, name: String)
            (build: => DataFrame): DataFrame = {
-    val key = name + "-" + java.lang.Integer.toHexString(sfDir.hashCode)
+    // Collision-free key: sanitize the full sfDir path (a 32-bit
+    // hashCode could, rarely, alias two scale-factor dirs).
+    val key = name + "-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = root.resolve(key).toString
     synchronized {
       if (!built.contains(key)) {

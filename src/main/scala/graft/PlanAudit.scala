@@ -18,9 +18,17 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     Registry.all.foreach { d =>
       try {
-        val plan = d.run(spark, sfDir).queryExecution.executedPlan.toString
-        val globalWindow = plan.linesIterator.exists(l =>
-          l.contains("Window") && l.contains("windowspecdefinition()"))
+        val qe = d.run(spark, sfDir).queryExecution
+        val plan = qe.executedPlan.toString
+        // String-matching "windowspecdefinition()" never fires (plan
+        // strings always carry the frame argument); inspect the
+        // optimized plan's Window nodes instead. foldable covers both
+        // an empty spec and a constant partition column that Catalyst
+        // will fold away — either funnels all rows into one task.
+        val globalWindow = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.forall(_.foldable) => w
+        }.nonEmpty
         val single = plan.linesIterator.count(_.contains("SinglePartition"))
         if (globalWindow || single > 0)
           println(s"[audit] ${d.name}: globalWindow=$globalWindow singlePartitionExchanges=$single")
