@@ -3,32 +3,33 @@ package graft.relational
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed connected components by iterative min-label propagation —
-  * the step a dedup pipeline needs between near-duplicate PAIRS and a
-  * per-document canonical id: pairs form a similarity graph, each
-  * connected component is one duplicate cluster, and the minimum doc id
-  * in the component is the member every copy dedupes to.
+/** Distributed connected components — the step a dedup pipeline needs
+  * between near-duplicate PAIRS and a per-document canonical id: pairs
+  * form a similarity graph, each connected component is one duplicate
+  * cluster, and the minimum doc id in the component is the member every
+  * copy dedupes to.
   *
-  * Algorithm: every node starts labeled with its own id; each round,
-  * every node takes the min of its label and its neighbors' labels
-  * (one join + one hash aggregate per round); stop when no label
-  * changed. Converges in O(component diameter) rounds — for dedup
-  * graphs (clusters of near-identical documents, diameters of a few
-  * hops) that is 2–4 rounds regardless of corpus size. `maxIter` caps
-  * pathological chains; the return records whether a fixpoint was
-  * reached so callers can fail loudly instead of using a partial
-  * labeling.
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14).
+  * Maintaining edges directed high→low id:
+  *  - large-star: each node u links every strictly-larger neighbor to
+  *    `m = min(Γ(u) ∪ u)` — one groupBy(u) + join;
+  *  - small-star: each node u links its smaller neighbors and itself
+  *    to its minimum neighbor — one groupBy + join.
+  * The edge set's fixpoint is a star per component centered on the
+  * component-minimum node, reached in O(log n) rounds for ANY graph
+  * shape — unlike plain min-label propagation, which needs O(component
+  * diameter) rounds and dies on long duplicate chains. The return
+  * still records whether a fixpoint was reached within `maxIter` so
+  * callers can fail loudly instead of using a partial labeling.
   *
-  * Scale shape (the 100 TB story): each round shuffles |E| label
-  * propagations into a hash aggregate keyed by node — partial
-  * aggregation reduces map-side first, so the exchange carries ≤ one
-  * row per (node, mapper). No driver data path; the only driver value
-  * is the per-round changed-count (one left_anti count, same pattern
-  * as [[graft.mrdf.Mrdf]]'s convergence test). Lineage is truncated
-  * per round via localCheckpoint. For graphs with giant high-diameter
-  * components, swap the propagation body for the large-star/small-star
-  * rewrite (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond", SoCC'14) — same loop skeleton.
+  * Scale shape (the 100 TB story): each half-round shuffles |E| rows
+  * into a hash aggregate keyed by node (partial aggregation reduces
+  * map-side first) plus one co-partitioned join on the same key. No
+  * driver data path; the only driver values are the per-round edge
+  * count and changed-count (one except count). Lineage is truncated
+  * per round via localCheckpoint; superseded checkpoints are released
+  * eagerly.
   */
 object ConnectedComponents {
 
@@ -41,28 +42,48 @@ object ConnectedComponents {
     * @return ((id, comp) DataFrame, converged flag)
     */
   def label(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): (DataFrame, Boolean) = {
-    // Undirected: propagate both ways. Materialized once — it feeds
-    // every round's join.
-    val und = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    // Canonical directed form: (hi, lo) with lo < hi, deduped.
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
-    var changed = 1L
+    var eCnt = e.count()
+    var converged = eCnt == 0L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       iter += 1
-      val next = und.join(labels, und("a") === labels("id"))
-        .select(und("b").as("id"), col("comp"))
-        .unionByName(labels)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // Large-star over the full (undirected) neighborhood of u.
+      val und = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = und.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = und.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // Small-star over the lo-neighbors of each hi node. m = min
+      // lo-neighbor; link the other lo-neighbors and hi itself to m.
+      val smins = ls.groupBy("hi").agg(min("lo").as("m"))
+      val joined = ls.join(smins, "hi")
+      val ss = joined.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(joined.select(col("hi"), col("m").as("lo")))
+        .distinct()
         .localCheckpoint()
-      // one scalar to the driver: #nodes whose label improved
-      changed = next.join(labels, Seq("id", "comp"), "left_anti").count()
-      graft.Checkpoints.release(labels)
-      labels = next
+      // Fixpoint test: per-node min labels only ever decrease, so
+      // equal counts + empty (new \ old) ⇒ equal sets.
+      val ssCnt = ss.count()
+      converged = ssCnt == eCnt && ss.except(e).count() == 0L
+      graft.Checkpoints.release(e)
+      e = ss
+      eCnt = ssCnt
     }
-    graft.Checkpoints.release(und)
-    (labels, changed == 0L)
+    // At the fixpoint every edge is (member, component-min).
+    val labels = nodes
+      .join(e.select(col("hi").as("id"), col("lo").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    (labels, converged)
   }
 }
