@@ -24,6 +24,7 @@ object Registry {
       graft.text.CorpusPipeline.declared ++
       graft.text.CurationQueries.declared ++
       graft.text.PipelineOps.declared ++
+      graft.text.CorpusOps.declared ++
       graft.similarity.SimilarityQueries.declared ++
       graft.multimodal.Multimodal.declared ++
       graft.mrdf.MrdfQueries.declared
