@@ -63,23 +63,26 @@ object CorpusOps {
 
   /** Cross-document shared n-gram coverage: per document, the fraction
     * of its distinct word `n`-grams that occur in ≥ 2 distinct
-    * documents corpus-wide. Shingle table is checkpointed once and
-    * feeds both the document-frequency aggregate and the per-doc
-    * counts (the harness sweep releases the pinned blocks). Documents
-    * with fewer than `n` words carry no n-grams and are absent, as in
-    * the q55 decontamination semantics. */
+    * documents corpus-wide. Single pass: document frequency comes from
+    * a whole-partition window over the shingle (shingles are distinct
+    * per doc, so a plain count IS the distinct-doc count), then one
+    * aggregation by doc — two shuffles total, no join, no
+    * re-materialization. Shingles shuffle as 64-bit hashes, not
+    * strings (q25's trick: same counts, collisions ~n²/2⁶⁴, half the
+    * shuffle bytes). Documents with fewer than `n` words carry no
+    * n-grams and are absent, as in the q55 decontamination semantics. */
   def sharedNgrams(docs: DataFrame, n: Int = 8): DataFrame = {
-    val sh = TextQueries.wordShingles(docs, n).localCheckpoint()
-    val dfreq = sh.groupBy(col("shingle"))
-      .agg(count_distinct(col("doc_id")).as("df"))
-    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
-    val shared = sh.join(dfreq.filter(col("df") >= 2), Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    perDoc.join(shared, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_ngrams"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        round(coalesce(col("n_shared"), lit(0L)).cast("double")
-          / col("n_ngrams"), 4).as("shared_frac"))
+    import org.apache.spark.sql.expressions.Window
+    val sh = TextQueries.wordShingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val df = count(lit(1)).over(Window.partitionBy(col("shingle")))
+    sh.withColumn("df", df)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_ngrams"), 4)
+          .as("shared_frac"))
       .orderBy(col("doc_id"))
   }
 
