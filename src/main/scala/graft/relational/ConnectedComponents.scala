@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
   * Scale shape (the 100 TB story): each half-round shuffles |E| rows
   * into a hash aggregate keyed by node (partial aggregation reduces
   * map-side first) plus one co-partitioned join on the same key. No
-  * driver data path; the only driver values are the per-round edge
-  * count and changed-count (one except count). Lineage is truncated
+  * driver data path; the only driver value is a per-round edge-set
+  * fingerprint (count + xor-hash, one scalar agg). Lineage is truncated
   * per round via localCheckpoint; superseded checkpoints are released
   * eagerly.
   */
@@ -42,6 +42,18 @@ object ConnectedComponents {
     * @return ((id, comp) DataFrame, converged flag)
     */
   def label(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): (DataFrame, Boolean) = {
+    // Order-independent content fingerprint of an edge set — one
+    // map-combinable aggregate pass. Set equality via (count, xor of
+    // per-edge hashes): labels only ever decrease, so across rounds a
+    // fingerprint match means the fixpoint was reached (a spurious
+    // 64-bit xor collision between DIFFERENT consecutive edge sets is
+    // ~2⁻⁶⁴ — and the label() output is still whatever round produced,
+    // deterministically). This replaces a per-round `except` anti-join
+    // (two full |E| shuffles) with one partial-agg scan.
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("hi"), col("lo")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     // Canonical directed form: (hi, lo) with lo < hi, deduped.
     var e = edges
       .select(greatest(col("a"), col("b")).as("hi"),
@@ -49,8 +61,8 @@ object ConnectedComponents {
       .filter(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint()
-    var eCnt = e.count()
-    var converged = eCnt == 0L
+    var eFp = fp(e)
+    var converged = eFp._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
@@ -72,13 +84,13 @@ object ConnectedComponents {
         .unionByName(joined.select(col("hi"), col("m").as("lo")))
         .distinct()
         .localCheckpoint()
-      // Fixpoint test: per-node min labels only ever decrease, so
-      // equal counts + empty (new \ old) ⇒ equal sets.
-      val ssCnt = ss.count()
-      converged = ssCnt == eCnt && ss.except(e).count() == 0L
+      // Fixpoint test: fingerprints equal ⇒ equal sets (labels are
+      // monotone non-increasing; see fp()).
+      val ssFp = fp(ss)
+      converged = ssFp == eFp
       graft.Checkpoints.release(e)
       e = ss
-      eCnt = ssCnt
+      eFp = ssFp
     }
     // At the fixpoint every edge is (member, component-min).
     val labels = nodes

@@ -73,8 +73,7 @@ object CorpusOps {
     * n-grams and are absent, as in the q55 decontamination semantics. */
   def sharedNgrams(docs: DataFrame, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = TextQueries.wordShingles(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val sh = TextQueries.hashedWordShingles(docs, n)
     val df = count(lit(1)).over(Window.partitionBy(col("shingle")))
     sh.withColumn("df", df)
       .groupBy(col("doc_id"))

@@ -28,8 +28,9 @@ object CurationQueries {
     // materialized once: the shingle table feeds the benchmark slice,
     // the train slice, and the totals agg — without it Catalyst
     // re-runs the shingle Generate per consumer (same pattern as
-    // jaccardPairs); the harness sweep releases the pinned blocks
-    val sh = TextQueries.wordShingles(docs, n).localCheckpoint()
+    // jaccardPairs); the harness sweep releases the pinned blocks.
+    // Hashed shingles: the semi-join and counts only need key identity.
+    val sh = TextQueries.hashedWordShingles(docs, n).localCheckpoint()
     val bench = sh.filter(col("doc_id") % 10 === 0).select(col("shingle")).distinct()
     val train = sh.filter(col("doc_id") % 10 =!= 0)
     val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))

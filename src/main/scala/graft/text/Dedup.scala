@@ -24,9 +24,11 @@ object Dedup {
   val RowsPerBand: Int = NumHashes / Bands
 
   /** MinHash signature per doc: h_i = min over shingles of
-    * xxhash64(i, shingle), i < NumHashes. */
+    * xxhash64(i, shingle), i < NumHashes — shingle identity is its
+    * 64-bit hash (hashedWordShingles), which only re-bases the hash
+    * family; MinHash's uniformity assumption is unchanged. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = TextQueries.wordShingles(docs)
+    val sh = TextQueries.hashedWordShingles(docs)
     val mins = (0 until NumHashes)
       .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)

@@ -27,6 +27,24 @@ object TextQueries {
           .as("shingle"))
   }
 
+  /** [[wordShingles]] keyed by 64-bit hash: xxhash64 over the n word
+    * columns directly, skipping the concat_ws string build the hash
+    * would immediately consume. For every engine consumer — inverted-
+    * index joins, document-frequency counts, MinHash bases — only key
+    * identity matters, and the per-doc distinct sets match the string
+    * form's up to ~n²/2⁶⁴ collisions (the oracles compare real string
+    * shingles, so a collision would be CAUGHT, not hidden). */
+  def hashedWordShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val words = split(col("text"), " ")
+    docs
+      .filter(size(words) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(words) - lit(n - 1)),
+          i => xxhash64((0 until n).map(o => element_at(words, i + lit(o))): _*))))
+          .as("shingle"))
+  }
+
   /** Shingles with document frequency above this are dropped before the
     * self-join (stop-shingle removal). Natural-language n-grams are
     * Zipfian: one shingle shared by M docs yields M² join rows, so an
@@ -47,9 +65,7 @@ object TextQueries {
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     // join on the 64-bit shingle hash, not the string: same pairs
     // (collisions are ~n²/2⁶⁴), half the shuffle bytes
-    val all = wordShingles(docs)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .localCheckpoint()
+    val all = hashedWordShingles(docs).localCheckpoint()
     // Hot-shingle cap: df table is one small agg; left_semi keeps the
     // posting lists ≤ MaxShingleDf. Sizes are computed AFTER the cap so
     // Jaccard is exact over the capped shingle sets.
