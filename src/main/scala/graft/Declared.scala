@@ -25,7 +25,10 @@ object Registry {
       graft.text.CurationQueries.declared ++
       graft.text.PipelineOps.declared ++
       graft.text.CorpusOps.declared ++
+      graft.text.LineDedup.declared ++
+      graft.text.CorpusStats.declared ++
       graft.similarity.SimilarityQueries.declared ++
+      graft.similarity.EmbeddingStats.declared ++
       graft.multimodal.Multimodal.declared ++
       graft.mrdf.MrdfQueries.declared
 

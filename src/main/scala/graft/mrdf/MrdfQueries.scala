@@ -20,7 +20,9 @@ object MrdfQueries {
     * neighbors; recall converges in ~6–10 rounds. Measured A/B:
     * ρ=3/α=250 lifts recall 0.987→0.995 but in-block NN-Descent time
     * grows superlinearly with block size (2.3× wall at sf0.1) — not
-    * worth it above the 0.9 gate. */
+    * worth it above the 0.9 gate; ρ=8 halves the divide levels (−15%
+    * wall at sf0.1) but also halves sf0.001 block size — recall
+    * 0.97→0.93, too close to the gate. */
   val testParams: Mrdf.Params =
     Mrdf.Params(k = 10, rho = 4, alpha = 200, tau = 0.01, seed = 42L, maxIter = 10)
 

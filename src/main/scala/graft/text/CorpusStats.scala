@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, Tables}
+
+/** Corpus-distribution diagnostics — the "what is in this corpus"
+  * reports a pipeline runs before and after every curation change:
+  *
+  *  - document-length histogram with cumulative share (the plot every
+  *    data card carries; also the input to choosing chunking/packing
+  *    budgets);
+  *  - per-source unigram KL divergence vs the whole corpus — the
+  *    drift/skew measure for mixture decisions: a source whose word
+  *    distribution diverges hardest from the corpus is the one whose
+  *    up/down-weighting moves the mixture most.
+  *
+  * Double determinism: KL terms are computed from integer counts with
+  * an identical expression shape on both engines, quantized to integer
+  * nano-nats per (source, word) BEFORE the sum (q68's idiom) — long
+  * addition is order-independent where float addition is not.
+  */
+object CorpusStats {
+
+  /** Fixed-width `width`-char length histogram: per bucket, doc count,
+    * char bounds, and running cumulative document share. The cumulative
+    * window runs over ≤ (max_chars/width) aggregated rows, not the
+    * corpus. */
+  def lengthHistogram(docs: DataFrame, width: Int = 200): DataFrame = {
+    val agg = docs
+      .groupBy((floor(col("n_chars") / width) * width).as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    val total = agg.agg(sum(col("n_docs")).as("n_total"))
+    val w = Window.orderBy(col("bucket_lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.crossJoin(broadcast(total))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .select(col("bucket_lo"), col("n_docs"), col("min_chars"), col("max_chars"),
+        round(col("cum_docs").cast("double") / col("n_total"), 4).as("cum_share"))
+      .orderBy(col("bucket_lo"))
+  }
+
+  /** Per-source unigram KL(source ‖ corpus) over lower-cased
+    * whitespace tokens: Σ_w p_s(w) · ln(p_s(w)/p(w)), with every term
+    * derived from the four integer counts (c_sw, t_s, c_w, t) and
+    * quantized to nano-nats before summation. Every source word occurs
+    * in the corpus by construction, so no zero-division exists. */
+  def sourceKlDrift(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+    // csw feeds three consumers (cw, ts, the scoring join); checkpoint
+    // once so the token explode + agg don't re-run per consumer
+    val csw = toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint()
+    val cw = csw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val ts = csw.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
+    val t = cw.agg(sum(col("c_w")).as("t"))
+    val term = col("c_sw").cast("double") / col("t_s")
+    val klNano = round(term * log(term / (col("c_w").cast("double") / col("t"))) * 1e9)
+      .cast("long")
+    csw.join(cw, Seq("w"))
+      .join(broadcast(ts), Seq("source"))
+      .crossJoin(broadcast(t))
+      .withColumn("kl_nano", klNano)
+      .groupBy(col("source"), col("t_s"))
+      .agg(count(lit(1)).as("vocab"), sum(col("kl_nano")).as("kl_nano_sum"))
+      .select(col("source"), col("t_s").as("n_tokens"), col("vocab"),
+        round(col("kl_nano_sum").cast("double") / 1e9, 6).as("kl_divergence"))
+      .orderBy(col("source"))
+  }
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q71_length_histogram",
+      (s, dir) => lengthHistogram(Tables.load(s, dir, "documents")),
+      Some("""WITH h AS (SELECT CAST(floor(n_chars / 200) * 200 AS BIGINT) AS bucket_lo,
+        |         count(*) AS n_docs,
+        |         CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |         CAST(max(n_chars) AS BIGINT) AS max_chars
+        |       FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS n_total FROM h)
+        |SELECT bucket_lo, n_docs, min_chars, max_chars,
+        |  round(CAST(sum(n_docs) OVER (ORDER BY bucket_lo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / n_total, 4) AS cum_share
+        |FROM h CROSS JOIN t ORDER BY bucket_lo""".stripMargin),
+      doc = "Doc-length histogram with cumulative share (200-char buckets)"),
+
+    Declared(
+      "q72_kl_drift",
+      (s, dir) => sourceKlDrift(Tables.load(s, dir, "documents")),
+      Some("""WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |         FROM documents),
+        |csw AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY 1, 2),
+        |cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM csw GROUP BY 1),
+        |ts AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS t_s FROM csw GROUP BY 1),
+        |t AS (SELECT CAST(sum(c_w) AS BIGINT) AS t FROM cw),
+        |terms AS (SELECT source, t_s,
+        |    CAST(round((CAST(c_sw AS DOUBLE) / t_s)
+        |      * ln((CAST(c_sw AS DOUBLE) / t_s) / (CAST(c_w AS DOUBLE) / t))
+        |      * 1000000000) AS BIGINT) AS kl_nano
+        |  FROM csw JOIN cw USING (w) JOIN ts USING (source) CROSS JOIN t)
+        |SELECT source, t_s AS n_tokens, count(*) AS vocab,
+        |  round(CAST(sum(kl_nano) AS DOUBLE) / 1000000000, 6) AS kl_divergence
+        |FROM terms GROUP BY source, t_s ORDER BY source""".stripMargin),
+      doc = "Per-source unigram KL divergence vs corpus (mixture drift)")
+  )
+}

@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, Tables}
+
+/** Sentence-level exact dedup + Bloom-filter decontamination — the two
+  * corpus-hygiene operators that complete the dedup family below the
+  * document grain and above the shuffle-join cost floor:
+  *
+  *  - repeated-line removal (CCNet / RefinedWeb): an occurrence of a
+  *    sentence survives only where it first appears corpus-wide
+  *    (minimum (doc_id, pos)); every other copy is dropped. Reported
+  *    per document as kept/total counts.
+  *  - Bloom-filter decontamination: the 100 TB shape of q55 — instead
+  *    of shuffling the training corpus's shingles into a semi-join
+  *    against the benchmark set, build one Bloom filter over the
+  *    benchmark shingles (distributed sketch aggregation, bitset to
+  *    the driver) and broadcast it; the scan side then never shuffles
+  *    at all. Zero false negatives by construction; false positives
+  *    bounded by the configured fpp (over-flagging only, the safe
+  *    direction for decontamination).
+  */
+object LineDedup {
+
+  /** Per-document repeated-sentence removal report: of `n_sents`
+    * sentence occurrences, `n_kept` are globally-first occurrences
+    * (minimum (doc_id, pos) per distinct sentence). One sort-shuffle
+    * on the 64-bit sentence hash (whole-partition min window — q67's
+    * shape), one hash-agg by doc. */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val sents = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+    val firstOcc = min(struct(col("doc_id"), col("pos")))
+      .over(Window.partitionBy(col("h")))
+    sents
+      .withColumn("keep",
+        struct(col("doc_id"), col("pos")) === firstOcc)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_sents"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_sents"), 4).as("kept_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-slice membership filter: Bloom over the held-out slice's
+    * distinct hashed `n`-gram shingles (q55's slice convention,
+    * doc_id ≡ 0 mod 10). `expectedItems`/`fpp` size the bitset; the
+    * build is a distributed sketch aggregation (bit-OR merge ⇒
+    * insertion-order independent ⇒ deterministic output for a
+    * deterministic input set). Scan side: broadcast bitset probe per
+    * shingle, one hash-agg by doc — the training corpus is never
+    * shuffled on content. */
+  def bloomDecontaminate(docs: DataFrame, n: Int = 5,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val sh = TextQueries.hashedWordShingles(docs, n).localCheckpoint()
+    val bf = sh.filter(col("doc_id") % 10 === 0)
+      .select(col("shingle")).distinct()
+      .stat.bloomFilter("shingle", expectedItems, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(mightContain(col("shingle")), 1L).otherwise(0L)).as("n_bloom_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+        (col("n_bloom_hits") > 0L).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q69_line_dedup",
+      (s, dir) => lineDedup(Tables.load(s, dir, "documents")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, '. ') AS ss FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest(range(1, len(ss) + 1)) AS pos,
+        |        unnest(ss) AS snt
+        |      FROM w),
+        |k AS (SELECT doc_id, snt,
+        |        row_number() OVER (PARTITION BY snt ORDER BY doc_id, pos) AS rn
+        |      FROM s)
+        |SELECT doc_id, count(*) AS n_sents,
+        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+        |  round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS kept_frac
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "Repeated-sentence removal: keep first global occurrence (CCNet line dedup)"),
+
+    Declared(
+      // Deterministic (bit-OR sketch merge) but not ANSI-expressible ⇒
+      // rows-only for the driver; the spec proves zero false negatives
+      // vs the exact q55 semi-join and bounds the false-positive rate.
+      "q70_bloom_decontam",
+      (s, dir) => bloomDecontaminate(Tables.load(s, dir, "documents")),
+      None,
+      doc = "Bloom-filter decontamination (broadcast bitset, no content shuffle)")
+  )
+}

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LineDedupSpec extends SparkSpec {
+
+  test("lineDedup: first global occurrence survives, later copies drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha one. shared line. tail a"),
+      (2L, "shared line. beta two"), // "shared line" already seen in doc 1
+      (3L, "gamma. gamma")           // in-doc repeat: second copy drops
+    ).toDF("doc_id", "text")
+    val got = LineDedup.lineDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 3L), (2L, 2L, 1L), (3L, 2L, 1L)))
+  }
+
+  test("bloomDecontaminate: zero false negatives vs exact semi-join, fp bounded") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val bloom = LineDedup.bloomDecontaminate(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // exact contamination (q55 semantics, same slice + n)
+    val exact = CurationQueries.contamination(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bloom.keySet == exact.keySet) // same train docs, same shingle carriers
+    // Bloom filters never miss a true member: every doc with exact overlap
+    // must be flagged, and its hit count must cover the exact count.
+    exact.foreach { case (id, nShared) =>
+      if (nShared > 0) {
+        assert(bloom(id)._2, s"doc $id contaminated but not flagged")
+        assert(bloom(id)._1 >= nShared, s"doc $id bloom hits < exact overlap")
+      }
+    }
+    // False positives only over-flag; at fpp=1% the clean-doc flag rate
+    // stays small (generous 10% bound — each doc probes many shingles).
+    val clean = exact.filter(_._2 == 0L).keySet
+    if (clean.nonEmpty) {
+      val falsePos = clean.count(id => bloom(id)._2)
+      assert(falsePos.toDouble / clean.size < 0.10,
+        s"$falsePos/${clean.size} clean docs false-flagged")
+    }
+    // deterministic rerun (bit-OR merge is order-independent)
+    val again = LineDedup.bloomDecontaminate(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(again == bloom)
+  }
+
+  test("lengthHistogram: buckets partition the corpus, cum_share ends at 1") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val got = CorpusStats.lengthHistogram(docs).collect()
+    assert(got.map(_.getLong(1)).sum == docs.count())
+    assert(math.abs(got.last.getDouble(4) - 1.0) < 1e-9)
+    // buckets are disjoint 200-char ranges: min/max stay inside
+    got.foreach { r =>
+      val lo = r.getLong(0)
+      assert(r.getLong(2) >= lo && r.getLong(3) < lo + 200)
+    }
+  }
+
+  test("sourceKlDrift: identical distributions give 0, skewed ones > 0") {
+    import spark.implicits._
+    // sources A and B have the SAME word distribution → corpus equals
+    // both → KL = 0; source C is disjoint vocabulary → KL > 0
+    val docs = Seq(
+      (1L, "x y x y", "A"), (2L, "x y x y", "B"),
+      (3L, "z z z z", "C")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusStats.sourceKlDrift(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // A,B: p_s(x)=p_s(y)=.5 vs corpus p(x)=p(y)=1/3 → KL = ln(3/2) > 0
+    assert(math.abs(got("A") - got("B")) < 1e-9)
+    assert(got("A") > 0.4 && got("A") < 0.41) // ln(1.5) ≈ 0.4055
+    // C: p(z|C)=1 vs corpus p(z)=1/3 → KL = ln 3 ≈ 1.0986
+    assert(got("C") > 1.09 && got("C") < 1.10)
+  }
+
+  test("labelCentroids: hand centroid of two vectors per label") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 6.0f), 0),
+      (3L, Array(5.0f, 5.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.similarity.EmbeddingStats.labelCentroids(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((0, 0, 2L, 2.0), (0, 1, 2L, 4.0), (1, 0, 1L, 5.0), (1, 1, 1L, 5.0)))
+  }
+}
