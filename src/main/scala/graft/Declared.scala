@@ -30,7 +30,8 @@ object Registry {
       graft.similarity.SimilarityQueries.declared ++
       graft.similarity.EmbeddingStats.declared ++
       graft.multimodal.Multimodal.declared ++
-      graft.mrdf.MrdfQueries.declared
+      graft.mrdf.MrdfQueries.declared ++
+      graft.SqlApi.declared
 
   def byName(n: String): Declared =
     all.find(_.name == n).getOrElse(sys.error(s"no declared query $n"))

@@ -134,6 +134,23 @@ object StreamingPipelines {
         col("content_hash"))
   }
 
+  /** Streaming decontamination — q70/q55's gate as an incremental
+    * pipeline: each arriving document's hashed word n-grams are probed
+    * against the STATIC benchmark shingle set via a stream-static
+    * left-semi join (the static side builds once and broadcasts/hashes;
+    * per micro-batch work is row-local probing, no stream state), and a
+    * flagged doc id is emitted once (`dropDuplicatesWithinWatermark`
+    * bounds the dedup state to the watermark horizon). At corpus scale
+    * this is the shape of an ingest-time contamination tripwire: the
+    * benchmark set is fixed, the corpus streams past it. */
+  def decontaminateStream(docs: DataFrame, benchShingles: DataFrame, n: Int = 5): DataFrame =
+    graft.text.TextQueries.hashedWordShingles(
+        docs.withWatermark("ingest_ts", "1 hour"), n, keep = Seq("ingest_ts"))
+      .join(benchShingles, Seq("shingle"), "left_semi")
+      .select(col("ingest_ts"), col("doc_id"))
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"))
+
   /** File-source streaming read of ingest-timestamped documents. */
   def readDocsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

@@ -72,6 +72,25 @@ object CorpusStats {
       .orderBy(col("source"))
   }
 
+  /** Count-Min-Sketch frequency estimates for a fixed probe vocabulary
+    * (the stopword list): the sketch builds in ONE distributed pass
+    * with a merge-law partial aggregation — no (word) shuffle at any
+    * corpus size, unlike the exact q56 groupBy — and the driver probes
+    * a constant list of words against the merged sketch. Seeded ⇒
+    * deterministic; overestimate-only by construction (CMS never
+    * undercounts). The spec proves both vs exact counts. */
+  def cmsStopwordCounts(docs: DataFrame,
+                        eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(split(lower(col("text")), " ")).as("w"))
+    val cms = toks.stat.countMinSketch(col("w"), eps, confidence, seed = 42)
+    TextQueries.Stopwords
+      .map(w => (w, cms.estimateCount(w)))
+      .toDF("word", "est_count")
+      .orderBy(col("word"))
+  }
+
   val declared: Seq[Declared] = Seq(
     Declared(
       "q71_length_histogram",
@@ -106,6 +125,15 @@ object CorpusStats {
         |SELECT source, t_s AS n_tokens, count(*) AS vocab,
         |  round(CAST(sum(kl_nano) AS DOUBLE) / 1000000000, 6) AS kl_divergence
         |FROM terms GROUP BY source, t_s ORDER BY source""".stripMargin),
-      doc = "Per-source unigram KL divergence vs corpus (mixture drift)")
+      doc = "Per-source unigram KL divergence vs corpus (mixture drift)"),
+
+    Declared(
+      // Sketch ⇒ rows-only for the driver; the spec proves the CMS
+      // overestimate law (est ≥ exact, est ≤ exact + ε·N) vs q56-style
+      // exact counts, and bit-identical seeded reruns.
+      "q74_cms_stopwords",
+      (s, dir) => cmsStopwordCounts(Tables.load(s, dir, "documents")),
+      None,
+      doc = "Count-Min-Sketch frequency estimates, fixed probe vocab (no shuffle)")
   )
 }

@@ -13,7 +13,8 @@ import graft.{Declared, Tables}
   */
 object TextQueries {
 
-  private val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  private[text] val Stopwords =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
   /** Word 3-shingles per doc (distinct), the unit for Jaccard dedup. */
   def wordShingles(docs: DataFrame, n: Int = 3): DataFrame = {
@@ -34,15 +35,16 @@ object TextQueries {
     * identity matters, and the per-doc distinct sets match the string
     * form's up to ~n²/2⁶⁴ collisions (the oracles compare real string
     * shingles, so a collision would be CAUGHT, not hidden). */
-  def hashedWordShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  def hashedWordShingles(docs: DataFrame, n: Int = 3,
+                         keep: Seq[String] = Nil): DataFrame = {
     val words = split(col("text"), " ")
     docs
       .filter(size(words) >= n)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: keep.map(col) :+
         explode(array_distinct(transform(
           sequence(lit(1), size(words) - lit(n - 1)),
           i => xxhash64((0 until n).map(o => element_at(words, i + lit(o))): _*))))
-          .as("shingle"))
+          .as("shingle"): _*)
   }
 
   /** Shingles with document frequency above this are dropped before the

@@ -121,6 +121,32 @@ class StreamingSpec extends SparkSpec {
       "per-doc (n_words, est_tokens) multiset must match the batch gate")
   }
 
+  test("streaming decontamination flags exactly the batch-contaminated docs") {
+    val src = Files.createTempDirectory("graft-stream-decon").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        timestamp_seconds(lit(1600000000L) + col("doc_id")).as("ingest_ts"))
+    docs.write.mode("overwrite").parquet(src)
+    // static benchmark side: the held-out slice's distinct hashed
+    // 5-grams (q55's convention), from the batch table
+    val bench = graft.text.TextQueries
+      .hashedWordShingles(docs.filter(col("doc_id") % 10 === 0), 5)
+      .select(col("shingle")).distinct()
+    val stream = StreamingPipelines.readDocsStream(spark, src)
+      .filter(col("doc_id") % 10 =!= 0)
+    val q = StreamingPipelines.decontaminateStream(stream, bench)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("decon").collect().map(_.getLong(0)).toSet
+    val batch = graft.text.CurationQueries.contamination(docs).collect()
+      .filter(_.getLong(2) > 0L).map(_.getLong(0)).toSet
+    assert(got == batch,
+      s"missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+    assert(batch.nonEmpty, "fixture has no contaminated docs — test is vacuous")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions at the gap") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft-stream-sess").toString

@@ -77,6 +77,25 @@ class LineDedupSpec extends SparkSpec {
     assert(got("C") > 1.09 && got("C") < 1.10)
   }
 
+  test("cmsStopwordCounts: overestimate law vs exact counts, seeded rerun identical") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val est = CorpusStats.cmsStopwordCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = docs.select(explode(split(lower(col("text")), " ")).as("w"))
+    val nTotal = toks.count()
+    val exact = toks.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (w, e) =>
+      val truth = exact.getOrElse(w, 0L)
+      assert(e >= truth, s"CMS undercounted '$w': $e < $truth")
+      assert(e <= truth + (0.001 * nTotal).toLong + 1,
+        s"CMS estimate for '$w' exceeds the eps*N bound")
+    }
+    val again = CorpusStats.cmsStopwordCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == est, "seeded sketch rerun must be bit-identical")
+  }
+
   test("labelCentroids: hand centroid of two vectors per label") {
     import spark.implicits._
     val emb = Seq(
