@@ -27,6 +27,7 @@ object Registry {
       graft.text.CorpusOps.declared ++
       graft.text.LineDedup.declared ++
       graft.text.CorpusStats.declared ++
+      graft.text.SampleOps.declared ++
       graft.similarity.SimilarityQueries.declared ++
       graft.similarity.EmbeddingStats.declared ++
       graft.multimodal.Multimodal.declared ++

@@ -24,13 +24,17 @@ object CurationQueries {
 
   /** Training docs sharing ≥ 1 word n-gram with the benchmark slice
     * (stand-in: doc_id ≡ 0 (mod 10)), with overlap counts/ratio. */
-  def contamination(docs: DataFrame, n: Int = 5): DataFrame = {
+  def contamination(docs: DataFrame, n: Int = 5,
+                    shinglesOverride: Option[DataFrame] = None): DataFrame = {
     // materialized once: the shingle table feeds the benchmark slice,
     // the train slice, and the totals agg — without it Catalyst
     // re-runs the shingle Generate per consumer (same pattern as
     // jaccardPairs); the harness sweep releases the pinned blocks.
     // Hashed shingles: the semi-join and counts only need key identity.
-    val sh = TextQueries.hashedWordShingles(docs, n).localCheckpoint()
+    // The declared wiring passes the Materialized shared table (also
+    // consumed by q70) via shinglesOverride.
+    val sh = shinglesOverride.getOrElse(
+      TextQueries.hashedWordShingles(docs, n).localCheckpoint())
     val bench = sh.filter(col("doc_id") % 10 === 0).select(col("shingle")).distinct()
     val train = sh.filter(col("doc_id") % 10 =!= 0)
     val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
@@ -74,7 +78,8 @@ object CurationQueries {
   val declared: Seq[Declared] = Seq(
     Declared(
       "q55_decontamination",
-      (s, dir) => contamination(Tables.load(s, dir, "documents")),
+      (s, dir) => contamination(Tables.load(s, dir, "documents"),
+        shinglesOverride = Some(TextQueries.sharedHashedShingles(s, dir, 5))),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
         |         unnest(list_transform(range(1, len(ws) - 3),

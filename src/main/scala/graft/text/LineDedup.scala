@@ -57,9 +57,11 @@ object LineDedup {
     * shuffled on content. */
   def bloomDecontaminate(docs: DataFrame, n: Int = 5,
                          expectedItems: Long = 1000000L,
-                         fpp: Double = 0.01): DataFrame = {
+                         fpp: Double = 0.01,
+                         shinglesOverride: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
-    val sh = TextQueries.hashedWordShingles(docs, n).localCheckpoint()
+    val sh = shinglesOverride.getOrElse(
+      TextQueries.hashedWordShingles(docs, n).localCheckpoint())
     val bf = sh.filter(col("doc_id") % 10 === 0)
       .select(col("shingle")).distinct()
       .stat.bloomFilter("shingle", expectedItems, fpp)
@@ -98,7 +100,8 @@ object LineDedup {
       // rows-only for the driver; the spec proves zero false negatives
       // vs the exact q55 semi-join and bounds the false-positive rate.
       "q70_bloom_decontam",
-      (s, dir) => bloomDecontaminate(Tables.load(s, dir, "documents")),
+      (s, dir) => bloomDecontaminate(Tables.load(s, dir, "documents"),
+        shinglesOverride = Some(TextQueries.sharedHashedShingles(s, dir, 5))),
       None,
       doc = "Bloom-filter decontamination (broadcast bitset, no content shuffle)")
   )

@@ -56,29 +56,39 @@ object TextQueries {
   val MaxShingleDf = 500
 
   /** Near-duplicate candidate pairs by exact n-gram Jaccard ≥ threshold,
-    * via inverted-index self-join (scales: only docs sharing a shingle
-    * ever meet; no N² compare).
+    * via an inverted index in posting-list form (scales: only docs
+    * sharing a shingle ever meet; no N² compare).
     *
-    * Materializes the capped shingle table eagerly (`localCheckpoint`):
-    * it feeds both self-join sides and both size lookups, and without
-    * materialization Catalyst re-runs the shingle Generate once per
-    * consumer (8× in the observed plan). The caller (or the harness's
-    * per-query sweep) releases the pinned blocks when done. */
+    * Materializes the capped posting-list table eagerly
+    * (`localCheckpoint`): it feeds both the size lookup and the pair
+    * generation, and without materialization Catalyst re-runs the
+    * shingle Generate + groupBy per consumer. The caller (or the
+    * harness's per-query sweep) releases the pinned blocks when done. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // join on the 64-bit shingle hash, not the string: same pairs
-    // (collisions are ~n²/2⁶⁴), half the shuffle bytes
-    val all = hashedWordShingles(docs).localCheckpoint()
-    // Hot-shingle cap: df table is one small agg; left_semi keeps the
-    // posting lists ≤ MaxShingleDf. Sizes are computed AFTER the cap so
-    // Jaccard is exact over the capped shingle sets.
-    val kept = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select(col("shingle"))
-    val sh = all.join(kept, Seq("shingle"), "left_semi").localCheckpoint()
-    graft.Checkpoints.release(all)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // Inverted index as POSTING LISTS: one groupBy on the 64-bit
+    // shingle hash (hashes, not strings: same pairs, collisions
+    // ~n²/2⁶⁴, half the shuffle bytes) yields each shingle's sorted
+    // doc list; the hot-shingle cap (`size ≤ MaxShingleDf`) fuses into
+    // the same pass, and candidate pairs generate IN PLACE from each
+    // bounded list (≤ T²/2 per shingle by the cap). Versus the
+    // two-sided self-join this removes a whole shuffle of the shingle
+    // table and the separate df-filter semi-join. Per-group state is
+    // ≤ MaxShingleDf ids — executor-safe at any corpus size.
+    val posting = hashedWordShingles(docs)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= MaxShingleDf)
+      .localCheckpoint()
+    // Doc sizes over the capped shingle sets, recovered from the
+    // posting lists (no second pass over the corpus).
+    val sizes = posting.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // Ordered pairs (d1 < d2) within each sorted posting list.
+    val inter = posting.filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
+          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
@@ -120,6 +130,14 @@ object TextQueries {
   def sharedJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
     graft.Materialized.table(s, dir, s"jaccard_pairs_$threshold") {
       jaccardPairs(graft.Tables.load(s, dir, "documents"), threshold)
+    }
+
+  /** The `documents` table's hashed `n`-gram shingle table, materialized
+    * once per process/sf — feeds both decontamination paths (q55 exact
+    * semi-join, q70 Bloom probe). */
+  def sharedHashedShingles(s: SparkSession, dir: String, n: Int): DataFrame =
+    graft.Materialized.table(s, dir, s"shingles_$n") {
+      hashedWordShingles(graft.Tables.load(s, dir, "documents"), n)
     }
 
   /** English stopword-ratio language heuristic. */

@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SampleOpsSpec extends SparkSpec {
+
+  private def mix(seed: Long)(id: Long): Long = {
+    var z = id + seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  test("reservoirPerLang equals a local bottom-n and survives repartitioning") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val got = SampleOps.reservoirPerLang(docs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // local reference: bottom-5 ids per lang by splitmix64(seed=42) rank
+    val local = docs.select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues { rows =>
+        rows.map(_._2).sortBy(id => (mix(42L)(id), id)).take(5).mkString(",")
+      }.toMap
+    assert(got == local)
+    // partitioning independence: same sample from a skewed layout
+    val again = SampleOps.reservoirPerLang(docs.repartition(3, col("doc_id"))).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
+  test("compressionRatio: repetition compresses, high-entropy text does not") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val docs = Seq(
+      (1L, "spam " * 400),                                        // pure repetition
+      (2L, Seq.fill(400)(rng.alphanumeric.take(5).mkString).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = SampleOps.compressionRatio(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 < 0.05, s"repetitive text should crush: ${byId(1L)}")
+    assert(byId(2L)._4 > 0.5, s"random text should resist: ${byId(2L)}")
+    // sizes are consistent and reruns bit-identical
+    got.foreach { case (_, raw, comp, ratio) =>
+      assert(math.abs(ratio - math.rint(comp.toDouble / raw * 100) / 100) < 1e-12)
+    }
+    val again = SampleOps.compressionRatio(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq == got.toSeq)
+  }
+}
