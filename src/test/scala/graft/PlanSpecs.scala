@@ -38,4 +38,39 @@ class PlanSpecs extends SparkSpec {
     assert(!p.contains("Window"),
       "per-id selection must be the TopKByWeight aggregation, not a window sort")
   }
+
+  test("jaccard pair generation is posting-list, not self-join") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val p = graft.text.TextQueries.jaccardPairs(docs, 0.1)
+      .queryExecution.executedPlan.toString
+    // no SortMergeJoin/ShuffledHashJoin of the shingle table against
+    // itself — pairs expand in place (Generate) from the checkpointed
+    // posting lists (the collect_list agg runs at checkpoint build)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "pair-up must come from in-place posting-list expansion, not a shingle self-join")
+    assert(p.contains("Generate explode"),
+      "candidate pairs must come from posting-list expansion (Generate)")
+  }
+
+  test("q70 Bloom probe side has no content shuffle before the per-doc agg") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val p = graft.text.LineDedup.bloomDecontaminate(docs)
+      .queryExecution.executedPlan.toString
+    // the ONLY exchanges allowed: by doc_id into the per-doc aggregate
+    // and the final ordering — never by shingle (the whole point: the
+    // corpus is not shuffled on content)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("shingle")),
+      s"bloom path must not shuffle on shingle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q69 sentence-dedup window is hash-partitioned, never global") {
+    val qe = Registry.byName("q69_line_dedup").run(spark, sf0001).queryExecution
+    val global = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.forall(_.foldable) => w
+    }
+    assert(global.isEmpty, "sentence-frequency window must partition by the hash")
+  }
 }
