@@ -18,6 +18,7 @@ object Registry {
   lazy val all: Seq[Declared] =
     graft.knn.KnnQueries.declared ++
       graft.relational.Relational.declared ++
+      graft.relational.EventAnalytics.declared ++
       graft.streaming.TimeWindows.declared ++
       graft.text.TextQueries.declared ++
       graft.text.Dedup.declared ++

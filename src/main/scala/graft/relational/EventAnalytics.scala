@@ -1,0 +1,142 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, Tables}
+
+/** Event-log analytics — the product-analytics staples over the
+  * `events` stream table, all per-user windows/aggregations that
+  * partition by `user_id` (the natural shuffle key; no global
+  * serialization point at any event volume):
+  *
+  *  - throttle/debounce dedup: drop an event when the SAME (user,
+  *    type) fired within the preceding `gapSec` — the log-cleaning
+  *    step before any funnel/retention read (double-clicks, retry
+  *    storms, at-least-once delivery);
+  *  - conversion funnel with strict temporal ordering (first view →
+  *    first click after it → first purchase after that), not the
+  *    naive type-count funnel that overcounts out-of-order journeys;
+  *  - day-0 cohort retention: users grouped by first-activity day,
+  *    counted on each later active day offset — the triangle every
+  *    growth dashboard draws.
+  */
+object EventAnalytics {
+
+  /** Debounce: keep an event iff the previous same-(user, type) event
+    * (by (ts, event_id) order) is absent or more than `gapSec` older.
+    * One lag window per (user, type) partition. */
+  def throttleDedup(events: DataFrame, gapSec: Long = 300L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNull
+        || unix_micros(col("ts")) - col("prev_us") > gapSec * 1000000L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Strictly-ordered view → click → purchase funnel: per-stage user
+    * counts and conversion rates. Stage n's timestamp must be LATER
+    * than stage n−1's first attainment. Three per-user aggs + two
+    * broadcast-size joins on user_id. */
+  def funnel(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    // one row of three scalar counts (each a partial-agg'd count), then
+    // the three funnel rows unpivot from it — no driver action anywhere
+    v.agg(count(lit(1)).as("nv"))
+      .crossJoin(c.agg(count(lit(1)).as("nc")))
+      .crossJoin(p.agg(count(lit(1)).as("np")))
+      .select(explode(array(
+        struct(lit(1).as("stage"), lit("view").as("step"),
+          col("nv").as("n_users"), lit(1.0).as("conversion")),
+        struct(lit(2).as("stage"), lit("click_after_view").as("step"),
+          col("nc").as("n_users"),
+          round(col("nc").cast("double") / col("nv"), 4).as("conversion")),
+        struct(lit(3).as("stage"), lit("purchase_after_click").as("step"),
+          col("np").as("n_users"),
+          round(col("np").cast("double") / col("nc"), 4).as("conversion"))))
+        .as("r"))
+      .select(col("r.stage"), col("r.step"), col("r.n_users"), col("r.conversion"))
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention triangle: users keyed by first-activity DAY,
+    * counted distinct on each active day offset. Output is one row per
+    * (cohort_day, day_offset) — ≤ days² rows regardless of volume. */
+  def retention(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q80_event_throttle",
+      (s, dir) => throttleDedup(Tables.load(s, dir, "events")),
+      Some("""WITH l AS (SELECT event_id, user_id, event_type, ts,
+        |         lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY ts, event_id) AS prev_us
+        |       FROM events)
+        |SELECT event_id, user_id, event_type, ts FROM l
+        |WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 300000000
+        |ORDER BY event_id""".stripMargin),
+      doc = "Debounce dedup: drop same-(user,type) repeats within 5 min"),
+
+    Declared(
+      "q81_funnel",
+      (s, dir) => funnel(Tables.load(s, dir, "events")),
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |        WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'view' AS step,
+        |         (SELECT count(*) FROM v) AS n_users, 1.0 AS conversion
+        |  UNION ALL
+        |  SELECT 2, 'click_after_view', (SELECT count(*) FROM c),
+        |         round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+        |           / (SELECT count(*) FROM v), 4)
+        |  UNION ALL
+        |  SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p),
+        |         round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+        |           / (SELECT count(*) FROM c), 4))
+        |ORDER BY stage""".stripMargin),
+      doc = "Strict-order view→click→purchase funnel with conversion rates"),
+
+    Declared(
+      "q82_retention",
+      (s, dir) => retention(Tables.load(s, dir, "events")),
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |        FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT f.cohort_day,
+        |  CAST(datediff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin),
+      doc = "Day-0 cohort retention triangle (first-activity cohorts)")
+  )
+}

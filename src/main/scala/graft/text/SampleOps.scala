@@ -63,7 +63,33 @@ object SampleOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-allocation stratified subsample: exactly min(`n`, stratum
+    * size) docs per language, chosen by portable md5 rank (q37/q61's
+    * hash idiom) — the "same 20 docs per language on any engine, any
+    * cluster" QA slice. Per-stratum ranking window; Spark's
+    * WindowGroupLimit prunes to ≤ n per stratum map-side. */
+  def stratifiedFixed(docs: DataFrame, n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rank = substring(md5(col("doc_id").cast("string")), 1, 8)
+    val w = Window.partitionBy(col("lang")).orderBy(rank, col("doc_id"))
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q78_stratified_fixed",
+      (s, dir) => stratifiedFixed(Tables.load(s, dir, "documents")),
+      Some("""WITH r AS (SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        |       FROM documents)
+        |SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk FROM r
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin),
+      doc = "Exact-allocation stratified sample: 20 per language by portable hash"),
+
     Declared(
       // Seeded-deterministic but splitmix64 is not ANSI-mirrorable ⇒
       // rows-only; the spec proves the sample equals a local bottom-n

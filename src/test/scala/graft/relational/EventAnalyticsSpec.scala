@@ -1,0 +1,80 @@
+package graft.relational
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("throttleDedup: drops repeats inside the gap, keeps the rest") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1, clicks 0s / +60s / +400s: the +60s one is debounced
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 10:06:40"), 1L, "click", 0.0),
+      // different type inside the gap: untouched
+      (4L, ts("2024-01-01 10:00:30"), 1L, "view", 0.0),
+      // different user inside the gap: untouched
+      (5L, ts("2024-01-01 10:00:30"), 2L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val kept = EventAnalytics.throttleDedup(events).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("funnel: strict ordering excludes out-of-order journeys") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: view → click → purchase (full funnel)
+      (1L, ts("2024-01-01 09:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 09:05:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 09:10:00"), 1L, "purchase", 9.0),
+      // user 2: click BEFORE view, purchase after view but no ordered click
+      (4L, ts("2024-01-01 08:00:00"), 2L, "click", 0.0),
+      (5L, ts("2024-01-01 08:30:00"), 2L, "view", 0.0),
+      (6L, ts("2024-01-01 09:00:00"), 2L, "purchase", 5.0),
+      // user 3: view only
+      (7L, ts("2024-01-01 07:00:00"), 3L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventAnalytics.funnel(events).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1, "view", 3L, 1.0),
+      (2, "click_after_view", 1L, 0.3333),
+      (3, "purchase_after_click", 1L, 1.0)))
+  }
+
+  test("retention: offsets count distinct users against first-activity day") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),  // u1 day0 = Jan 1
+      (2L, ts("2024-01-02 10:00:00"), 1L, "view", 0.0),  // u1 back on day+1
+      (3L, ts("2024-01-02 11:00:00"), 1L, "click", 0.0), // same day, counted once
+      (4L, ts("2024-01-01 12:00:00"), 2L, "view", 0.0),  // u2 day0 = Jan 1
+      (5L, ts("2024-01-03 12:00:00"), 2L, "view", 0.0),  // u2 back on day+2
+      (6L, ts("2024-01-02 09:00:00"), 3L, "view", 0.0)   // u3 day0 = Jan 2
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventAnalytics.retention(events).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-02", 0, 1L)))
+  }
+
+  test("stratifiedFixed: exact allocation, deterministic, capped by stratum size") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val got = graft.text.SampleOps.stratifiedFixed(docs).collect()
+    val perLang = got.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val sizes = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0) == math.min(20L, n).toInt, s"lang $lang")
+    }
+    val again = graft.text.SampleOps.stratifiedFixed(docs).collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}
