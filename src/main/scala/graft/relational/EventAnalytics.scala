@@ -87,7 +87,37 @@ object EventAnalytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Daily activity with 7-day rolling volume: DAU, event count, and
+    * the trailing-week event sum/avg per day. The rolling window runs
+    * over the ≤ #days aggregated rows (one row per day), not the event
+    * stream — same tiny-input global-window pattern as q71. */
+  def dailyActive(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count_distinct(col("user_id")).as("dau"),
+        count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("events_7d", sum(col("n_events")).over(w))
+      .withColumn("avg_7d", round(avg(col("n_events")).over(w), 4))
+      .orderBy(col("day"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q79_daily_active",
+      (s, dir) => dailyActive(Tables.load(s, dir, "events")),
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |         count(DISTINCT user_id) AS dau, count(*) AS n_events
+        |       FROM events GROUP BY 1)
+        |SELECT day, dau, n_events,
+        |  CAST(sum(n_events) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS events_7d,
+        |  round(avg(n_events) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d
+        |FROM d ORDER BY day""".stripMargin),
+      doc = "DAU + trailing-7-day rolling event volume per day"),
+
     Declared(
       "q80_event_throttle",
       (s, dir) => throttleDedup(Tables.load(s, dir, "events")),
