@@ -19,6 +19,7 @@ object Registry {
     graft.knn.KnnQueries.declared ++
       graft.relational.Relational.declared ++
       graft.relational.EventAnalytics.declared ++
+      graft.relational.SkewJoin.declared ++
       graft.streaming.TimeWindows.declared ++
       graft.text.TextQueries.declared ++
       graft.text.Dedup.declared ++

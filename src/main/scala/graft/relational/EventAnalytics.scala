@@ -87,6 +87,53 @@ object EventAnalytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Event-type transition matrix: per-user consecutive event bigrams
+    * (lead over the (ts, event_id)-ordered per-user stream) counted per
+    * (from, to) pair, with the row-normalized transition probability.
+    * The lead window shuffles once on user_id (the natural key); the
+    * probability window runs over the ≤ |types|² aggregated rows. The
+    * single division of two exact counts makes the double
+    * engine-identical. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy(col("from_type"))), 4))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Per-type daily-volume anomaly flags: z-score of each (type, day)
+    * event count against that type's across-days mean/stddev. The
+    * moments come from exact integer sums (count, Σn, Σn²) so both
+    * engines evaluate the identical closed form — no library stddev
+    * accumulation-order drift (q42's idiom). Output is one row per
+    * (type, day) — ≤ types × days rows at any event volume; the stats
+    * side is ≤ |types| rows, broadcast. */
+  def volumeAnomaly(events: DataFrame, zThresh: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("days"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+      .filter(col("days") > 1)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("sd", sqrt((col("ss").cast("double")
+        - col("s").cast("double") * col("s").cast("double") / col("days"))
+        / (col("days") - 1)))
+      .filter(col("sd") > 0)
+      .withColumn("z", round((col("n").cast("double")
+        - col("s").cast("double") / col("days")) / col("sd"), 4))
+      .select(col("event_type"), col("day"), col("n"), col("z"),
+        (abs(col("z")) >= zThresh).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Daily activity with 7-day rolling volume: DAU, event count, and
     * the trailing-week event sum/avg per day. The rolling window runs
     * over the ≤ #days aggregated rows (one row per day), not the event
@@ -155,6 +202,40 @@ object EventAnalytics {
         |           / (SELECT count(*) FROM c), 4))
         |ORDER BY stage""".stripMargin),
       doc = "Strict-order view→click→purchase funnel with conversion rates"),
+
+    Declared(
+      "q84_transitions",
+      (s, dir) => transitions(Tables.load(s, dir, "events")),
+      Some("""WITH b AS (SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |       FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM b
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin),
+      doc = "Per-user event-type transition matrix with row probabilities"),
+
+    Declared(
+      "q90_volume_anomaly",
+      (s, dir) => volumeAnomaly(Tables.load(s, dir, "events")),
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |         count(*) AS n FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS days, sum(n) AS s,
+        |         sum(n * n) AS ss FROM d GROUP BY 1 HAVING count(*) > 1)
+        |SELECT event_type, day, n,
+        |  round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / days)
+        |    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / days)
+        |           / (days - 1)), 4) AS z,
+        |  abs(round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / days)
+        |    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / days)
+        |           / (days - 1)), 4)) >= 2.0 AS is_anomaly
+        |FROM d JOIN st USING (event_type)
+        |WHERE sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / days)
+        |           / (days - 1)) > 0
+        |ORDER BY event_type, day""".stripMargin),
+      doc = "Daily-volume z-score anomaly flags from exact integer moments"),
 
     Declared(
       "q82_retention",

@@ -774,6 +774,63 @@ object Relational {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
-      doc = "JSON field extraction from events.props (§2.8)")
+      doc = "JSON field extraction from events.props (§2.8)"),
+
+    // ----- TPC-H Q18 shape: HAVING-filtered agg driving a join (§2.3/2.4) -----
+    // The lineitem agg and the orders join share the orderkey shuffle
+    // key; the HAVING filter shrinks the agg output to the rare heavy
+    // orders BEFORE any join, and AQE broadcasts that survivor set. At
+    // 100 TB nothing but the survivors ever re-shuffles.
+    Declared(
+      "q85_big_orders",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+        .filter(col("qty_c") > 250 * 100L)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"),
+          (col("qty_c").cast("double") / 100.0).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50),
+      Some(s"""SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice,
+        |  CAST(qty_c AS DOUBLE) / 100.0 AS total_qty
+        |FROM (SELECT l_orderkey, sum(${dCents("l_quantity")}) AS qty_c
+        |      FROM lineitem GROUP BY 1 HAVING sum(${dCents("l_quantity")}) > 25000)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin),
+      doc = "TPC-H Q18 shape: HAVING-filtered agg → join → top-k (§2.3/2.4)"),
+
+    // ----- TPC-H Q14 shape: conditional-agg revenue share (§2.4) -----
+    Declared(
+      "q86_promo_share",
+      (s, dir) => {
+        val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          .agg(
+            (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L)))
+              .cast("double") / 10000.0).as("promo_revenue"),
+            (sum(rev).cast("double") / 10000.0).as("total_revenue"),
+            round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L)))
+              .cast("double") * 100.0 / sum(rev), 4).as("promo_pct"))
+          .orderBy(col("ship_month"))
+      },
+      Some(s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+        |    / 10000.0 AS promo_revenue,
+        |  CAST(sum(rev) AS DOUBLE) / 10000.0 AS total_revenue,
+        |  round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+        |    * 100.0 / sum(rev), 4) AS promo_pct
+        |FROM (SELECT l_shipdate, p_type,
+        |        ${dCents("l_extendedprice")} * (100 - ${dCents("l_discount")}) AS rev
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin),
+      doc = "TPC-H Q14 shape: promo revenue share per ship month (§2.4)")
   )
 }

@@ -48,7 +48,61 @@ object EmbeddingStats {
       .orderBy(col("lang"))
   }
 
+  /** Int8 absmax quantization error profile: per vector, scale =
+    * max|component|, codes = round(127·v/scale); per label, vector
+    * count, RMS reconstruction error and mean scale — the go/no-go
+    * readout for storing a 100 TB embedding corpus at 1 byte/dim (4×
+    * smaller scans; IVF/LSH recall is insensitive to err ≪ scale).
+    *
+    * Determinism: scale is an order-independent max; per-element err is
+    * a fixed double expression of (v, scale); err² and scale are
+    * integer-quantized BEFORE summation (q68's idiom) so the hash
+    * matches DuckDB bit-for-bit. Row-local + one hash-agg — no extra
+    * shuffle at any corpus size. */
+  def quantizationError(embeddings: DataFrame): DataFrame = {
+    val amax = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    embeddings
+      .select(col("label"), col("vec_id"), amax.as("amax"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .filter(col("amax") > 0)
+      .withColumn("vd", col("v").cast("double"))
+      .withColumn("err", col("vd")
+        - round(col("vd") * 127 / col("amax")) * col("amax") / 127)
+      .groupBy(col("label"))
+      .agg(count_distinct(col("vec_id")).as("n_vecs"),
+        count(lit(1)).as("n_vals"),
+        sum(round(col("err") * col("err") * 1e12).cast("long")).as("sse_p"),
+        sum(round(col("amax") * 1e6).cast("long")).as("amax_micro"))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(col("sse_p").cast("double") / col("n_vals")) / 1e6, 6)
+          .as("rmse"),
+        round(col("amax_micro").cast("double") / col("n_vals") / 1e6, 4)
+          .as("avg_scale"))
+      .orderBy(col("label"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q87_int8_quant",
+      (s, dir) => quantizationError(Tables.load(s, dir, "embeddings")),
+      Some("""WITH e AS (SELECT label, vec_id,
+        |        list_max(list_transform(embedding,
+        |          x -> abs(CAST(x AS DOUBLE)))) AS amax,
+        |        unnest(embedding) AS v
+        |      FROM embeddings),
+        |r AS (SELECT label, vec_id, amax,
+        |        CAST(v AS DOUBLE)
+        |          - round(CAST(v AS DOUBLE) * 127 / amax) * amax / 127 AS err
+        |      FROM e WHERE amax > 0)
+        |SELECT label, count(DISTINCT vec_id) AS n_vecs,
+        |  round(sqrt(CAST(sum(CAST(round(err * err * 1000000000000) AS BIGINT))
+        |    AS DOUBLE) / count(*)) / 1000000, 6) AS rmse,
+        |  round(CAST(sum(CAST(round(amax * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 1000000, 4) AS avg_scale
+        |FROM r GROUP BY label ORDER BY label""".stripMargin),
+      doc = "Int8 absmax quantization RMS error per label (1 byte/dim storage)"),
+
     Declared(
       "q73_label_centroids",
       (s, dir) => labelCentroids(Tables.load(s, dir, "embeddings")),

@@ -55,16 +55,16 @@ object TextQueries {
     * and is mirrored in the oracle so semantics stay engine-identical. */
   val MaxShingleDf = 500
 
-  /** Near-duplicate candidate pairs by exact n-gram Jaccard ≥ threshold,
-    * via an inverted index in posting-list form (scales: only docs
-    * sharing a shingle ever meet; no N² compare).
+  /** Pair-overlap table `(d1 < d2, inter, sz1, sz2)` over the capped
+    * 3-gram shingle sets — the shared substrate every set-similarity
+    * score (Jaccard q25/q58, containment q88) derives from row-locally.
     *
     * Materializes the capped posting-list table eagerly
     * (`localCheckpoint`): it feeds both the size lookup and the pair
     * generation, and without materialization Catalyst re-runs the
     * shingle Generate + groupBy per consumer. The caller (or the
     * harness's per-query sweep) releases the pinned blocks when done. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def pairOverlap(docs: DataFrame): DataFrame = {
     // Inverted index as POSTING LISTS: one groupBy on the 64-bit
     // shingle hash (hashes, not strings: same pairs, collisions
     // ~n²/2⁶⁴, half the shuffle bytes) yields each shingle's sorted
@@ -93,16 +93,39 @@ object TextQueries {
     inter
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-      .withColumn("jaccard", round(col("inter").cast("double")
-        / (col("s1.sz") + col("s2.sz") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
+      .select(col("d1"), col("d2"), col("inter"),
+        col("s1.sz").as("sz1"), col("s2.sz").as("sz2"))
   }
 
-  /** CTE chain producing `jp(d1, d2, jaccard)` — the capped-Jaccard
-    * near-dup pairs. Shared by the q25 oracle and the q58 clustering
-    * oracle so the two cannot drift. */
-  private[text] def jaccardCtes(threshold: Double): String =
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold — a
+    * row-local score over [[pairOverlap]]. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    scoreJaccard(pairOverlap(docs), threshold)
+
+  private def scoreJaccard(overlap: DataFrame, threshold: Double): DataFrame =
+    overlap
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("sz1") + col("sz2") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold —
+    * catches subset copies (a doc quoted whole inside a larger one)
+    * that symmetric Jaccard dilutes below its threshold. Row-local
+    * score over the same [[pairOverlap]] substrate. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame =
+    scoreContainment(pairOverlap(docs), threshold)
+
+  private def scoreContainment(overlap: DataFrame, threshold: Double): DataFrame =
+    overlap
+      .withColumn("containment", round(col("inter").cast("double")
+        / least(col("sz1"), col("sz2")).cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("d1"), col("d2"), col("containment"))
+
+  /** CTE chain producing `ov(d1, d2, inter, sz1, sz2)` — the capped
+    * 3-gram pair-overlap table ([[pairOverlap]]'s mirror). */
+  private[text] def overlapCtes: String =
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |sh0 AS (SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(ws) - 1),
@@ -115,22 +138,35 @@ object TextQueries {
        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
+       |ov AS (SELECT d1, d2, inter, s1.sz AS sz1, s2.sz AS sz2
+       |       FROM cand JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)""".stripMargin
+
+  /** CTE chain producing `jp(d1, d2, jaccard)` — the capped-Jaccard
+    * near-dup pairs. Shared by the q25 oracle and the q58 clustering
+    * oracle so the two cannot drift. */
+  private[text] def jaccardCtes(threshold: Double): String =
+    s"""$overlapCtes,
        |jp AS (SELECT d1, d2, jaccard FROM (
        |  SELECT d1, d2, round(CAST(inter AS DOUBLE)
-       |           / CAST(s1.sz + s2.sz - inter AS DOUBLE), 4) AS jaccard
-       |  FROM cand JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
+       |           / CAST(sz1 + sz2 - inter AS DOUBLE), 4) AS jaccard FROM ov)
        |WHERE jaccard >= $threshold)""".stripMargin
 
   private def jaccardOracle(threshold: Double): String =
     s"""WITH ${jaccardCtes(threshold)}
        |SELECT d1, d2, jaccard FROM jp ORDER BY d1, d2""".stripMargin
 
-  /** [[jaccardPairs]] over the `documents` table, materialized once per
-    * process/sf — the pair table feeds q25 and q58's clustering. */
-  def sharedJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
-    graft.Materialized.table(s, dir, s"jaccard_pairs_$threshold") {
-      jaccardPairs(graft.Tables.load(s, dir, "documents"), threshold)
+  /** [[pairOverlap]] over the `documents` table, materialized once per
+    * process/sf — q25/q58 (Jaccard) and q88 (containment) score it
+    * row-locally from one parquet snapshot. */
+  def sharedPairOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.Materialized.table(s, dir, "pair_overlap") {
+      pairOverlap(graft.Tables.load(s, dir, "documents"))
     }
+
+  /** Capped-Jaccard near-dup pairs over the shared overlap table —
+    * feeds q25 and q58's clustering. */
+  def sharedJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    scoreJaccard(sharedPairOverlap(s, dir), threshold)
 
   /** The `documents` table's hashed `n`-gram shingle table, materialized
     * once per process/sf — feeds both decontamination paths (q55 exact
@@ -196,6 +232,19 @@ object TextQueries {
         .orderBy(col("d1"), col("d2")),
       Some(jaccardOracle(0.1)),
       doc = "Word-3-gram Jaccard near-dup pairs via inverted index"),
+
+    Declared(
+      "q88_containment",
+      (s, dir) => scoreContainment(sharedPairOverlap(s, dir), 0.2)
+        .orderBy(col("d1"), col("d2")),
+      Some(s"""WITH $overlapCtes
+        |SELECT d1, d2, round(CAST(inter AS DOUBLE)
+        |    / CAST(least(sz1, sz2) AS DOUBLE), 4) AS containment
+        |FROM ov
+        |WHERE round(CAST(inter AS DOUBLE)
+        |    / CAST(least(sz1, sz2) AS DOUBLE), 4) >= 0.2
+        |ORDER BY d1, d2""".stripMargin),
+      doc = "Shingle containment ≥ 0.2: subset-copy dups Jaccard misses"),
 
     Declared(
       "q26_lang_id",

@@ -49,6 +49,58 @@ class PipelineSpecs extends SparkSpec {
     }
   }
 
+  test("containment catches a subset copy that Jaccard dilutes") {
+    import spark.implicits._
+    val core = (1 to 12).map(i => s"core$i").mkString(" ")       // 10 shingles
+    val padded = core + " " + (1 to 100).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),                                   // subset of doc 2
+      (2L, padded),                                 // 110 words → 108 shingles
+      (3L, "unrelated words entirely different from everything else here")
+    ).toDF("doc_id", "text")
+    val cont = TextQueries.containmentPairs(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cont == Seq((1L, 2L, 1.0)), s"got $cont")
+    // same pair scores 10/108 < 0.1 under Jaccard — below q25's threshold
+    val jac = TextQueries.jaccardPairs(docs, 0.1).collect()
+    assert(jac.isEmpty, s"jaccard should miss the subset copy: ${jac.toSeq}")
+  }
+
+  test("int8 quantization: hand-exact on one vector, error ≤ scale/254, deterministic") {
+    import spark.implicits._
+    val vec = Array(0.8f, -0.3f, 0.2f)
+    val one = Seq((1L, vec.toSeq, 7)).toDF("vec_id", "embedding", "label")
+    val row = graft.similarity.EmbeddingStats.quantizationError(one).collect()(0)
+    // mirror of both engines' arithmetic: HALF_UP code rounding, err²
+    // quantized to picos before the sum
+    val amax = vec.map(v => math.abs(v.toDouble)).max
+    val ssePico = vec.map { v =>
+      val vd = v.toDouble
+      val code = BigDecimal(vd * 127 / amax)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val err = vd - code * amax / 127
+      BigDecimal(err * err * 1e12)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    val expRmse = BigDecimal(math.sqrt(ssePico.toDouble / 3) / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(1) == 1L)
+    assert(row.getDouble(2) == expRmse, s"rmse ${row.getDouble(2)} vs $expRmse")
+    assert(row.getDouble(3) == 0.8)
+    // corpus-wide: RMS error bounded by the worst per-vector step size
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val out = graft.similarity.EmbeddingStats.quantizationError(emb).collect()
+    assert(out.nonEmpty)
+    val maxAmax = emb.select(max(array_max(transform(col("embedding"),
+      x => abs(x.cast("double")))))).collect()(0).getDouble(0)
+    out.foreach { r =>
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= maxAmax / 254.0 + 1e-6,
+        s"label ${r.get(0)}: rmse ${r.getDouble(2)} vs bound ${maxAmax / 254.0}")
+    }
+    val again = graft.similarity.EmbeddingStats.quantizationError(emb).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("SimHash: identical docs collide, distinct docs differ") {
     import spark.implicits._
     val docs = Seq(

@@ -65,6 +65,49 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-02", 0, 1L)))
   }
 
+  test("transitions: per-user bigrams with row-normalized probabilities") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: view → click → view
+      (1L, ts("2024-01-01 09:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 09:05:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 09:10:00"), 1L, "view", 0.0),
+      // user 2: view → view
+      (4L, ts("2024-01-01 08:00:00"), 2L, "view", 0.0),
+      (5L, ts("2024-01-01 08:30:00"), 2L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventAnalytics.transitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("click", "view", 1L, 1.0),
+      ("view", "click", 1L, 0.5),
+      ("view", "view", 1L, 0.5)))
+  }
+
+  test("volumeAnomaly: flags the spike day, drops constant-volume types") {
+    import spark.implicits._
+    // type "a": 5 days × 10 events + one 100-event spike day (z ≈ 2.04);
+    // type "b": constant volume → sd = 0 → excluded entirely.
+    val rows = (1 to 6).flatMap { d =>
+      val n = if (d == 6) 100 else 10
+      (1 to n).map(i =>
+        (d * 1000L + i, ts(f"2024-01-0$d 10:00:00"), i.toLong, "a", 0.0))
+    } ++ (1 to 2).flatMap { d =>
+      (1 to 5).map(i =>
+        (90000L + d * 100 + i, ts(f"2024-01-0$d 11:00:00"), i.toLong, "b", 0.0))
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventAnalytics.volumeAnomaly(events).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got.forall(_._1 == "a"), s"constant type must drop: $got")
+    assert(got.size == 6)
+    val flagged = got.filter(_._5)
+    assert(flagged.map(_._2) == Seq("2024-01-06"))
+    assert(flagged.head._4 > 2.0 && flagged.head._4 < 2.1)
+    assert(got.filter(!_._5).forall(r => math.abs(r._4) < 1.0))
+  }
+
   test("stratifiedFixed: exact allocation, deterministic, capped by stratum size") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val got = graft.text.SampleOps.stratifiedFixed(docs).collect()
