@@ -39,7 +39,33 @@ object SqlApi {
       |WHERE rn <= 3
       |ORDER BY id, rn""".stripMargin
 
+  /** Correlated subqueries in ONE text valid verbatim in both engines:
+    * two correlated scalar subqueries (decorrelated by Catalyst into
+    * joins on o_custkey) + a correlated EXISTS (→ left-semi join). The
+    * outlier test is exact integer math — price·n > 2·Σprice in cents —
+    * so the comparison cannot flip on a float-summation ulp. */
+  private val CorrelatedSql =
+    """SELECT o_custkey, count(*) AS n_big
+      |FROM orders o
+      |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+      |      * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |    > 2 * (SELECT sum(CAST(round(o3.o_totalprice * 100) AS BIGINT))
+      |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q92_correlated_sql",
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(CorrelatedSql)
+      },
+      Some(CorrelatedSql),
+      doc = "Correlated scalar subqueries + EXISTS, one SQL text on both engines"),
+
     Declared(
       "q75_sql_api",
       (s, dir) => {

@@ -1,0 +1,97 @@
+package graft.knn
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Checkpoints, Declared, DuckSql}
+
+/** Iterative graph analytics over the KNN edge table — PageRank as the
+  * representative fixed-iteration dataflow (the same loop shape as the
+  * reference's MRDF outer loop: join → agg → driver-free update,
+  * `mrdf.py:35-71`, rebuilt relationally).
+  *
+  * Determinism contract: ranks live in integer NANO units and every
+  * per-iteration step is floor()'d integer math (values < 2⁵³ so the
+  * double intermediates are exact) — ten iterations later both engines
+  * hold bit-identical BIGINTs, where a float PageRank would drift by
+  * summation order. The DuckDB mirror is a recursive CTE.
+  *
+  * Scale: one shuffle join (edges ⋈ ranks, both hash-partitioned on
+  * id) + one partial-agg'd groupBy per iteration; ranks checkpoint per
+  * round (lineage stays O(1)) and superseded rounds release their
+  * blocks — MRDF's iteration hygiene (SURVEY §9). */
+object GraphAnalytics {
+
+  /** Fixed-iteration damped PageRank. `edges` must be the k-regular
+    * KNN edge table (every id has exactly `outDeg` out-edges). */
+  def pageRank(edges: DataFrame, outDeg: Int = 10, iters: Int = 10): DataFrame = {
+    val nodes = edges.select(col("id")).distinct().localCheckpoint()
+    val n = nodes.count() // driver scalar (loop constant), legit
+    val base = 150000000L / n
+    // Checkpointed so each round's release frees only its OWN superseded
+    // blocks — releasing a plan whose leaf is the `nodes` checkpoint
+    // would unpersist `nodes` out from under the remaining iterations.
+    var ranks = nodes.withColumn("r", lit(1000000000L / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(ranks, Seq("id"))
+        .groupBy(col("nbr"))
+        .agg(sum(floor(col("r") / outDeg.toDouble)).cast("long").as("s"))
+        .withColumnRenamed("nbr", "id")
+      val next = nodes.join(contribs, Seq("id"), "left")
+        .withColumn("r", lit(base)
+          + floor(lit(85L) * coalesce(col("s"), lit(0L)) / 100.0).cast("long"))
+        .select(col("id"), col("r"))
+        .localCheckpoint()
+      Checkpoints.release(ranks)
+      ranks = next
+    }
+    val out = ranks
+      .select(col("id"), col("r").as("rank_nano"),
+        round(col("r") / 1e9, 6).as("rank"))
+      .orderBy(col("id"))
+    Checkpoints.release(nodes)
+    out
+  }
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q91_pagerank",
+      (s, dir) => pageRank(KnnQueries.knn10(s, dir)),
+      Some {
+        val d = DuckSql.euclidean("a.embedding", "b.embedding")
+        s"""WITH RECURSIVE pairs AS (
+           |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |), ranked AS (
+           |  SELECT id, nbr, dist,
+           |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
+           |  FROM pairs
+           |), edges AS (SELECT id, nbr FROM ranked WHERE rn <= 10),
+           |nodes AS (SELECT DISTINCT id FROM edges),
+           |nn AS (SELECT count(*) AS c FROM nodes),
+           |pr AS (
+           |  SELECT 0 AS iter, id,
+           |    CAST(floor(1000000000 / (SELECT c FROM nn)) AS BIGINT) AS r
+           |  FROM nodes
+           |  UNION ALL
+           |  SELECT * FROM (
+           |    SELECT CAST(max(x.it) OVER () + 1 AS INTEGER) AS iter, x.id,
+           |      CAST(floor(150000000 / (SELECT c FROM nn))
+           |        + floor(85 * coalesce(x.s, 0) / 100.0) AS BIGINT) AS r
+           |    FROM (
+           |      SELECT nd.id, c.it, c.s
+           |      FROM nodes nd LEFT JOIN (
+           |        SELECT e.nbr AS tid, max(p.iter) AS it,
+           |               CAST(sum(floor(p.r / 10.0)) AS BIGINT) AS s
+           |        FROM pr p JOIN edges e ON e.id = p.id
+           |        GROUP BY e.nbr
+           |      ) c ON c.tid = nd.id
+           |    ) x
+           |  ) WHERE iter <= 10
+           |)
+           |SELECT id, r AS rank_nano, round(r / 1000000000.0, 6) AS rank
+           |FROM pr WHERE iter = 10 ORDER BY id""".stripMargin
+      },
+      doc = "Integer-exact damped PageRank on the KNN graph (10 iterations)")
+  )
+}

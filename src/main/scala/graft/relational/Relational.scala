@@ -831,6 +831,37 @@ object Relational {
         |        ${dCents("l_extendedprice")} * (100 - ${dCents("l_discount")}) AS rev
         |      FROM lineitem JOIN part ON l_partkey = p_partkey)
         |GROUP BY 1 ORDER BY ship_month""".stripMargin),
-      doc = "TPC-H Q14 shape: promo revenue share per ship month (§2.4)")
+      doc = "TPC-H Q14 shape: promo revenue share per ship month (§2.4)"),
+
+    // ----- unpivot: wide → long (q41 pivot's inverse, §2.4) -----
+    Declared(
+      "q93_unpivot",
+      (s, dir) => {
+        val wide = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("F"),
+            sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("O"),
+            sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("P"))
+        wide.unpivot(Array(col("n_name")),
+            Array(col("F"), col("O"), col("P")), "status", "n_orders")
+          .orderBy(col("n_name"), col("status"))
+      },
+      Some("""WITH w AS (SELECT n_name,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name)
+        |SELECT n_name, 'F' AS status, f AS n_orders FROM w
+        |UNION ALL SELECT n_name, 'O', o FROM w
+        |UNION ALL SELECT n_name, 'P', p FROM w
+        |ORDER BY n_name, status""".stripMargin),
+      doc = "Unpivot wide status counts back to long form (§2.4, q41's inverse)")
   )
 }

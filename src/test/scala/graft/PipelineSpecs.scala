@@ -49,6 +49,33 @@ class PipelineSpecs extends SparkSpec {
     }
   }
 
+  test("pageRank: hub ordering, dangling floor, deterministic, no leaked blocks") {
+    import spark.implicits._
+    // 2-regular graph: 1↔2↔3 mutually linked, 4 points in but nothing
+    // points back → 4 bottoms out at the damping floor 0.15/N.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L)
+    ).toDF("id", "nbr")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pr = graft.knn.GraphAnalytics.pageRank(edges, outDeg = 2)
+    val ranks = pr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(4L) == 150000000L / 4)
+    assert(ranks(1L) > ranks(3L) && ranks(2L) > ranks(3L) && ranks(3L) > ranks(4L))
+    // floor()s only lose mass: total stays within iters·N nanos of 1.0
+    val total = ranks.values.sum
+    assert(total <= 1000000000L && total > 1000000000L - 10 * 4 * 100L)
+    val againDf = graft.knn.GraphAnalytics.pageRank(edges, outDeg = 2)
+    val again = againDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks == again)
+    // iteration hygiene: only the two final-round checkpoints survive
+    // the builds; releasing them restores the session to its baseline
+    graft.Checkpoints.release(pr)
+    graft.Checkpoints.release(againDf)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
+  }
+
   test("containment catches a subset copy that Jaccard dilutes") {
     import spark.implicits._
     val core = (1 to 12).map(i => s"core$i").mkString(" ")       // 10 shingles
