@@ -53,7 +53,48 @@ object GraphAnalytics {
     out
   }
 
+  /** Mutual-kNN symmetry profile: per node, how many of its k edges are
+    * reciprocated. The asymmetry fraction is THE convergence driver for
+    * NN-Descent (reverse edges exist precisely because kNN graphs are
+    * directed — `nndescent.py:102-113`); it is also the input to
+    * mutual-kNN clustering. One self left-semi join on the flipped key
+    * pair — co-partitioned, no N² anywhere. */
+  def mutualEdges(edges: DataFrame): DataFrame = {
+    val flipped = edges.select(col("nbr").as("id"), col("id").as("nbr"))
+    edges.join(flipped, Seq("id", "nbr"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_mutual"))
+      .join(edges.groupBy(col("id")).agg(count(lit(1)).as("k")), Seq("id"), "right")
+      .select(col("id"), col("k"), coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        round(coalesce(col("n_mutual"), lit(0L)).cast("double") / col("k"), 4)
+          .as("mutual_frac"))
+      .orderBy(col("id"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q95_mutual_knn",
+      (s, dir) => mutualEdges(KnnQueries.knn10(s, dir)),
+      Some {
+        val d = DuckSql.euclidean("a.embedding", "b.embedding")
+        s"""WITH pairs AS (
+           |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |), ranked AS (
+           |  SELECT id, nbr, dist,
+           |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
+           |  FROM pairs
+           |), edges AS (SELECT id, nbr FROM ranked WHERE rn <= 10),
+           |m AS (SELECT e.id, count(*) AS n_mutual FROM edges e
+           |      WHERE EXISTS (SELECT 1 FROM edges r
+           |                    WHERE r.id = e.nbr AND r.nbr = e.id)
+           |      GROUP BY e.id)
+           |SELECT k.id, k.k, coalesce(m.n_mutual, 0) AS n_mutual,
+           |  round(CAST(coalesce(m.n_mutual, 0) AS DOUBLE) / k.k, 4) AS mutual_frac
+           |FROM (SELECT id, count(*) AS k FROM edges GROUP BY id) k
+           |LEFT JOIN m ON m.id = k.id ORDER BY k.id""".stripMargin
+      },
+      doc = "Mutual-kNN symmetry per node (NN-Descent's reverse-edge driver)"),
+
     Declared(
       "q91_pagerank",
       (s, dir) => pageRank(KnnQueries.knn10(s, dir)),

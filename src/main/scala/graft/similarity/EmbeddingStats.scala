@@ -82,7 +82,56 @@ object EmbeddingStats {
       .orderBy(col("label"))
   }
 
+  /** Upper-triangle covariance matrix of the embedding columns in long
+    * (i, j, cov) form — the PCA / whitening / correlated-dim-detection
+    * building block. The 64×64 outer product expands ROW-LOCALLY
+    * (nested transform + one explode, no self-join), then one hash-agg
+    * on (i, j) partial-aggregates map-side: the shuffle carries
+    * ≤ dim²/2 rows per map task at any corpus size. Products and sums
+    * quantize to integers before summation (q68's idiom), so
+    * cov = (Σxy − ΣxΣy/n)/(n−1) evaluates the identical closed form in
+    * both engines. */
+  def covarianceMatrix(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(explode(flatten(transform(col("embedding"), (x, i) =>
+        transform(col("embedding"), (y, j) =>
+          struct(i.as("i"), j.as("j"),
+            round(x.cast("double") * y.cast("double") * 1e12).cast("long")
+              .as("xy_p"),
+            round(x.cast("double") * 1e6).cast("long").as("x_u"),
+            round(y.cast("double") * 1e6).cast("long").as("y_u"))))))
+        .as("c"))
+      .filter(col("c.i") <= col("c.j"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("c.xy_p")).as("sxy"),
+        sum(col("c.x_u")).as("sx"), sum(col("c.y_u")).as("sy"))
+      .select(col("i"), col("j"), col("n"),
+        round((col("sxy").cast("double") / 1e12
+          - col("sx").cast("double") * col("sy").cast("double") / 1e12 / col("n"))
+          / (col("n") - 1), 8).as("cov"))
+      .orderBy(col("i"), col("j"))
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q94_covariance",
+      (s, dir) => covarianceMatrix(Tables.load(s, dir, "embeddings")),
+      Some("""WITH e AS (SELECT vec_id,
+        |        CAST(unnest(range(0, len(embedding))) AS INTEGER) AS i,
+        |        CAST(unnest(embedding) AS DOUBLE) AS x
+        |      FROM embeddings),
+        |p AS (SELECT a.i, b.i AS j,
+        |        CAST(round(a.x * b.x * 1000000000000) AS BIGINT) AS xy_p,
+        |        CAST(round(a.x * 1000000) AS BIGINT) AS x_u,
+        |        CAST(round(b.x * 1000000) AS BIGINT) AS y_u
+        |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i)
+        |SELECT i, j, count(*) AS n,
+        |  round((CAST(sum(xy_p) AS DOUBLE) / 1000000000000
+        |    - CAST(sum(x_u) AS DOUBLE) * CAST(sum(y_u) AS DOUBLE)
+        |      / 1000000000000 / count(*))
+        |    / (count(*) - 1), 8) AS cov
+        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin),
+      doc = "Embedding covariance matrix, long upper-triangle form (PCA substrate)"),
+
     Declared(
       "q87_int8_quant",
       (s, dir) => quantizationError(Tables.load(s, dir, "embeddings")),
