@@ -20,6 +20,8 @@ object Registry {
       graft.knn.GraphAnalytics.declared ++
       graft.relational.Relational.declared ++
       graft.relational.EventAnalytics.declared ++
+      graft.relational.SessionAnalytics.declared ++
+      graft.relational.JoinShapes.declared ++
       graft.relational.SkewJoin.declared ++
       graft.streaming.TimeWindows.declared ++
       graft.text.TextQueries.declared ++

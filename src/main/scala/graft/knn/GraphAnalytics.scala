@@ -70,7 +70,67 @@ object GraphAnalytics {
       .orderBy(col("id"))
   }
 
+  /** Per-node triangle count on the mutual (undirected) KNN graph —
+    * the local clustering signal that separates genuine tight clusters
+    * from hub artifacts in a neighbor graph.
+    *
+    * Node-iterator form on canonical a<b edges: wedges join on the
+    * middle vertex, then one left-semi join closes them. On a kNN
+    * graph every vertex has ≤ k mutual edges, so the wedge table is
+    * ≤ |V|·k² rows and every join shuffles on a vertex key — the
+    * textbook bounded-degree plan that survives any |V|. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .join(edges.select(col("nbr").as("id"), col("id").as("nbr")),
+        Seq("id", "nbr"), "left_semi")
+      .filter(col("id") < col("nbr"))
+      .select(col("id").as("a"), col("nbr").as("b"))
+    // a<b and b<c ⇒ each triangle appears exactly once as (a,b,c).
+    val wedges = und.join(und.select(col("a").as("b2"), col("b").as("c")),
+      col("b") === col("b2"))
+    val tri = wedges.join(und.select(col("a").as("a3"), col("b").as("c3")),
+      col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    edges.select(col("id")).distinct()
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy(col("id"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q99_triangles",
+      (s, dir) => triangleCounts(KnnQueries.knn10(s, dir)),
+      Some {
+        val d = DuckSql.euclidean("a.embedding", "b.embedding")
+        s"""WITH pairs AS (
+           |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |), ranked AS (
+           |  SELECT id, nbr, dist,
+           |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
+           |  FROM pairs
+           |), edges AS (SELECT id, nbr FROM ranked WHERE rn <= 10),
+           |und AS (
+           |  SELECT e.id AS a, e.nbr AS b FROM edges e
+           |  WHERE e.id < e.nbr
+           |    AND EXISTS (SELECT 1 FROM edges r
+           |                WHERE r.id = e.nbr AND r.nbr = e.id)),
+           |tri AS (
+           |  SELECT u1.a, u1.b, u2.b AS c
+           |  FROM und u1 JOIN und u2 ON u1.b = u2.a
+           |  WHERE EXISTS (SELECT 1 FROM und u3
+           |                WHERE u3.a = u1.a AND u3.b = u2.b)),
+           |x AS (SELECT unnest([a, b, c]) AS id FROM tri),
+           |cnt AS (SELECT id, count(*) AS n_tri FROM x GROUP BY id)
+           |SELECT n.id, coalesce(c.n_tri, 0) AS n_tri
+           |FROM (SELECT DISTINCT id FROM edges) n
+           |LEFT JOIN cnt c ON c.id = n.id ORDER BY n.id""".stripMargin
+      },
+      doc = "Per-node triangles on the mutual KNN graph (bounded-degree node-iterator)"),
+
     Declared(
       "q95_mutual_knn",
       (s, dir) => mutualEdges(KnnQueries.knn10(s, dir)),

@@ -1,0 +1,74 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, Tables}
+
+/** The TPC-H Q21 join shape — EXISTS + NOT-EXISTS against the same
+  * fact table — the hardest of the classic subquery decorrelations and
+  * the canonical stress test for semi/anti join planning.
+  *
+  * "Suppliers who kept orders waiting": a supplier's line shipped late
+  * (> 90 days after the order date) in a multi-supplier order where
+  * every OTHER supplier shipped on time. Composed Spark-first as one
+  * fact⋈dim join plus a left-semi ("some other supplier exists") and a
+  * left-anti ("no other late supplier exists") against projections of
+  * the same late-lines table — all three joins shuffle on
+  * `l_orderkey`, so at any scale they co-partition into one exchange
+  * lineage; the supplier name join broadcasts.
+  *
+  * The driver's DuckDB mirror states it in the textbook EXISTS /
+  * NOT EXISTS form, proving the decorrelated join cascade computes the
+  * subquery semantics exactly. */
+object JoinShapes {
+
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, lateDays: Int = 90, topN: Int = 20): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    // Late lines: fact ⋈ orders on the shared orderkey shuffle.
+    val late = li
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"interval $lateDays days"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    // EXISTS: another supplier contributed to the same order.
+    val anyOther = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val multi = late.join(anyOther,
+      col("k2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"), "left_semi")
+    // NOT EXISTS: no OTHER supplier was late on that order.
+    val lateOther = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    val sole = multi.join(lateOther,
+      col("k3") === col("l_orderkey") && col("s3") =!= col("l_suppkey"), "left_anti")
+    sole
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(topN)
+  }
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q97_waiting_suppliers",
+      (s, dir) => waitingSuppliers(Tables.load(s, dir, "lineitem"),
+        Tables.load(s, dir, "orders"), Tables.load(s, dir, "supplier")),
+      Some("""WITH late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s.s_suppkey, s.s_name
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin),
+      doc = "TPC-H Q21 shape: EXISTS + NOT-EXISTS as co-partitioned semi/anti joins")
+  )
+}

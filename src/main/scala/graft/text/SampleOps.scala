@@ -78,7 +78,49 @@ object SampleOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-Res):
+    * priority = ln(u)/w with u a portable md5-derived uniform and
+    * w = n_chars; the top-`n` priorities are a w-proportional sample.
+    * Deterministic AND engine-portable — both engines derive the same
+    * u from the same md5 hex — so unlike rand()-based sampling this is
+    * fully oracle-checkable. Priorities are quantized to integer picos
+    * before ranking (q68's idiom): ln() may differ across libm
+    * implementations in the last ulp, and an order-by on raw doubles
+    * would let that flip a rank.
+    *
+    * Scale: priority is row-local; the global top-n rank is a
+    * WindowGroupLimit, so each map task forwards only its local top-n —
+    * the shuffle carries n·partitions rows, never the corpus. */
+  def weightedSample(docs: DataFrame, n: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // u ∈ (0, 1]: 32 md5 bits + 1 so ln(u) is finite.
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    val priPicos = round(log(u) / col("n_chars") * 1e12).cast("long")
+    val w = Window.orderBy(col("pri_p").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"), priPicos.as("pri_p"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .orderBy(col("rk"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q98_weighted_sample",
+      (s, dir) => weightedSample(Tables.load(s, dir, "documents")),
+      Some("""WITH p AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CAST(round(ln((CAST(concat('0x',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |             + 1.0) / 4294967296.0)
+        |           / n_chars * 1000000000000) AS BIGINT) AS pri_p
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY pri_p DESC, doc_id) AS rk
+        |      FROM p)
+        |SELECT doc_id, lang, n_chars, pri_p, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin),
+      doc = "Weighted sample w/o replacement (A-Res, portable hash priorities)"),
+
     Declared(
       "q78_stratified_fixed",
       (s, dir) => stratifiedFixed(Tables.load(s, dir, "documents")),
