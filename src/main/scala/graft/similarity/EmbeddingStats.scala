@@ -84,45 +84,168 @@ object EmbeddingStats {
 
   /** Upper-triangle covariance matrix of the embedding columns in long
     * (i, j, cov) form — the PCA / whitening / correlated-dim-detection
-    * building block. The 64×64 outer product expands ROW-LOCALLY
-    * (nested transform + one explode, no self-join), then one hash-agg
-    * on (i, j) partial-aggregates map-side: the shuffle carries
-    * ≤ dim²/2 rows per map task at any corpus size. Products and sums
-    * quantize to integers before summation (q68's idiom), so
-    * cov = (Σxy − ΣxΣy/n)/(n−1) evaluates the identical closed form in
-    * both engines. */
-  def covarianceMatrix(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(explode(flatten(transform(col("embedding"), (x, i) =>
-        transform(col("embedding"), (y, j) =>
-          struct(i.as("i"), j.as("j"),
-            round(x.cast("double") * y.cast("double") * 1e12).cast("long")
-              .as("xy_p"),
-            round(x.cast("double") * 1e6).cast("long").as("x_u"),
-            round(y.cast("double") * 1e6).cast("long").as("y_u"))))))
-        .as("c"))
-      .filter(col("c.i") <= col("c.j"))
-      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("c.xy_p")).as("sxy"),
-        sum(col("c.x_u")).as("sx"), sum(col("c.y_u")).as("sy"))
-      .select(col("i"), col("j"), col("n"),
-        round((col("sxy").cast("double") / 1e12
-          - col("sx").cast("double") * col("sy").cast("double") / 1e12 / col("n"))
-          / (col("n") - 1), 8).as("cov"))
+    * building block.
+    *
+    * Each element is micro-quantized ONCE by a Catalyst `round` (the
+    * one place rounding semantics matter, kept in the engine so it
+    * matches the DuckDB oracle's `round` exactly); from there the
+    * [[graft.agg.CovarianceMoments]] Aggregator accumulates n, Σx and
+    * the packed upper-triangle Σx·y in pure integer math. Earlier form
+    * exploded N·d² struct rows through a Generate into a d²-key
+    * shuffle (15.8 s at sf0.1); the moment buffer does the same sums
+    * with d²/2 multiply-adds per row map-side, and the shuffle carries
+    * one ~2 KB·d²/2 buffer per task at ANY corpus size. cov =
+    * (Σxy − ΣxΣy/n)/(n−1) evaluates the identical closed form in both
+    * engines on identical integers. */
+  def covarianceMatrix(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val quant = embeddings
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("xu"))
+      .as[Array[Long]]
+    quant
+      .select(new graft.agg.CovarianceMoments().toColumn.name("cells"))
+      .toDF("cells")
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.n").as("n"),
+        round((col("c.sxy").cast("double") / 1e12
+          - col("c.sx").cast("double") * col("c.sy").cast("double")
+            / 1e12 / col("c.n"))
+          / (col("c.n") - 1), 8).as("cov"))
       .orderBy(col("i"), col("j"))
+  }
+
+  /** Round-half-away-from-zero on doubles — the one rounding rule both
+    * engines' `round()` implement; every driver-side quantization here
+    * must use it (math.rint is half-EVEN and would drift). */
+  private def rnd(x: Double): Double =
+    if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+
+  /** Top principal component by power iteration — the PCA substrate
+    * over the q94 moment pass.
+    *
+    * The DATA-side work is one [[covarianceMatrix]] aggregation (one
+    * scan, one d²/2 moment buffer per task); the d×d matrix itself is
+    * an aggregate of fixed size INDEPENDENT of corpus rows, so the
+    * 2,080-cell collect is a driver scalar in the same sense as a
+    * convergence ratio — the iteration then costs d² flops per step,
+    * which no cluster should pay shuffles for.
+    *
+    * Every iterate is quantized to integer micros after an
+    * IEEE-exact normalize (products and squares quantize BEFORE their
+    * sums, q68's idiom), so the whole 30-step trajectory is
+    * bit-identical in any engine: the DuckDB oracle replays it as a
+    * recursive CTE over the same covariance CTE and must land on the
+    * same integers. Output is integer micros/ppm only — no float
+    * columns to drift. */
+  def pcaTopComponent(embeddings: DataFrame, iters: Int = 30): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cells = covarianceMatrix(embeddings)
+      .select(col("i"), col("j"), col("cov")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val d = cells.map(_._1).max + 1
+    val a = Array.ofDim[Double](d, d)
+    cells.foreach { case (i, j, c) => a(i)(j) = c; a(j)(i) = c }
+    val trace =
+      cells.collect { case (i, j, c) if i == j => rnd(c * 1e8).toLong }
+        .sum.toDouble / 1e8
+    val vU = Array.fill(d)(rnd(1e6 / math.sqrt(d.toDouble)).toLong)
+    var nrmU = 0L
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d) { i =>
+        var s = 0L
+        var j = 0
+        while (j < d) { s += rnd(a(i)(j) * vU(j) * 1e6).toLong; j += 1 }
+        s.toDouble / 1e12
+      }
+      var nq = 0L
+      var i = 0
+      while (i < d) { nq += rnd(w(i) * w(i) * 1e12).toLong; i += 1 }
+      val nrm = math.sqrt(nq.toDouble) / 1e6
+      i = 0
+      while (i < d) { vU(i) = rnd(w(i) / nrm * 1e6).toLong; i += 1 }
+      nrmU = rnd(nrm * 1e6).toLong
+    }
+    val vePpm = rnd(nrmU.toDouble / 1e6 / trace * 1e6).toLong
+    spark.createDataset((0 until d).map(i => (i, vU(i), nrmU, vePpm)))
+      .toDF("dim", "loading_micro", "eigval_micro", "var_explained_ppm")
+      .orderBy(col("dim"))
+  }
+
+  /** Shared covariance CTE text for the q94/q100 oracles. */
+  private val covCte: String =
+    """q AS (SELECT vec_id,
+      |        list_transform(embedding,
+      |          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xu
+      |      FROM embeddings),
+      |e AS (SELECT vec_id,
+      |        CAST(unnest(range(0, len(xu))) AS INTEGER) AS i,
+      |        unnest(xu) AS x
+      |      FROM q),
+      |p AS (SELECT a.i, b.i AS j, a.x * b.x AS xy_p, a.x AS x_u, b.x AS y_u
+      |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i),
+      |c AS (SELECT i, j, count(*) AS n,
+      |        round((CAST(sum(xy_p) AS DOUBLE) / 1000000000000
+      |          - CAST(sum(x_u) AS DOUBLE) * CAST(sum(y_u) AS DOUBLE)
+      |            / 1000000000000 / count(*))
+      |          / (count(*) - 1), 8) AS cov
+      |      FROM p GROUP BY i, j)""".stripMargin
 
   val declared: Seq[Declared] = Seq(
     Declared(
+      "q100_pca_power",
+      (s, dir) => pcaTopComponent(Tables.load(s, dir, "embeddings")),
+      Some(s"""WITH RECURSIVE $covCte,
+        |f AS (SELECT i, j, cov FROM c
+        |      UNION ALL SELECT j, i, cov FROM c WHERE i <> j),
+        |dims AS (SELECT DISTINCT i FROM c),
+        |nd AS (SELECT count(*) AS d FROM dims),
+        |tr AS (SELECT CAST(sum(CAST(round(cov * 100000000) AS BIGINT)) AS DOUBLE)
+        |              / 100000000 AS t
+        |       FROM c WHERE i = j),
+        |pv AS (
+        |  SELECT 0 AS it, i,
+        |    CAST(round(1000000 / sqrt(CAST((SELECT d FROM nd) AS DOUBLE)))
+        |      AS BIGINT) AS v_u,
+        |    CAST(0 AS BIGINT) AS nrm_u
+        |  FROM dims
+        |  UNION ALL
+        |  SELECT z.it, z.i,
+        |    CAST(round(z.w / z.nrm * 1000000) AS BIGINT) AS v_u,
+        |    CAST(round(z.nrm * 1000000) AS BIGINT) AS nrm_u
+        |  FROM (
+        |    SELECT s.it, s.i, s.w,
+        |      sqrt(CAST(sum(CAST(round(s.w * s.w * 1000000000000) AS BIGINT))
+        |             OVER () AS DOUBLE)) / 1000000 AS nrm
+        |    FROM (
+        |      SELECT p.it + 1 AS it, f.i,
+        |        CAST(sum(CAST(round(f.cov * p.v_u * 1000000) AS BIGINT))
+        |          AS DOUBLE) / 1000000000000 AS w
+        |      FROM pv p JOIN f ON f.j = p.i
+        |      GROUP BY p.it, f.i
+        |    ) s
+        |  ) z WHERE z.it <= 30
+        |)
+        |SELECT i AS dim, v_u AS loading_micro, nrm_u AS eigval_micro,
+        |  CAST(round(CAST(nrm_u AS DOUBLE) / 1000000 / (SELECT t FROM tr)
+        |    * 1000000) AS BIGINT) AS var_explained_ppm
+        |FROM pv WHERE it = 30 ORDER BY dim""".stripMargin),
+      doc = "PC1 by integer-quantized power iteration over the q94 moment pass"),
+
+    Declared(
       "q94_covariance",
       (s, dir) => covarianceMatrix(Tables.load(s, dir, "embeddings")),
-      Some("""WITH e AS (SELECT vec_id,
-        |        CAST(unnest(range(0, len(embedding))) AS INTEGER) AS i,
-        |        CAST(unnest(embedding) AS DOUBLE) AS x
+      Some("""WITH q AS (SELECT vec_id,
+        |        list_transform(embedding,
+        |          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xu
         |      FROM embeddings),
-        |p AS (SELECT a.i, b.i AS j,
-        |        CAST(round(a.x * b.x * 1000000000000) AS BIGINT) AS xy_p,
-        |        CAST(round(a.x * 1000000) AS BIGINT) AS x_u,
-        |        CAST(round(b.x * 1000000) AS BIGINT) AS y_u
+        |e AS (SELECT vec_id,
+        |        CAST(unnest(range(0, len(xu))) AS INTEGER) AS i,
+        |        unnest(xu) AS x
+        |      FROM q),
+        |p AS (SELECT a.i, b.i AS j, a.x * b.x AS xy_p, a.x AS x_u, b.x AS y_u
         |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i)
         |SELECT i, j, count(*) AS n,
         |  round((CAST(sum(xy_p) AS DOUBLE) / 1000000000000

@@ -128,6 +128,40 @@ class PipelineSpecs extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("pcaTopComponent: recovers the dominant eigenvector, deterministic") {
+    import spark.implicits._
+    // planted dominant direction: dim 0 has ~25x the variance of dims
+    // 1/2, and dim 1 is correlated with it; PC1 must load mostly on 0
+    val rng = new scala.util.Random(11)
+    val rows = (1L to 300L).map { id =>
+      val t = rng.nextGaussian()
+      (id, Seq(5.0 * t, 1.0 * t + 0.2 * rng.nextGaussian(),
+        0.3 * rng.nextGaussian()).map(_.toFloat), 0)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.EmbeddingStats.pcaTopComponent(emb).collect()
+    assert(out.length == 3)
+    val v = out.map(r => r.getLong(1).toDouble / 1e6)
+    val lambda = out.head.getLong(2).toDouble / 1e6
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-3,
+      s"unit vector, got ${v.toSeq}")
+    assert(math.abs(v(0)) > 0.95, s"PC1 should load on dim 0: ${v.toSeq}")
+    // eigen-pair residual: ‖Av − λv‖ ≪ λ
+    val cov = graft.similarity.EmbeddingStats.covarianceMatrix(emb)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(3))).toMap
+    def a(i: Int, j: Int): Double = cov.getOrElse((math.min(i, j), math.max(i, j)), 0.0)
+    val res = (0 until 3).map { i =>
+      val av = (0 until 3).map(j => a(i, j) * v(j)).sum
+      math.pow(av - lambda * v(i), 2)
+    }.sum
+    assert(math.sqrt(res) < 0.01 * lambda, s"residual ${math.sqrt(res)} vs λ=$lambda")
+    // var_explained_ppm is constant across rows and dominated by dim 0
+    assert(out.map(_.getLong(3)).distinct.length == 1)
+    assert(out.head.getLong(3) > 900000L, s"PC1 share ${out.head.getLong(3)} ppm")
+    val again = graft.similarity.EmbeddingStats.pcaTopComponent(emb).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("SimHash: identical docs collide, distinct docs differ") {
     import spark.implicits._
     val docs = Seq(

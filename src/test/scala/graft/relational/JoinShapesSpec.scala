@@ -1,0 +1,33 @@
+package graft.relational
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class JoinShapesSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s + " 00:00:00")
+
+  test("waitingSuppliers: sole-late-in-multi-supplier-order semantics") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, ts("2024-01-01")), (2L, ts("2024-01-01")), (3L, ts("2024-01-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    val lineitem = Seq(
+      // order 1: supplier 10 late, supplier 20 on time → 10 qualifies
+      (1L, 10L, ts("2024-05-01")),
+      (1L, 20L, ts("2024-01-15")),
+      // order 2: suppliers 10 AND 30 both late → neither qualifies
+      (2L, 10L, ts("2024-05-01")),
+      (2L, 30L, ts("2024-05-01")),
+      // order 3: supplier 10 late but sole supplier → not counted
+      (3L, 10L, ts("2024-05-01")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supplier = Seq((10L, "S10"), (20L, "S20"), (30L, "S30"))
+      .toDF("s_suppkey", "s_name")
+
+    val out = JoinShapes.waitingSuppliers(lineitem, orders, supplier).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 10L && out.head.getLong(2) == 1L)
+  }
+}

@@ -30,6 +30,36 @@ class SampleOpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("weightedSample: equals local A-Res recompute, partition-independent") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val got = SampleOps.weightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(4)))
+    // local reference: same md5-derived uniform, same pico-quantized
+    // ln(u)/w priority, same (priority desc, doc_id) order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pri(id: Long, w: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+      math.rint(math.log(u) / w * 1e12).toLong
+    }
+    val local = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), pri(r.getLong(0), r.getLong(1))))
+      .sortBy { case (id, p) => (-p, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
+    assert(got.toSeq == local.toSeq)
+    // heavier docs should be overrepresented: the sampled docs' mean
+    // n_chars must exceed the corpus mean (w-proportional inclusion)
+    val sampledMean = docs.join(SampleOps.weightedSample(docs).select("doc_id"), "doc_id")
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    val corpusMean = docs.agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"weighted sample mean $sampledMean vs corpus $corpusMean")
+    val again = SampleOps.weightedSample(docs.repartition(7, col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getInt(4)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("compressionRatio: repetition compresses, high-entropy text does not") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
