@@ -23,6 +23,8 @@ object Registry {
       graft.relational.SessionAnalytics.declared ++
       graft.relational.JoinShapes.declared ++
       graft.relational.SkewJoin.declared ++
+      graft.relational.ZOrderLayout.declared ++
+      graft.text.Retrieval.declared ++
       graft.streaming.TimeWindows.declared ++
       graft.text.TextQueries.declared ++
       graft.text.Dedup.declared ++

@@ -30,8 +30,21 @@ object PlanAudit {
             if w.partitionSpec.forall(_.foldable) => w
         }.nonEmpty
         val single = plan.linesIterator.count(_.contains("SinglePartition"))
-        if (globalWindow || single > 0)
-          println(s"[audit] ${d.name}: globalWindow=$globalWindow singlePartitionExchanges=$single")
+        // The driver's pandas comparator sorts result frames by value;
+        // array/map/struct cells are unhashable there and red the row
+        // even when values match (round-1 failure mode). Only oracled
+        // queries are value-compared — rows-only queries just count.
+        val complexCols = d.oracle.toSeq.flatMap { _ =>
+          d.run(spark, sfDir).schema.fields.collect {
+            case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+              f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+              f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+              s"${f.name}:${f.dataType.simpleString.take(20)}"
+          }
+        }
+        if (globalWindow || single > 0 || complexCols.nonEmpty)
+          println(s"[audit] ${d.name}: globalWindow=$globalWindow singlePartitionExchanges=$single" +
+            (if (complexCols.nonEmpty) s" complexOutputCols=${complexCols.mkString(",")}" else ""))
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       } catch { case e: Throwable =>
         println(s"[audit] ${d.name}: ERROR ${e.getMessage}")

@@ -50,7 +50,48 @@ object JoinShapes {
       .limit(topN)
   }
 
+  /** TPC-H Q22 shape — scalar aggregate subquery + NOT EXISTS:
+    * "well-funded customers who never ordered", per nation. The
+    * threshold (average positive balance) is a one-row aggregate that
+    * broadcasts into the filter — a scalar subquery costs one tiny job,
+    * never a shuffle of the fact side; the NOT EXISTS decorrelates to a
+    * left-anti join co-partitioned on the customer key.
+    *
+    * Balances quantize to integer cents BEFORE any sum (q68's idiom) so
+    * threshold and totals are exact integer math in both engines. */
+  def untappedCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val thresh = cust.filter(col("bal_cents") > 0)
+      .agg((sum(col("bal_cents")).cast("double") / count(lit(1))).as("avg_cents"))
+    cust
+      .join(broadcast(thresh), col("bal_cents").cast("double") > col("avg_cents"))
+      .join(orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("bal_cents")).cast("double") / 100, 2).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q101_untapped_customers",
+      (s, dir) => untappedCustomers(Tables.load(s, dir, "customer"),
+        Tables.load(s, dir, "orders")),
+      Some("""WITH c AS (SELECT c_custkey, c_nationkey,
+        |        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |      FROM customer),
+        |t AS (SELECT CAST(sum(bal_cents) AS DOUBLE) / count(*) AS avg_cents
+        |      FROM c WHERE bal_cents > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  round(CAST(sum(bal_cents) AS DOUBLE) / 100, 2) AS totacctbal
+        |FROM c, t
+        |WHERE CAST(bal_cents AS DOUBLE) > avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      doc = "TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join"),
+
     Declared(
       "q97_waiting_suppliers",
       (s, dir) => waitingSuppliers(Tables.load(s, dir, "lineitem"),

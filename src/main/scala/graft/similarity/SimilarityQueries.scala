@@ -40,7 +40,39 @@ object SimilarityQueries {
       .select(col("d1"), col("d2"), col("sim"))
   }
 
+  /** Blocked (partitioned) cosine near-dup pairs: candidates only meet
+    * inside the same block — here the label column; in production the
+    * block is an IVF/k-means cluster id (q36b's coarse quantizer),
+    * which bounds block size by construction. Turns the O(N²) pair
+    * stream into Σ_b B², the standard semantic-dedup scale shape: a
+    * shuffle-hash self-join on the block key, pairs generated
+    * partition-locally, nothing else moves. q54 (all-pairs) is this
+    * query's recall oracle at test scale. */
+  def blockedCosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("label"), col("vec_id").as("d1"), col("embedding").as("va"))
+    val b = emb.select(col("label"), col("vec_id").as("d2"), col("embedding").as("vb"))
+    a.join(b, "label")
+      .filter(col("d1") < col("d2"))
+      .withColumn("sim", round(Distances.cosineSimilarity(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("label"), col("d1"), col("d2"), col("sim"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q102_blocked_neardup",
+      (s, dir) => blockedCosinePairs(Tables.load(s, dir, "embeddings"), 0.35)
+        .orderBy(col("label"), col("d1"), col("d2")),
+      Some {
+        val sim = DuckSql.cosineSimilarity("a.embedding", "b.embedding")
+        s"""SELECT label, d1, d2, sim FROM (
+           |  SELECT a.label, a.vec_id AS d1, b.vec_id AS d2, round($sim, 6) AS sim
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id < b.vec_id)
+           |WHERE sim >= 0.35 ORDER BY label, d1, d2""".stripMargin
+      },
+      doc = "Blocked cosine near-dup: pairs meet only within a block (Σ B² not N²)"),
+
     Declared(
       "q54_embedding_dedup",
       (s, dir) => cosineNearDupPairs(Tables.load(s, dir, "embeddings"), 0.35)

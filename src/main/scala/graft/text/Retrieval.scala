@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, Tables}
+
+/** BM25 query scoring over the corpus — the retrieval building block a
+  * training-data pipeline uses for targeted corpus slicing ("pull the
+  * documents most about X") and for dataset search tooling.
+  *
+  * Scale shape: the token explode + (doc, term) count is one hash
+  * aggregation with map-side partials; document frequency and the
+  * corpus length stats are aggregates OF that table (no second pass
+  * over the token stream); the per-term idf table is a ≤|query|-row
+  * broadcast. Nothing shuffles the corpus more than once at any size.
+  *
+  * Determinism: tf, dl, df, N are integers; avgdl enters as the same
+  * sum/count double in both engines; each (doc, term) partial score is
+  * quantized to integer micros BEFORE the per-doc sum (q68's idiom) so
+  * the cross-engine hash compares exact integers. k1 = 1.2, b = 0.75
+  * (the standard Robertson parameters); idf = ln(1 + (N − df + 0.5) /
+  * (df + 0.5)) — the Lucene form, strictly positive. */
+object Retrieval {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  def bm25(docs: DataFrame, terms: Seq[String], topN: Int = 50): DataFrame = {
+    val ws = split(lower(col("text")), " ")
+    val toks = docs.select(col("doc_id"), size(ws).as("dl"),
+      explode(ws).as("word"))
+    val tf = toks.filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(ws)).as("sum_dl"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf", log(lit(1.0)
+        + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part_micro", round(col("idf")
+        * (col("tf") * lit(K1 + 1.0))
+        / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+        * 1e6).cast("long"))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("part_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(topN)
+      .select(col("doc_id"), col("n_terms"),
+        round(col("score_micro").cast("double") / 1e6, 4).as("score"))
+  }
+
+  private def bm25Oracle(terms: Seq[String], topN: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word
+       |      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |            FROM documents)),
+       |tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM t
+       |       WHERE word IN ($termList) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |            sum(len(string_split(lower(text), ' '))) AS sum_dl
+       |          FROM documents),
+       |scored AS (SELECT tf.doc_id,
+       |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf * ${K1 + 1.0})
+       |      / (tf + $K1 * (${1.0 - B} + $B * dl
+       |          / (CAST(sum_dl AS DOUBLE) / n_docs)))
+       |      * 1000000) AS BIGINT) AS part_micro
+       |  FROM tf JOIN dfreq USING (word) CROSS JOIN stats)
+       |SELECT doc_id, count(*) AS n_terms,
+       |  round(CAST(sum(part_micro) AS DOUBLE) / 1000000, 4) AS score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY sum(part_micro) DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
+  private val QueryTerms = Seq("vector", "join", "scan")
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q103_bm25",
+      (s, dir) => bm25(Tables.load(s, dir, "documents"), QueryTerms),
+      Some(bm25Oracle(QueryTerms, 50)),
+      doc = "BM25 query scoring (k1=1.2, b=0.75): one token pass + broadcast idf")
+  )
+}

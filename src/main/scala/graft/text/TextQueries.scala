@@ -123,9 +123,10 @@ object TextQueries {
       .filter(col("containment") >= threshold)
       .select(col("d1"), col("d2"), col("containment"))
 
-  /** CTE chain producing `ov(d1, d2, inter, sz1, sz2)` — the capped
-    * 3-gram pair-overlap table ([[pairOverlap]]'s mirror). */
-  private[text] def overlapCtes: String =
+  /** CTE chain producing `sh(doc_id, shingle)` (the capped distinct
+    * 3-gram shingle table) and `sz(doc_id, sz)` — shared by the
+    * symmetric (q25/q88) and one-sided incremental (q105) overlaps. */
+  private[text] def shingleCtes: String =
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |sh0 AS (SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(ws) - 1),
@@ -134,7 +135,12 @@ object TextQueries {
        |keep AS (SELECT shingle FROM sh0 GROUP BY shingle
        |         HAVING count(*) <= ${MaxShingleDf}),
        |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
-       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** CTE chain producing `ov(d1, d2, inter, sz1, sz2)` — the capped
+    * 3-gram pair-overlap table ([[pairOverlap]]'s mirror). */
+  private[text] def overlapCtes: String =
+    s"""$shingleCtes,
        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
@@ -175,6 +181,42 @@ object TextQueries {
     graft.Materialized.table(s, dir, s"shingles_$n") {
       hashedWordShingles(graft.Tables.load(s, dir, "documents"), n)
     }
+
+  /** Incremental ingestion dedup — the shape a live pipeline runs on
+    * every arriving batch: candidate pairs are NEW × EXISTING only
+    * (never corpus × corpus), so the per-batch cost scales with the
+    * batch, not the corpus. Same capped posting-list substrate as
+    * [[pairOverlap]], but each list splits into its new/old sides and
+    * pairs expand across the split — an arriving doc with no shingle
+    * in common with the corpus generates zero candidates. The "new"
+    * side is the deterministic `doc_id % 10 = 9` slice standing in for
+    * an arriving batch. */
+  def incrementalJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    val isNew = (d: org.apache.spark.sql.Column) => pmod(d, lit(10L)) === lit(9L)
+    val posting = hashedWordShingles(docs)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= MaxShingleDf)
+      .localCheckpoint()
+    val sizes = posting.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = posting
+      .withColumn("news", filter(col("ds"), d => isNew(d)))
+      .withColumn("olds", filter(col("ds"), d => !isNew(d)))
+      .filter(size(col("news")) >= 1 && size(col("olds")) >= 1)
+      .select(explode(flatten(transform(col("news"), nd =>
+        transform(col("olds"), od =>
+          struct(nd.as("d_new"), od.as("d_old")))))).as("p"))
+      .groupBy(col("p.d_new").as("d_new"), col("p.d_old").as("d_old"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sn"), col("d_new") === col("sn.doc_id"))
+      .join(sizes.as("so"), col("d_old") === col("so.doc_id"))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("sn.sz") + col("so.sz") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d_new"), col("d_old"), col("jaccard"))
+  }
 
   /** English stopword-ratio language heuristic. */
   def langId(docs: DataFrame): DataFrame = {
@@ -245,6 +287,24 @@ object TextQueries {
         |    / CAST(least(sz1, sz2) AS DOUBLE), 4) >= 0.2
         |ORDER BY d1, d2""".stripMargin),
       doc = "Shingle containment ≥ 0.2: subset-copy dups Jaccard misses"),
+
+    Declared(
+      "q105_incremental_dedup",
+      (s, dir) => incrementalJaccard(Tables.load(s, dir, "documents"), 0.1)
+        .orderBy(col("d_new"), col("d_old")),
+      Some(s"""WITH $shingleCtes,
+        |cand AS (SELECT a.doc_id AS d_new, b.doc_id AS d_old, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |          WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
+        |          GROUP BY 1, 2),
+        |ov AS (SELECT d_new, d_old, inter, sn.sz AS szn, so.sz AS szo
+        |       FROM cand JOIN sz sn ON d_new = sn.doc_id
+        |                 JOIN sz so ON d_old = so.doc_id)
+        |SELECT d_new, d_old, jaccard FROM (
+        |  SELECT d_new, d_old, round(CAST(inter AS DOUBLE)
+        |           / CAST(szn + szo - inter AS DOUBLE), 4) AS jaccard FROM ov)
+        |WHERE jaccard >= 0.1 ORDER BY d_new, d_old""".stripMargin),
+      doc = "Incremental batch-vs-corpus Jaccard dedup (new × existing pairs only)"),
 
     Declared(
       "q26_lang_id",
