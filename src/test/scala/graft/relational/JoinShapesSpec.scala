@@ -30,4 +30,21 @@ class JoinShapesSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getLong(0) == 10L && out.head.getLong(2) == 1L)
   }
+
+  test("untappedCustomers: above-average balance AND no orders (Q22 shape)") {
+    import spark.implicits._
+    // positive balances: 100, 300 → avg 200; customer 2 (300) is above
+    // it but has an order; customer 4 (500, nation 7) qualifies;
+    // customer 3's negative balance is excluded from the average but
+    // also below it; customer 1 (100) is below average.
+    val customer = Seq(
+      (1L, 5, 100.0), (2L, 5, 300.0), (3L, 7, -50.0), (4L, 7, 500.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val orders = Seq((100L, 2L)).toDF("o_orderkey", "o_custkey")
+    val out = JoinShapes.untappedCustomers(
+      customer, orders.select($"o_custkey")).collect()
+    assert(out.length == 1)
+    assert(out.head.getInt(0) == 7 && out.head.getLong(1) == 1L
+      && out.head.getDouble(2) == 500.0)
+  }
 }

@@ -1,0 +1,59 @@
+package graft.text
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+
+  test("bm25: hand-computed scores on a three-doc corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "vector join vector"),
+      (2L, "scan scan scan scan"),
+      (3L, "other words only here"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, Seq("vector", "join", "scan"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    // mirror of the query's own arithmetic (idf over N=3, avgdl=11/3)
+    val avgdl = 11.0 / 3.0
+    def part(tf: Long, df: Long, dl: Long): Long =
+      math.round(math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+        * (tf * 2.2)
+        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
+    val d1 = (part(2, 1, 3) + part(1, 1, 3)).toDouble / 1e6
+    val d2 = part(4, 1, 4).toDouble / 1e6
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - math.floor(d1 * 1e4 + 0.5) / 1e4) < 1e-9 ||
+      math.abs(out(1L)._2 - d1) < 1e-4)
+    assert(math.abs(out(2L)._2 - d2) < 1e-4)
+  }
+
+  test("incrementalJaccard: identical new doc pairs with its old copy only") {
+    import spark.implicits._
+    // 9 is "new" (id % 10 == 9): an exact copy of old doc 1 → jaccard 1.
+    // 19 is new but shares nothing. 2 is old noise.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "q r s t u v"),
+      (9L, "a b c d e f"),
+      (19L, "x y z w k m"))
+      .toDF("doc_id", "text")
+    val out = TextQueries.incrementalJaccard(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((9L, 1L, 1.0)))
+  }
+
+  test("incrementalJaccard: never emits old-old or new-new pairs") {
+    import spark.implicits._
+    // two identical OLD docs and two identical NEW docs: neither pair
+    // may surface — only cross-side candidates exist by construction
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (9L, "p q r s t u"),
+      (19L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    assert(TextQueries.incrementalJaccard(docs, 0.1).count() == 0)
+  }
+}
