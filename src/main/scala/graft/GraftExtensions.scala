@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, EuclideanDistance}
+import org.apache.spark.sql.graft.{CosineSimilarity, DistanceComparisonRewrite, DotProduct, EuclideanDistance, SquaredEuclidean}
 
 /** SparkSessionExtensions hook — registers graft's custom expressions
   * as SQL functions so `spark.sql("... euclidean_distance(a, b) ...")`
@@ -31,5 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[DotProduct].getName, "dot_product"),
         (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("squared_euclidean"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SquaredEuclidean].getName, "squared_euclidean"),
+        (children: Seq[Expression]) => SquaredEuclidean(children(0), children(1))))
+    // Range-search comparisons drop their sqrt (see the rule's boundary
+    // caveat — extension sessions opt in; harness sessions stay exact).
+    ext.injectOptimizerRule(_ => DistanceComparisonRewrite)
   }
 }

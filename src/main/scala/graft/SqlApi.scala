@@ -22,6 +22,8 @@ object SqlApi {
       es => org.apache.spark.sql.graft.CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product",
       es => org.apache.spark.sql.graft.DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("squared_euclidean",
+      es => org.apache.spark.sql.graft.SquaredEuclidean(es(0), es(1)), "built-in")
   }
 
   /** Within-label 3-NN in one SQL text (the label bound keeps the

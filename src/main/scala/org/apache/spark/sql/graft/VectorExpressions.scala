@@ -62,6 +62,54 @@ case class EuclideanDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[EuclideanDistance]] without the final sqrt — the monotone proxy
+  * every range/top-k consumer can rank or prune on. Produced by
+  * [[DistanceComparisonRewrite]]; also registered as SQL
+  * `squared_euclidean`. */
+case class SquaredEuclidean(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "squared_euclidean"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredEuclidean =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Plain dot product — the LSH signature hot path (32 hyperplane
   * projections per vector in [[graft.similarity.Ann.lshBands]]). Same
   * strict left-to-right double fold as the declarative
