@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: stage-by-stage timing of the shingle/dedup substrates —
+  * the bench's dominant first-consumer costs. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($r)")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.count()
+    t("shingles.count") {
+      graft.text.TextQueries.hashedWordShingles(docs).count()
+    }
+    t("shingles-preproj.count") {
+      val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+      ws.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("ws")) - lit(2)),
+          i => xxhash64((0 until 3).map(o => element_at(col("ws"), i + lit(o))): _*))))
+          .as("shingle"))
+        .count()
+    }
+    t("posting.count") {
+      graft.text.TextQueries.hashedWordShingles(docs)
+        .groupBy(col("shingle"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) <= graft.text.TextQueries.MaxShingleDf)
+        .count()
+    }
+    t("pairOverlap.count") {
+      graft.text.TextQueries.pairOverlap(docs).count()
+    }
+    t("jaccardPairs.ckpt") {
+      graft.text.TextQueries.jaccardPairs(docs, 0.1).localCheckpoint().count()
+    }
+    // each block builds its own pairs: t() sweeps all persistent RDDs,
+    // so a checkpoint shared across blocks would lose its blocks
+    t("cc.label") {
+      val pairs = graft.text.TextQueries.jaccardPairs(docs, 0.1).localCheckpoint()
+      val (labels, conv) =
+        graft.relational.ConnectedComponents.label(
+          docs.select(col("doc_id").cast("long").as("id")),
+          pairs.select(col("d1").as("a"), col("d2").as("b")))
+      labels.count() + (if (conv) 0 else -1)
+    }
+    t("minhashPairs.count") {
+      graft.text.Dedup.minhashPairs(docs, 0.5).count()
+    }
+    spark.stop()
+  }
+}

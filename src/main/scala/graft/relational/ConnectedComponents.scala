@@ -55,6 +55,11 @@ object ConnectedComponents {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     // Canonical directed form: (hi, lo) with lo < hi, deduped.
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    def stamp(what: String, t0: Long): Unit =
+      if (debug) System.err.println(
+        f"[cc] $what ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    val tInit = System.nanoTime()
     var e = edges
       .select(greatest(col("a"), col("b")).as("hi"),
         least(col("a"), col("b")).as("lo"))
@@ -62,28 +67,35 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
     var eFp = fp(e)
+    stamp("init", tInit)
     var converged = eFp._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
+      val tRound = System.nanoTime()
       // Large-star over the full (undirected) neighborhood of u.
       val und = e.select(col("hi").as("u"), col("lo").as("v"))
         .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
       val mins = und.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // No distinct here: small-star's min-agg is duplicate-insensitive
+      // and its final distinct dedups the round's output — dropping the
+      // intermediate dedup removes a full |E| exchange per round.
       val ls = und.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
       // Small-star over the lo-neighbors of each hi node. m = min
       // lo-neighbor; link the other lo-neighbors and hi itself to m.
       val smins = ls.groupBy("hi").agg(min("lo").as("m"))
       val joined = ls.join(smins, "hi")
+      // Lazy checkpoint: the fingerprint aggregate below is the action
+      // that materializes the round's blocks — one job per round, not a
+      // separate eager-checkpoint job followed by the fp scan.
       val ss = joined.filter(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .unionByName(joined.select(col("hi"), col("m").as("lo")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // Fixpoint test: fingerprints equal ⇒ equal sets (labels are
       // monotone non-increasing; see fp()).
       val ssFp = fp(ss)
@@ -91,7 +103,10 @@ object ConnectedComponents {
       graft.Checkpoints.release(e)
       e = ss
       eFp = ssFp
+      stamp(s"round $iter", tRound)
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] rounds=$iter edges=${eFp._1} converged=$converged")
     // At the fixpoint every edge is (member, component-min).
     val labels = nodes
       .join(e.select(col("hi").as("id"), col("lo").as("comp")), Seq("id"), "left")

@@ -16,15 +16,23 @@ object TextQueries {
   private[text] val Stopwords =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
-  /** Word 3-shingles per doc (distinct), the unit for Jaccard dedup. */
+  /** Word 3-shingles per doc (distinct), the unit for Jaccard dedup.
+    *
+    * The words array is PROJECTED before the shingle lambda: an
+    * expression like `element_at(split(text), …)` inside a higher-order
+    * function re-evaluates the `split` on every lambda invocation
+    * (Catalyst's subexpression elimination does not reach into lambda
+    * bodies) — measured 8× on the shingle pass. A separate projection
+    * binds the array once per row. */
   def wordShingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val words = split(col("text"), " ")
+    val ws = col("ws")
     docs
-      .filter(size(words) >= n)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(ws) >= n)
       .select(col("doc_id"),
         explode(array_distinct(transform(
-          sequence(lit(1), size(words) - lit(n - 1)),
-          i => concat_ws(" ", (0 until n).map(o => element_at(words, i + lit(o))): _*))))
+          sequence(lit(1), size(ws) - lit(n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + lit(o))): _*))))
           .as("shingle"))
   }
 
@@ -37,13 +45,16 @@ object TextQueries {
     * shingles, so a collision would be CAUGHT, not hidden). */
   def hashedWordShingles(docs: DataFrame, n: Int = 3,
                          keep: Seq[String] = Nil): DataFrame = {
-    val words = split(col("text"), " ")
+    val ws = col("ws")
     docs
-      .filter(size(words) >= n)
+      // projected, not inline: see wordShingles — an inline split would
+      // re-evaluate per lambda element (n× per shingle), measured 8×
+      .select(col("doc_id") +: keep.map(col) :+ split(col("text"), " ").as("ws"): _*)
+      .filter(size(ws) >= n)
       .select(col("doc_id") +: keep.map(col) :+
         explode(array_distinct(transform(
-          sequence(lit(1), size(words) - lit(n - 1)),
-          i => xxhash64((0 until n).map(o => element_at(words, i + lit(o))): _*))))
+          sequence(lit(1), size(ws) - lit(n - 1)),
+          i => xxhash64((0 until n).map(o => element_at(ws, i + lit(o))): _*))))
           .as("shingle"): _*)
   }
 
