@@ -74,7 +74,87 @@ object JoinShapes {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q17 shape — a correlated per-group average ("lines whose
+    * quantity is under 20% of that part's average") decorrelated into
+    * one aggregate over the fact table joined back to the fact on the
+    * SAME key: both sides of the join come off one `l_partkey` shuffle
+    * lineage. The threshold test is pure integer math —
+    * 5·qty·n < Σqty in centi-units — so no float average can flip a
+    * boundary row between engines. Output per brand (broadcast dim). */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"),
+      round(col("l_quantity") * 100).cast("long").as("qc"),
+      round(col("l_extendedprice") * 100).cast("long").as("pc"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("qc")).as("sum_qc"))
+    li.join(perPart, Seq("l_partkey"))
+      .filter(col("qc") * 5 * col("n_lines") < col("sum_qc"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"),
+        round(sum(col("pc")).cast("double") / 100, 2).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive brand/size/quantity predicates
+    * spanning both join sides. Catalyst factors the common
+    * `l_partkey = p_partkey` conjunct out of the OR so the join stays
+    * an equi-join (hash, broadcast dim), and pushes the single-sided
+    * disjuncts (p_size ranges, l_quantity ranges) down to their scans —
+    * the plan property that keeps this shape off a nested-loop join. */
+  def brandRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val j = lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)
+          && col("l_quantity").between(20, 30)))
+    j.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).cast("double") / 100, 2).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q106_small_quantity",
+      (s, dir) => smallQuantityRevenue(Tables.load(s, dir, "lineitem"),
+        Tables.load(s, dir, "part")),
+      Some("""WITH li AS (SELECT l_partkey,
+        |        CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |      FROM lineitem),
+        |pp AS (SELECT l_partkey, count(*) AS n_lines, sum(qc) AS sum_qc
+        |       FROM li GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_small,
+        |  round(CAST(sum(pc) AS DOUBLE) / 100, 2) AS revenue
+        |FROM li JOIN pp USING (l_partkey) JOIN part ON l_partkey = p_partkey
+        |WHERE qc * 5 * n_lines < sum_qc
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      doc = "TPC-H Q17 shape: correlated per-part average as a self-join aggregate"),
+
+    Declared(
+      "q107_brand_revenue",
+      (s, dir) => brandRevenue(Tables.load(s, dir, "lineitem"),
+        Tables.load(s, dir, "part")),
+      Some("""SELECT p_brand, count(*) AS n_lines,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      doc = "TPC-H Q19 shape: disjunctive cross-side predicates over an equi-join"),
+
     Declared(
       "q101_untapped_customers",
       (s, dir) => untappedCustomers(Tables.load(s, dir, "customer"),

@@ -31,6 +31,41 @@ class JoinShapesSpec extends SparkSpec {
     assert(out.head.getLong(0) == 10L && out.head.getLong(2) == 1L)
   }
 
+  test("smallQuantityRevenue: strictly-under-20%-of-part-average lines (Q17 shape)") {
+    import spark.implicits._
+    // part 1: quantities 1, 10, 10, 10, 19 → avg 10; only qty 1 is
+    // < 2.0; qty 19 and the 10s are not. part 2: single line can never
+    // be below its own average.
+    val li = Seq(
+      (1L, 1.0, 100.0), (1L, 10.0, 100.0), (1L, 10.0, 100.0),
+      (1L, 10.0, 100.0), (1L, 19.0, 100.0),
+      (2L, 5.0, 100.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+    val out = JoinShapes.smallQuantityRevenue(li, part).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "B1" && out.head.getLong(1) == 1L
+      && out.head.getDouble(2) == 100.0)
+  }
+
+  test("brandRevenue: only rows satisfying a full disjunct survive (Q19 shape)") {
+    import spark.implicits._
+    val part = Seq(
+      (1L, "Brand#12", 10), // size in [1,15]
+      (2L, "Brand#23", 30), // size OUT of [1,25]
+      (3L, "Brand#3", 30))  // size in [1,35]
+      .toDF("p_partkey", "p_brand", "p_size")
+    val li = Seq(
+      (1L, 5.0, 100.0, 0.0),   // qty in [1,11]  → matches disjunct 1
+      (1L, 15.0, 100.0, 0.0),  // qty out        → no
+      (2L, 15.0, 100.0, 0.0),  // size fails     → no
+      (3L, 25.0, 200.0, 0.5))  // qty in [20,30] → matches disjunct 3
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val out = JoinShapes.brandRevenue(li, part)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(("Brand#12", 1L, 100.0), ("Brand#3", 1L, 100.0)))
+  }
+
   test("untappedCustomers: above-average balance AND no orders (Q22 shape)") {
     import spark.implicits._
     // positive balances: 100, 300 → avg 200; customer 2 (300) is above
