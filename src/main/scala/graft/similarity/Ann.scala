@@ -160,6 +160,39 @@ object Ann {
     rerank(cands, k)
   }
 
+  /** IVF-blocked semantic near-dup pairs — the 100 TB dedup path for
+    * the embedding space: the k-means coarse quantizer ([[kmeansCentroids]])
+    * assigns every vector to its `nassign` nearest lists (multi-assign
+    * so near-boundary pairs still share a list), and candidate pairs
+    * form ONLY within a list — Σ B² work instead of N², with B bounded
+    * by list balance rather than corpus size. q54 (exact all-pairs) is
+    * the oracle this approximates; q102 is the same shape with given
+    * labels as blocks. Every emitted pair's sim is EXACT (computed on
+    * the real vectors), so output ⊆ q54's rows with identical scores —
+    * only recall, never precision, is approximate. */
+  def ivfBlockedPairs(emb: DataFrame, threshold: Double, nlist: Int = 16,
+                      nassign: Int = 2, kmeansIters: Int = 5,
+                      seed: Long = 42L): DataFrame = {
+    val cent = kmeansCentroids(emb, nlist, kmeansIters, seed)
+    val pts = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val assign = pts.join(broadcast(cent))
+      .withColumn("d", Distances.euclidean(col("v"), col("cvec")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("d"), col("cid"))))
+      .filter(col("pr") <= nassign)
+      .select(col("cid"), col("id"), col("v"))
+    val a = assign.select(col("cid"), col("id").as("d1"), col("v").as("va"))
+    val b = assign.select(col("cid"), col("id").as("d2"), col("v").as("vb"))
+    a.join(b, Seq("cid"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("sim", round(Distances.cosineSimilarity(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      // a pair sharing two lists meets twice; sim is deterministic, so
+      // the dedup shuffle carries only the (few) near-dup pairs
+      .select(col("d1"), col("d2"), col("sim"))
+      .dropDuplicates("d1", "d2")
+  }
+
   /** Exact cosine re-rank of (qid, qv, nbr, cv) candidates → top-k,
     * via the TopKByWeight partial aggregation (≤ k per query cross the
     * shuffle, not the whole candidate set). */

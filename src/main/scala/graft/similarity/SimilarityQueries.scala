@@ -87,6 +87,13 @@ object SimilarityQueries {
       doc = "Embedding-cosine near-dup pairs (exact; LSH/IVF are the scale path)"),
 
     Declared(
+      "q108_ivf_blocked_dedup",
+      (s, dir) => Ann.ivfBlockedPairs(Tables.load(s, dir, "embeddings"), 0.35)
+        .orderBy(col("d1"), col("d2")),
+      None,
+      doc = "IVF-blocked semantic near-dup pairs (k-means lists; seeded ⇒ rows-only)"),
+
+    Declared(
       "q35_ann_lsh",
       (s, dir) => Ann.lshTopK(Tables.load(s, dir, "embeddings"), K, dim = 64,
         queryPred = col("id") < 20)
