@@ -120,7 +120,49 @@ object JoinShapes {
       .orderBy(col("p_brand"))
   }
 
+  /** Banded (bucketed) range join — q07's semantics at a scale where
+    * NEITHER side broadcasts. A band predicate |c − s| ≤ band maps to
+    * bucket arithmetic: points bucket once at width = band, probes
+    * explode to their 3 adjacent buckets, and the non-equi predicate
+    * becomes an EQUI-join on the bucket key (shuffle-partitionable on
+    * both sides) plus an exact refine. Work is Σ per-bucket products —
+    * bounded by value locality, not corpus size; the 3× probe fan-out
+    * is the constant price of generality. All bucket math is integer
+    * cents, so the refine and the aggregate are engine-exact. */
+  def bandedRangeJoin(customer: DataFrame, supplier: DataFrame,
+                      bandCents: Long = 10000L): DataFrame = {
+    val c = customer.select(
+      round(col("c_acctbal") * 100).cast("long").as("cc"))
+      .withColumn("bucket", floor(col("cc").cast("double") / bandCents).cast("long"))
+    val s = supplier.select(col("s_suppkey"),
+      round(col("s_acctbal") * 100).cast("long").as("sc"))
+      .withColumn("bucket", explode(sequence(
+        floor((col("sc") - bandCents).cast("double") / bandCents).cast("long"),
+        floor((col("sc") + bandCents).cast("double") / bandCents).cast("long"))))
+    s.join(c, Seq("bucket"))
+      .filter(col("cc") >= col("sc") - bandCents
+        && col("cc") <= col("sc") + bandCents)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_close"),
+        (sum(col("cc")).cast("double") / 100.0).as("sum_bal"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q109_banded_range_join",
+      (s, dir) => bandedRangeJoin(Tables.load(s, dir, "customer"),
+        Tables.load(s, dir, "supplier")),
+      Some("""SELECT s_suppkey, count(*) AS n_close,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_bal
+        |FROM supplier JOIN customer
+        |  ON CAST(round(c_acctbal * 100) AS BIGINT)
+        |       BETWEEN CAST(round(s_acctbal * 100) AS BIGINT) - 10000
+        |           AND CAST(round(s_acctbal * 100) AS BIGINT) + 10000
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin),
+      doc = "Band join as bucket equi-join + refine (q07 semantics, no broadcast)"),
+
     Declared(
       "q106_small_quantity",
       (s, dir) => smallQuantityRevenue(Tables.load(s, dir, "lineitem"),

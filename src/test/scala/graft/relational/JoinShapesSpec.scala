@@ -66,6 +66,36 @@ class JoinShapesSpec extends SparkSpec {
     assert(out == Set(("Brand#12", 1L, 100.0), ("Brand#3", 1L, 100.0)))
   }
 
+  test("bandedRangeJoin == direct band join incl. exact boundaries (sf0.001)") {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    val cust = Tables.load(spark, sf0001, "customer")
+    val supp = Tables.load(spark, sf0001, "supplier")
+    val got = JoinShapes.bandedRangeJoin(cust, supp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cents = (c: String) => round(col(c) * 100).cast("long")
+    val want = supp.select(col("s_suppkey"), cents("s_acctbal").as("sc"))
+      .join(cust.select(cents("c_acctbal").as("cc")),
+        col("cc") >= col("sc") - 10000L && col("cc") <= col("sc") + 10000L)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n"), (sum(col("cc")).cast("double") / 100.0).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bandedRangeJoin: boundary values exactly band apart are included") {
+    import spark.implicits._
+    // 100.00 vs 200.00 → exactly band (10000 cents) apart → included;
+    // 100.00 vs 200.01 → excluded. Bucket edges: 199.99/200.00 straddle.
+    val cust = Seq(100.00, 200.00, 200.01, 299.99, 300.01)
+      .toDF("c_acctbal")
+    val supp = Seq((1L, 200.00)).toDF("s_suppkey", "s_acctbal")
+    val out = JoinShapes.bandedRangeJoin(cust, supp).collect()
+    assert(out.length == 1)
+    // matches: 100.00, 200.00, 200.01, 299.99 (300.01 is out)
+    assert(out.head.getLong(1) == 4L)
+  }
+
   test("untappedCustomers: above-average balance AND no orders (Q22 shape)") {
     import spark.implicits._
     // positive balances: 100, 300 → avg 200; customer 2 (300) is above
