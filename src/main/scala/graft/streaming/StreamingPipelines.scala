@@ -151,6 +151,47 @@ object StreamingPipelines {
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"))
 
+  /** Streaming incremental dedup — q105's twin at ingest time: each
+    * arriving document's hashed shingles probe the STATIC corpus
+    * posting lists (stream-static join, no corpus shuffle per batch),
+    * the per-(new, old) intersection accumulates in a watermarked
+    * windowed aggregation (append-mode emission, state expires with
+    * the watermark), and the Jaccard refine joins the static corpus
+    * sizes AFTER the aggregation — the pair stream that crosses the
+    * stateful boundary carries counts, not vectors of text.
+    *
+    * Size semantics: the arriving doc's size is its own distinct
+    * shingle count (computed row-locally before the explode — a stream
+    * cannot re-derive corpus-capped sizes for a doc it is seeing for
+    * the first time); corpus sizes come capped from the static index,
+    * as in the batch q105. */
+  def incrementalDedupStream(docs: DataFrame, corpusPosting: DataFrame,
+      corpusSizes: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val shs = docs
+      .withWatermark("ingest_ts", "1 hour")
+      .select(col("doc_id"), col("ingest_ts"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), col("ingest_ts"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("ws")) - lit(n - 1)),
+          i => xxhash64((0 until n).map(o =>
+            element_at(col("ws"), i + lit(o))): _*))).as("shs"))
+      .select(col("doc_id"), col("ingest_ts"), size(col("shs")).as("n_sh"),
+        explode(col("shs")).as("shingle"))
+    val hits = shs.join(corpusPosting, Seq("shingle"))
+      .select(col("doc_id"), col("ingest_ts"), col("n_sh"),
+        explode(col("ds")).as("d_old"))
+    val inter = hits
+      .groupBy(window(col("ingest_ts"), "1 hour"),
+        col("doc_id"), col("d_old"), col("n_sh"))
+      .agg(count(lit(1)).as("inter"))
+    inter.join(corpusSizes.withColumnRenamed("doc_id", "d_old"), Seq("d_old"))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("n_sh") + col("sz") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("d_old"), col("jaccard"))
+  }
+
   /** File-source streaming read of ingest-timestamped documents. */
   def readDocsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

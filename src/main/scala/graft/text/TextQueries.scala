@@ -75,25 +75,32 @@ object TextQueries {
     * generation, and without materialization Catalyst re-runs the
     * shingle Generate + groupBy per consumer. The caller (or the
     * harness's per-query sweep) releases the pinned blocks when done. */
-  def pairOverlap(docs: DataFrame): DataFrame = {
-    // Inverted index as POSTING LISTS: one groupBy on the 64-bit
-    // shingle hash (hashes, not strings: same pairs, collisions
-    // ~n²/2⁶⁴, half the shuffle bytes) yields each shingle's sorted
-    // doc list; the hot-shingle cap (`size ≤ MaxShingleDf`) fuses into
-    // the same pass, and candidate pairs generate IN PLACE from each
-    // bounded list (≤ T²/2 per shingle by the cap). Versus the
-    // two-sided self-join this removes a whole shuffle of the shingle
-    // table and the separate df-filter semi-join. Per-group state is
-    // ≤ MaxShingleDf ids — executor-safe at any corpus size.
-    val posting = hashedWordShingles(docs)
+  /** Inverted index as POSTING LISTS: one groupBy on the 64-bit
+    * shingle hash (hashes, not strings: same pairs, collisions
+    * ~n²/2⁶⁴, half the shuffle bytes) yields each shingle's sorted
+    * doc list; the hot-shingle cap (`size ≤ MaxShingleDf`) fuses into
+    * the same pass. Per-group state is ≤ MaxShingleDf ids —
+    * executor-safe at any corpus size. Shared by the batch pair
+    * generators and the streaming incremental-dedup probe side. */
+  def cappedPostingLists(docs: DataFrame, n: Int = 3): DataFrame =
+    hashedWordShingles(docs, n)
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= MaxShingleDf)
-      .localCheckpoint()
-    // Doc sizes over the capped shingle sets, recovered from the
-    // posting lists (no second pass over the corpus).
-    val sizes = posting.select(explode(col("ds")).as("doc_id"))
+
+  /** Per-doc size of its capped shingle set, recovered from the
+    * posting lists (no second pass over the corpus). */
+  def postingDocSizes(posting: DataFrame): DataFrame =
+    posting.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
+  def pairOverlap(docs: DataFrame): DataFrame = {
+    // Candidate pairs generate IN PLACE from each bounded posting list
+    // (≤ T²/2 per shingle by the cap). Versus the two-sided self-join
+    // this removes a whole shuffle of the shingle table and the
+    // separate df-filter semi-join.
+    val posting = cappedPostingLists(docs).localCheckpoint()
+    val sizes = postingDocSizes(posting)
     // Ordered pairs (d1 < d2) within each sorted posting list.
     val inter = posting.filter(size(col("ds")) >= 2)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
@@ -204,13 +211,8 @@ object TextQueries {
     * an arriving batch. */
   def incrementalJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     val isNew = (d: org.apache.spark.sql.Column) => pmod(d, lit(10L)) === lit(9L)
-    val posting = hashedWordShingles(docs)
-      .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= MaxShingleDf)
-      .localCheckpoint()
-    val sizes = posting.select(explode(col("ds")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val posting = cappedPostingLists(docs).localCheckpoint()
+    val sizes = postingDocSizes(posting)
     val inter = posting
       .withColumn("news", filter(col("ds"), d => isNew(d)))
       .withColumn("olds", filter(col("ds"), d => !isNew(d)))

@@ -147,6 +147,52 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture has no contaminated docs — test is vacuous")
   }
 
+  test("streaming incremental dedup matches the batch pair set") {
+    import graft.text.TextQueries
+    val src = Files.createTempDirectory("graft-stream-incdedup").toString
+    val all = Tables.load(spark, sf0001, "documents")
+    val corpus = all.filter(col("doc_id") % 10 =!= 9)
+    val arriving = all.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), col("lang"), col("text"),
+        timestamp_seconds(lit(1600000000L) + col("doc_id")).as("ingest_ts"))
+    // sentinel far in the future closes every real window at the
+    // watermark (append mode holds open windows back); three words
+    // but colliding with nothing (no letters shared with the corpus)
+    val sentinel = spark.sql(
+      """SELECT CAST(-1 AS BIGINT) AS doc_id, 'en' AS lang,
+        |'zz1 zz2 zz3' AS text,
+        |timestamp_seconds(1700000000) AS ingest_ts""".stripMargin)
+    arriving.unionByName(sentinel).write.mode("overwrite").parquet(src)
+    val posting = TextQueries.cappedPostingLists(corpus)
+    val sizes = TextQueries.postingDocSizes(posting)
+    val q = StreamingPipelines.incrementalDedupStream(
+        StreamingPipelines.readDocsStream(spark, src), posting, sizes, 0.1)
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val got = spark.table("incdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch mirror with identical size semantics: arriving size = own
+    // distinct shingle count, corpus size = capped posting size
+    val arrSh = TextQueries.hashedWordShingles(arriving)
+    val arrSizes = arrSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val batch = arrSh
+      .join(posting, Seq("shingle"))
+      .select(col("doc_id"), explode(col("ds")).as("d_old"))
+      .groupBy(col("doc_id"), col("d_old")).agg(count(lit(1)).as("inter"))
+      .join(arrSizes, Seq("doc_id"))
+      .join(sizes.withColumnRenamed("doc_id", "d_old"), Seq("d_old"))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("n_sh") + col("sz") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= 0.1)
+      .select(col("doc_id"), col("d_old"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture has no incremental near-dups — vacuous")
+    assert(got == batch,
+      s"missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions at the gap") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft-stream-sess").toString
