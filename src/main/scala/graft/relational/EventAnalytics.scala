@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,7 +150,68 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** Incremental view maintenance — the nightly-ETL contract at 100 TB:
+    * closed days NEVER rescan. The history partial aggregate is a
+    * materialized parquet snapshot (built once, here via
+    * [[graft.Materialized]]); each refresh aggregates ONLY the fresh
+    * slice (`ts ≥ cutover`, a raw timestamp comparison so the scan
+    * prunes on parquet stats) and unions it in. Counts and integer-cent
+    * sums are decomposable aggregates, so snapshot + fresh ≡ full
+    * recompute — which is exactly what the oracle states. */
+  def incrementalDaily(s: SparkSession, dir: String,
+                       cutover: String = "2024-01-24 00:00:00"): DataFrame = {
+    val events = Tables.load(s, dir, "events")
+    val cut = lit(cutover).cast("timestamp")
+    def dailyAgg(df: DataFrame): DataFrame = df
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("v_cents"))
+    val hist = graft.Materialized.table(s, dir, "daily_hist") {
+      dailyAgg(events.filter(col("ts") < cut))
+    }
+    hist.unionByName(dailyAgg(events.filter(col("ts") >= cut)))
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("v_cents").cast("double") / 100, 2).as("value_sum"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** 7-day rolling distinct users via mergeable HLL sketches — the
+    * sketch answer to "rolling MAU" at scale: the event stream
+    * aggregates ONCE into a sketch per day (map-side combined,
+    * order-independent registers ⇒ deterministic), and the rolling
+    * union merges ≤ 7 sketches per output row instead of re-scanning
+    * 7 days of raw events per day. The window runs over ≤ #days
+    * aggregated rows (q79's pattern). DAU is exact; the 7-day estimate
+    * is approximate ⇒ rows-only for the driver, accuracy-gated in the
+    * spec against the exact rolling distinct. */
+  def rollingDistinctUsers(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count_distinct(col("user_id")).as("dau"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("users_7d_est", hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+      .select(col("day"), col("dau"), col("users_7d_est"))
+      .orderBy(col("day"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q110_incremental_daily",
+      (s, dir) => incrementalDaily(s, dir),
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+        |    AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin),
+      doc = "Incremental view maintenance: history snapshot + fresh-slice union"),
+
+    Declared(
+      "q111_rolling_hll",
+      (s, dir) => rollingDistinctUsers(Tables.load(s, dir, "events")),
+      None,
+      doc = "7-day rolling distinct users via mergeable HLL sketch union (rows-only)"),
+
     Declared(
       "q79_daily_active",
       (s, dir) => dailyActive(Tables.load(s, dir, "events")),

@@ -120,4 +120,30 @@ class EventAnalyticsSpec extends SparkSpec {
     val again = graft.text.SampleOps.stratifiedFixed(docs).collect()
     assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("rollingDistinctUsers: HLL 7-day estimate within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.load(spark, sf0001, "events")
+    val got = EventAnalytics.rollingDistinctUsers(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    // exact 7-day rolling distinct via day × trailing-window self-join
+    val daily = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = daily.select(col("day")).distinct()
+    val exact = days.as("d")
+      .join(daily.as("u"),
+        col("u.day") >= date_sub(col("d.day"), 6) && col("u.day") <= col("d.day"))
+      .groupBy(col("d.day")).agg(count_distinct(col("u.user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    got.foreach { case (day, dau, est) =>
+      val ex = exact(day)
+      assert(est >= dau, s"$day: union estimate $est below exact DAU $dau")
+      assert(math.abs(est - ex).toDouble / ex <= 0.05,
+        s"$day: est $est vs exact $ex")
+    }
+    // deterministic rerun (HLL registers are order-independent maxima)
+    val again = EventAnalytics.rollingDistinctUsers(events.repartition(13)).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == again)
+  }
 }
