@@ -159,17 +159,32 @@ object EventAnalytics {
     * sums are decomposable aggregates, so snapshot + fresh ≡ full
     * recompute — which is exactly what the oracle states. */
   def incrementalDaily(s: SparkSession, dir: String,
-                       cutover: String = "2024-01-24 00:00:00"): DataFrame = {
-    val events = Tables.load(s, dir, "events")
-    val cut = lit(cutover).cast("timestamp")
+                       cutover: String = "2024-01-24T00:00:00Z"): DataFrame = {
+    // The rebuilt µs timestamp (Tables.load) is a DERIVED column — a
+    // bound on it cannot reach the parquet scan. Push the cutover in
+    // the file's raw NANOS domain instead (`ts div 1000 ≥ µs ⟺
+    // ts ≥ µs·1000` exactly, integer division on non-negative nanos),
+    // then rebuild. PlanSpecs asserts the scan receives the bound.
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val cutMicros = java.time.Instant.parse(cutover).toEpochMilli * 1000L
+    def slice(fresh: Boolean): DataFrame =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+        val cutNanos = cutMicros * 1000L
+        raw.filter(if (fresh) col("ts") >= cutNanos else col("ts") < cutNanos)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else {
+        val cut = timestamp_micros(lit(cutMicros))
+        Tables.load(s, dir, "events")
+          .filter(if (fresh) col("ts") >= cut else col("ts") < cut)
+      }
     def dailyAgg(df: DataFrame): DataFrame = df
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("v_cents"))
     val hist = graft.Materialized.table(s, dir, "daily_hist") {
-      dailyAgg(events.filter(col("ts") < cut))
+      dailyAgg(slice(fresh = false))
     }
-    hist.unionByName(dailyAgg(events.filter(col("ts") >= cut)))
+    hist.unionByName(dailyAgg(slice(fresh = true)))
       .select(col("day"), col("event_type"), col("n"),
         round(col("v_cents").cast("double") / 100, 2).as("value_sum"))
       .orderBy(col("day"), col("event_type"))

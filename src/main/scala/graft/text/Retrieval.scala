@@ -52,8 +52,13 @@ object Retrieval {
         sum(col("part_micro")).as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(topN)
+      // round AT the micro grid (6 dp), never coarser: a micro-quantized
+      // value can sit exactly on a half boundary of a coarser grid, and
+      // Spark rounds the shortest decimal repr of the double while
+      // DuckDB rounds the binary value — 1.18935 → 1.1894 vs 1.1893.
+      // At the value's own quantum the boundary is 0.5e-6 away ≫ 1 ulp.
       .select(col("doc_id"), col("n_terms"),
-        round(col("score_micro").cast("double") / 1e6, 4).as("score"))
+        round(col("score_micro").cast("double") / 1e6, 6).as("score"))
   }
 
   private def bm25Oracle(terms: Seq[String], topN: Int): String = {
@@ -68,14 +73,15 @@ object Retrieval {
        |            sum(len(string_split(lower(text), ' '))) AS sum_dl
        |          FROM documents),
        |scored AS (SELECT tf.doc_id,
-       |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |    CAST(round(ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+       |        / (CAST(df AS DOUBLE) + 0.5))
        |      * (tf * ${K1 + 1.0})
        |      / (tf + $K1 * (${1.0 - B} + $B * dl
        |          / (CAST(sum_dl AS DOUBLE) / n_docs)))
        |      * 1000000) AS BIGINT) AS part_micro
        |  FROM tf JOIN dfreq USING (word) CROSS JOIN stats)
        |SELECT doc_id, count(*) AS n_terms,
-       |  round(CAST(sum(part_micro) AS DOUBLE) / 1000000, 4) AS score
+       |  round(CAST(sum(part_micro) AS DOUBLE) / 1000000, 6) AS score
        |FROM scored GROUP BY doc_id
        |ORDER BY sum(part_micro) DESC, doc_id LIMIT $topN""".stripMargin
   }

@@ -65,6 +65,28 @@ class PlanSpecs extends SparkSpec {
       s"bloom path must not shuffle on shingle:\n${exchanges.mkString("\n")}")
   }
 
+  test("q109 band join is a bucket equi-join, never a nested loop") {
+    val p = plan("q109_banded_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banded range join must stay an equi-join on the bucket key:\n$p")
+  }
+
+  test("q107 pushes per-side disjunctions into both scans, keeps equi-join") {
+    val p = plan("q107_brand_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      "Q19 shape must remain a hash equi-join")
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      "lineitem scan must receive the quantity disjunction")
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      "part scan must receive the brand/size disjunction")
+  }
+
+  test("q110 fresh-slice bound reaches the events scan in the nanos domain") {
+    val p = plan("q110_incremental_daily")
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"fresh slice must push its cutover into the scan:\n$p")
+  }
+
   test("q69 sentence-dedup window is hash-partitioned, never global") {
     val qe = Registry.byName("q69_line_dedup").run(spark, sf0001).queryExecution
     val global = qe.optimizedPlan.collect {
