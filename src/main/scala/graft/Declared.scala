@@ -24,6 +24,7 @@ object Registry {
       graft.relational.JoinShapes.declared ++
       graft.relational.SkewJoin.declared ++
       graft.relational.ZOrderLayout.declared ++
+      graft.relational.ChangeData.declared ++
       graft.text.Retrieval.declared ++
       graft.streaming.TimeWindows.declared ++
       graft.text.TextQueries.declared ++

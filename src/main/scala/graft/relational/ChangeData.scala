@@ -1,0 +1,112 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, Tables}
+
+/** Change-data-capture shapes — the warehouse maintenance operators a
+  * pipeline runs between ingestion and analytics:
+  *
+  *  - upsert compaction: a key's LATEST version wins across a base
+  *    snapshot and a change batch, tombstones delete — the MERGE
+  *    semantics, composed as ONE hash aggregation (`max(struct(...))`
+  *    with map-side partials), never a window sort over the log;
+  *  - SCD2 intervals: a keyed event log collapses into validity
+  *    ranges [valid_from, valid_to) per run of equal attribute value —
+  *    the slowly-changing-dimension history build.
+  */
+object ChangeData {
+
+  /** Last-write-wins per user across base ∪ changes; a change row with
+    * `value < 0.1` is a tombstone that deletes the key. Version order
+    * is (ts, event_id) — unique, so the struct max is total and the
+    * survivor deterministic. One shuffle on the key; the struct max
+    * pre-merges map-side (no per-key log sort anywhere). */
+  def upsertCompact(base: DataFrame, changes: DataFrame): DataFrame = {
+    val tagged = base.withColumn("is_delete", lit(false))
+      .unionByName(changes.withColumn("is_delete", col("value") < 0.1))
+    tagged
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("is_delete"),
+        col("event_type"), col("value"))).as("w"))
+      .filter(!col("w.is_delete"))
+      .select(col("user_id"), col("w.event_id").as("event_id"),
+        col("w.ts").as("ts"), col("w.event_type").as("event_type"),
+        round(col("w.value"), 6).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** SCD2 history: per user, consecutive events with the SAME
+    * event_type collapse into one validity interval; a change opens a
+    * new interval whose `valid_from` is the change's timestamp and
+    * closes the previous one (`valid_to` = next change, NULL while
+    * current). Change detection is one lag window, run-grouping one
+    * running count — both over the per-user partition, one shuffle. */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("changed",
+        when(lag(col("event_type"), 1).over(byUser).isNull
+          || lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("changed")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    runs
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("run_id"))))
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+      .orderBy(col("user_id"), col("run_id"))
+  }
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      // base = hash-stable 2/3 slice, changes = the remaining 1/3:
+      // a deterministic stand-in for snapshot + CDC batch
+      "q112_upsert_compact",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        upsertCompact(ev.filter(pmod(col("event_id"), lit(3L)) =!= 0L),
+          ev.filter(pmod(col("event_id"), lit(3L)) === 0L))
+      },
+      Some("""WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         (event_id % 3 = 0 AND value < 0.1) AS is_delete
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM tagged)
+        |SELECT user_id, event_id, ts, event_type, round(value, 6) AS value
+        |FROM r WHERE rn = 1 AND NOT is_delete
+        |ORDER BY user_id""".stripMargin),
+      doc = "CDC upsert compaction: latest version wins, tombstones delete (MERGE shape)"),
+
+    Declared(
+      "q113_scd2",
+      (s, dir) => scd2Intervals(Tables.load(s, dir, "events")),
+      Some("""WITH l AS (SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS changed
+        |       FROM events
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (SELECT *, sum(changed) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |         FROM l),
+        |g AS (SELECT user_id, run_id, event_type,
+        |        min(ts) AS valid_from, count(*) AS n_events
+        |      FROM runs GROUP BY 1, 2, 3)
+        |SELECT user_id, run_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    AS valid_to, n_events
+        |FROM g ORDER BY user_id, run_id""".stripMargin),
+      doc = "SCD2 validity intervals per keyed attribute run (history build)")
+  )
+}
