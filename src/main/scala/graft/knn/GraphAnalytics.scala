@@ -99,7 +99,58 @@ object GraphAnalytics {
       .orderBy(col("id"))
   }
 
+  /** k-core of the mutual (undirected) KNN graph — iterative peel:
+    * drop nodes with degree < k, recompute, repeat to fixpoint. The
+    * third iteration pattern of the graph family (CC contracts stars,
+    * PageRank runs fixed rounds, the peel DELETES monotonically —
+    * convergence is just an edge-count equality, one scalar per round,
+    * because deletions can never resurrect an edge). Each round is one
+    * degree aggregation + two co-partitioned semi joins; rounds are
+    * bounded by the peel depth (≤ max degree on a kNN graph).
+    *
+    * Output: every node of the input graph with its mutual degree and
+    * an `in_core` flag — deterministic (the k-core is unique), but the
+    * iterative deletion has no ANSI mirror ⇒ rows-only, spec-gated. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    val und = edges
+      .join(edges.select(col("nbr").as("id"), col("id").as("nbr")),
+        Seq("id", "nbr"), "left_semi")
+      .select(col("id").as("u"), col("nbr").as("v"))
+    var e = und.localCheckpoint()
+    var nEdges = e.count()
+    var converged = nEdges == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      val next = e.join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(eager = false)
+      val nNext = next.count()
+      converged = nNext == nEdges
+      graft.Checkpoints.release(e)
+      e = next
+      nEdges = nNext
+    }
+    val inCore = e.select(col("u").as("id")).distinct()
+      .withColumn("in_core", lit(true))
+    edges.groupBy(col("id")).agg(count(lit(1)).as("k_out"))
+      .join(und.groupBy(col("u").as("id")).agg(count(lit(1)).as("mutual_deg")),
+        Seq("id"), "left")
+      .join(inCore, Seq("id"), "left")
+      .select(col("id"), coalesce(col("mutual_deg"), lit(0L)).as("mutual_deg"),
+        coalesce(col("in_core"), lit(false)).as("in_core"))
+      .orderBy(col("id"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q114_kcore",
+      (s, dir) => kCore(KnnQueries.knn10(s, dir), k = 5),
+      None,
+      doc = "k-core peel on the mutual KNN graph (iterative deletion ⇒ rows-only)"),
+
     Declared(
       "q99_triangles",
       (s, dir) => triangleCounts(KnnQueries.knn10(s, dir)),
