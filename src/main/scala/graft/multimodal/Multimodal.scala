@@ -63,7 +63,85 @@ object Multimodal {
     }
   }
 
+  final case class CdcChunk(doc_id: Long, chunk_idx: Int, chunk_len: Int,
+                            chunk_hash: Long)
+
+  /** Content-defined chunking (Rabin-style): a rolling hash over the
+    * byte stream cuts a chunk boundary wherever `hash % modulus == 0`
+    * (subject to min/max chunk bounds) — so an insertion near the
+    * start of a payload shifts ONE boundary instead of re-aligning
+    * every fixed-size block. This is the storage-dedup primitive for
+    * binary columns: identical regions of different payloads produce
+    * identical (length, hash) chunks wherever the cut points
+    * resynchronize. Genuine per-byte imperative work ⇒ the documented
+    * mapPartitions tier (same as the deflate signal q77). */
+  def cdcChunks(media: Dataset[Media], modulus: Int = 64,
+                minLen: Int = 16, maxLen: Int = 256,
+                window: Int = 16): Dataset[CdcChunk] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    // The boundary test hashes a SLIDING window of the byte stream —
+    // never the bytes since the last cut. A chunk-anchored hash would
+    // make every boundary depend on where the previous one fell, so a
+    // single inserted byte re-cuts the whole tail; the window hash
+    // depends only on the local `window` bytes and resynchronizes as
+    // soon as the window clears the edit (the CDC property the spec
+    // asserts). Long overflow wraps identically everywhere ⇒
+    // deterministic.
+    val topPow: Long = {
+      var p = 1L; var i = 0
+      while (i < window) { p *= 131L; i += 1 }; p
+    }
+    media.flatMap { m =>
+      val out = Seq.newBuilder[CdcChunk]
+      val bytes = m.payload
+      var start = 0
+      var idx = 0
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) {
+        h = h * 131L + (bytes(i) & 0xff)
+        if (i >= window) h -= topPow * (bytes(i - window) & 0xff)
+        val len = i - start + 1
+        val cut = len >= maxLen ||
+          (len >= minLen && (h & 0x7fffffffffffffffL) % modulus == 0)
+        if (cut || i == bytes.length - 1) {
+          // chunk content hash: polynomial over the chunk's own bytes
+          var ch = 0L
+          var j = start
+          while (j <= i) { ch = ch * 1099511628211L + (bytes(j) & 0xff); j += 1 }
+          out += CdcChunk(m.doc_id, idx, len, ch)
+          idx += 1; start = i + 1
+        }
+        i += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Cross-payload chunk sharing: how many distinct payloads contain
+    * each chunk, and the dedup ratio the chunk store would achieve. */
+  def chunkSharing(chunks: Dataset[CdcChunk]): DataFrame =
+    chunks.toDF()
+      .groupBy(col("chunk_hash"), col("chunk_len"))
+      .agg(count(lit(1)).as("n_refs"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .agg(count(lit(1)).as("n_unique_chunks"),
+        sum(col("n_refs")).as("n_total_refs"),
+        sum(col("chunk_len")).as("unique_bytes"),
+        sum(col("chunk_len") * col("n_refs")).as("total_bytes"))
+      .select(col("n_unique_chunks"), col("n_total_refs"),
+        col("unique_bytes"), col("total_bytes"),
+        round(col("total_bytes").cast("double") / col("unique_bytes"), 4)
+          .as("dedup_ratio"))
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q115_cdc_chunks",
+      (s, dir) => chunkSharing(cdcChunks(asMedia(Tables.load(s, dir, "documents")))),
+      None,
+      doc = "Content-defined chunking dedup stats (per-byte rolling hash ⇒ rows-only)"),
+
     Declared(
       "q31_media_meta",
       (s, dir) => decodeMeta(asMedia(Tables.load(s, dir, "documents")))
