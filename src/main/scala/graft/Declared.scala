@@ -26,6 +26,7 @@ object Registry {
       graft.relational.ZOrderLayout.declared ++
       graft.relational.ChangeData.declared ++
       graft.text.Retrieval.declared ++
+      graft.text.Bpe.declared ++
       graft.streaming.TimeWindows.declared ++
       graft.text.TextQueries.declared ++
       graft.text.Dedup.declared ++

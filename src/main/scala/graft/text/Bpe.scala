@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, Tables}
+
+/** BPE merge training — the first `rounds` byte-pair-encoding merges
+  * learned from the corpus, the tokenizer-training step of an LLM data
+  * pipeline run as a distributed aggregation loop.
+  *
+  * Shape per round: adjacent-pair counts are ONE hash aggregation over
+  * the word-frequency vocabulary (weights, not raw tokens — the corpus
+  * is scanned once up front, and the vocab table is |distinct words|
+  * rows no matter how many tokens the corpus has); the winning pair is
+  * a 1-row driver scalar (the same legitimacy class as PageRank's node
+  * count); the merge itself is a literal string rewrite on the vocab.
+  *
+  * Merge semantics: occurrences rewrite left-to-right non-overlapping,
+  * applied twice per round so runs sharing a separator ("a b a b")
+  * still merge fully — deterministic and engine-identical (the oracle
+  * replays the identical literal rewrites); canonical BPE differs only
+  * on odd runs ≥ 3 of the same pair. Tie-break: count desc, then pair
+  * string asc. */
+object Bpe {
+
+  def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      // pre-projected split: an inline split inside the lambda would
+      // re-evaluate per element (the measured 8× shingle trap)
+      val tops = vocab
+        .select(col("n"), split(col("t"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + lit(1))))).as("p"))
+        .groupBy(col("p")).agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("p")).limit(1)
+        .collect()
+      if (tops.isEmpty) {
+        // every word is a single token — nothing left to merge
+        done = true
+      } else {
+        val pair = tops(0).getString(0)
+        val c = tops(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        val pat = " " + a + " " + b + " "  // tokens are [a-z]+ — literal-safe
+        val rep = " " + a + b + " "
+        val next = vocab.withColumn("t", trim(
+          regexp_replace(
+            regexp_replace(concat(lit(" "), col("t"), lit(" ")), pat, rep),
+            pat, rep)))
+          .localCheckpoint()
+        graft.Checkpoints.release(vocab)
+        vocab = next
+        merges += ((r, a, b, c))
+      }
+    }
+    graft.Checkpoints.release(vocab)
+    spark.createDataset(merges.result())
+      .toDF("round", "mleft", "mright", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  private def bpeOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH words AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents),
+        |v0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS t,
+        |         count(*) AS n
+        |       FROM words WHERE length(w) >= 2 GROUP BY 1)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val v = s"v${r - 1}"
+      sb.append(s""",
+        |p$r AS (SELECT p, sum(n) AS c FROM (
+        |         SELECT n, unnest(list_transform(range(1, len(ws)),
+        |                  i -> ws[i] || ' ' || ws[i+1])) AS p
+        |         FROM (SELECT string_split(t, ' ') AS ws, n FROM $v))
+        |       GROUP BY 1),
+        |b$r AS (SELECT string_split(p, ' ')[1] AS a,
+        |         string_split(p, ' ')[2] AS b, c
+        |       FROM p$r ORDER BY c DESC, p LIMIT 1),
+        |v$r AS (SELECT trim(regexp_replace(regexp_replace(
+        |           ' ' || t || ' ',
+        |           (SELECT ' ' || a || ' ' || b || ' ' FROM b$r),
+        |           (SELECT ' ' || a || b || ' ' FROM b$r), 'g'),
+        |           (SELECT ' ' || a || ' ' || b || ' ' FROM b$r),
+        |           (SELECT ' ' || a || b || ' ' FROM b$r), 'g')) AS t, n
+        |       FROM $v)""".stripMargin)
+    }
+    sb.append("\n" + (1 to rounds).map { r =>
+      s"SELECT $r AS round, a AS mleft, b AS mright, c AS pair_count FROM b$r"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY round"))
+    sb.toString
+  }
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q116_bpe_merges",
+      (s, dir) => bpeMerges(Tables.load(s, dir, "documents")),
+      Some(bpeOracle(5)),
+      doc = "First 5 BPE merges learned from the corpus (tokenizer training loop)")
+  )
+}
