@@ -120,6 +120,60 @@ object TextQueries {
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
     scoreJaccard(pairOverlap(docs), threshold)
 
+  /** Prefix-filtered Jaccard join (Bayardo/Chaudhuri prefix filter,
+    * the ppjoin family) — IDENTICAL output to [[jaccardPairs]], far
+    * fewer candidates: order every doc's shingles by (document
+    * frequency asc, hash) and index only the first
+    * n − ⌈τ·n⌉ + 1 of them. Lemma: a qualifying pair (Jaccard ≥ τ)
+    * must overlap by α ≥ ⌈τ·max(|x|,|y|)⌉, and two sets that share α
+    * elements under a TOTAL order must share one within their first
+    * (size − α + 1) elements — so pairs sharing no prefix shingle are
+    * provably < τ and are never generated. The rarest-first order
+    * makes prefix postings the SHORTEST lists, compounding the cut.
+    * Candidates then verify with an exact intersection count (two
+    * co-partitioned joins against the capped shingle table). */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val posting = cappedPostingLists(docs).localCheckpoint()
+    // (doc, shingle, df) over the capped universe — same universe as
+    // pairOverlap, so results match jaccardPairs exactly
+    val sh = posting.select(explode(col("ds")).as("doc_id"),
+      col("shingle"), size(col("ds")).as("df"))
+    // per doc: order shingles rarest-first, keep the prefix
+    val pref = sh
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ss"))
+      .select(col("doc_id"),
+        slice(transform(col("ss"), e => e("shingle")), lit(1),
+          (size(col("ss"))
+            - ceil(size(col("ss")).cast("double") * threshold).cast("int")
+            + lit(1))).as("prefix"))
+      .select(col("doc_id"), explode(col("prefix")).as("shingle"))
+    // candidate pairs: prefix postings only
+    val cands = pref
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
+          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    // exact verify: intersection count + sizes over the full capped sets
+    val sizes = postingDocSizes(posting)
+    val inter = cands
+      .join(sh.select(col("doc_id").as("d1"), col("shingle")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    scoreJaccard(
+      inter
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), col("inter"),
+          col("s1.sz").as("sz1"), col("s2.sz").as("sz2")),
+      threshold)
+  }
+
   private def scoreJaccard(overlap: DataFrame, threshold: Double): DataFrame =
     overlap
       .withColumn("jaccard", round(col("inter").cast("double")
@@ -300,6 +354,15 @@ object TextQueries {
         |    / CAST(least(sz1, sz2) AS DOUBLE), 4) >= 0.2
         |ORDER BY d1, d2""".stripMargin),
       doc = "Shingle containment ≥ 0.2: subset-copy dups Jaccard misses"),
+
+    Declared(
+      // identical semantics and ORACLE as q25 — the point: a smarter
+      // candidate generator (prefix filter) must not change one row
+      "q117_prefix_jaccard",
+      (s, dir) => prefixJaccardPairs(Tables.load(s, dir, "documents"), 0.1)
+        .orderBy(col("d1"), col("d2")),
+      Some(jaccardOracle(0.1)),
+      doc = "Prefix-filtered Jaccard join: provably-lossless candidate pruning"),
 
     Declared(
       "q105_incremental_dedup",

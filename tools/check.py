@@ -23,7 +23,9 @@ for a in args:
         only = set(a.split("=", 1)[1].split(","))
     else:
         sf_dir = a
-out = "/tmp/verify_out"
+# keyed by scale factor: a shared dir serves stale other-SF outputs to
+# subset runs (--only/GRAFT_ONLY rewrite only their queries)
+out = "/tmp/verify_out_" + os.path.basename(sf_dir.rstrip("/"))
 
 if run:
     r = subprocess.run(["sbt", "--batch", f"runMain graft.Verify {sf_dir} {out}"],
