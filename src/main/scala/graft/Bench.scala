@@ -69,8 +69,22 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$errJson"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
     spark.stop()
-    // Printed LAST, after Spark's shutdown chatter, and flushed.
+    // The driver parses the LAST ~2000 stdout chars; at 127 queries the
+    // full per-query map is ~3 kB and would truncate mid-line. Print
+    // the full line first (and persist it in bench_out.json), then a
+    // COMPACT, self-reconciling JSON line LAST: the slowest `keep`
+    // queries verbatim plus the remainder folded into "other_sec" /
+    // "other_n" — same schema, guaranteed under the tail window.
     println(line)
+    val keep = 60
+    val (slow, rest) = results.toSeq.sortBy { case (_, v) => -v }.splitAt(keep)
+    val compactQs = slow.map { case (k, v) => jq(k) + ":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val restSum = rest.collect { case (_, v) if v >= 0 => v }.sum
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,""" +
+        s""""other_n":${rest.size},"other_sec":${fmt(restSum)},$errJson"sf":"$sfDir"}"""
+    println(compact)
     System.out.flush()
   }
 }
