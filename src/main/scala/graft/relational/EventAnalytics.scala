@@ -211,7 +211,89 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** A/B-test readout — the experimentation query a product pipeline
+    * runs daily: FIRST-TOUCH variant assignment (the k prop of each
+    * user's earliest event, by (ts, event_id) — one `min(struct(...))`
+    * hash aggregate, no window), purchase conversion per variant, and
+    * the pooled two-proportion z statistic, computed in one closed-form
+    * expression from four exact integers so both engines evaluate the
+    * identical double. One shuffle on user_id; the variant summary is
+    * two rows. */
+  def abTest(events: DataFrame, windowHours: Int = 24): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val firsts = events
+      .select(col("user_id"), struct(col("ts"), col("event_id"), k.as("k")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(min(col("e")).as("first"))
+    // conversion = a purchase within the attribution window after first
+    // touch; the events ⋈ firsts join and the per-user aggregate share
+    // one user_id shuffle lineage
+    val assigned = events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .join(firsts, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(first(
+        when(pmod(col("first.k"), lit(2L)) === 0L, "A").otherwise("B"))
+        .as("variant"),
+        max(col("event_type") === "purchase"
+          && col("ts") <= col("first.ts") + expr(s"interval $windowHours hours"))
+          .as("converted"))
+    val stats = assigned.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+    val wide = stats.agg(
+      sum(when(col("variant") === "A", col("n_users"))).as("na"),
+      sum(when(col("variant") === "A", col("n_converted"))).as("ca"),
+      sum(when(col("variant") === "B", col("n_users"))).as("nb"),
+      sum(when(col("variant") === "B", col("n_converted"))).as("cb"))
+    val p = (col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))
+    val denom = sqrt(p * (lit(1.0) - p)
+      * (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+    wide.select(col("na"), col("ca"),
+        round(col("ca").cast("double") / col("na"), 6).as("rate_a"),
+        col("nb"), col("cb"),
+        round(col("cb").cast("double") / col("nb"), 6).as("rate_b"),
+        // guarded: p = 0 or 1 makes the pooled variance 0 (ANSI errors
+        // on the division); a degenerate experiment reports NULL z
+        when(denom > 0, round((col("ca").cast("double") / col("na")
+          - col("cb").cast("double") / col("nb")) / denom, 6)).as("z"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q118_ab_test",
+      (s, dir) => abTest(Tables.load(s, dir, "events")),
+      Some("""WITH f AS (SELECT user_id, k AS k0, ts AS t0 FROM (
+        |        SELECT user_id, ts,
+        |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |          row_number() OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id) AS rn
+        |        FROM events) WHERE rn = 1),
+        |a AS (SELECT e.user_id,
+        |        CASE WHEN f.k0 % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |        max(e.event_type = 'purchase'
+        |            AND e.ts <= f.t0 + INTERVAL 24 HOUR) AS converted
+        |      FROM events e JOIN f ON e.user_id = f.user_id
+        |      GROUP BY e.user_id, variant),
+        |s AS (SELECT
+        |        count(*) FILTER (variant = 'A') AS na,
+        |        count(*) FILTER (variant = 'A' AND converted) AS ca,
+        |        count(*) FILTER (variant = 'B') AS nb,
+        |        count(*) FILTER (variant = 'B' AND converted) AS cb
+        |      FROM a)
+        |SELECT na, ca, round(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+        |  nb, cb, round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+        |  CASE WHEN sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+        |      * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+        |      * (1.0 / na + 1.0 / nb)) > 0
+        |  THEN round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+        |    / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+        |      * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+        |      * (1.0 / na + 1.0 / nb)), 6)
+        |  END AS z
+        |FROM s""".stripMargin),
+      doc = "A/B readout: first-touch assignment, conversion, two-proportion z"),
+
     Declared(
       "q110_incremental_daily",
       (s, dir) => incrementalDaily(s, dir),

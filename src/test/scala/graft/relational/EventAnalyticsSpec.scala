@@ -121,6 +121,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("abTest: first-touch assignment, attribution window, degenerate z") {
+    import spark.implicits._
+    def ev(id: Long, t: String, u: Long, typ: String, k: Int) =
+      (id, ts(t), u, typ, 0.5, s"""{"k": $k}""")
+    // user 1 → k=2 even → A, purchase 1h after first touch → converted
+    // user 2 → k=4 even → A, purchase 48h later → NOT converted
+    // user 3 → k=3 odd  → B, no purchase
+    // user 4 → k=7 odd  → B, purchase inside the window → converted
+    val events = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 2),
+      ev(2, "2024-01-01 11:00:00", 1, "purchase", 9),
+      ev(3, "2024-01-02 10:00:00", 2, "view", 4),
+      ev(4, "2024-01-04 11:00:00", 2, "purchase", 9),
+      ev(5, "2024-01-03 10:00:00", 3, "view", 3),
+      ev(6, "2024-01-05 10:00:00", 4, "view", 7),
+      ev(7, "2024-01-05 12:00:00", 4, "purchase", 9))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.abTest(events).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)   // na, ca
+    assert(r.getLong(3) == 2L && r.getLong(4) == 1L)   // nb, cb
+    assert(r.getDouble(2) == 0.5 && r.getDouble(5) == 0.5)
+    assert(math.abs(r.getDouble(6)) < 1e-9)            // equal rates → z = 0
+    // degenerate: every user converts → pooled variance 0 → z is NULL
+    val allConv = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "purchase", 2),
+      ev(2, "2024-01-01 10:00:00", 2, "purchase", 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(EventAnalytics.abTest(allConv).collect().head.isNullAt(6))
+  }
+
   test("rollingDistinctUsers: HLL 7-day estimate within 5% of exact") {
     import org.apache.spark.sql.functions._
     val events = graft.Tables.load(spark, sf0001, "events")
