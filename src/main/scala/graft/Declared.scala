@@ -25,6 +25,7 @@ object Registry {
       graft.relational.SkewJoin.declared ++
       graft.relational.ZOrderLayout.declared ++
       graft.relational.ChangeData.declared ++
+      graft.relational.DataQuality.declared ++
       graft.text.Retrieval.declared ++
       graft.text.Bpe.declared ++
       graft.streaming.TimeWindows.declared ++

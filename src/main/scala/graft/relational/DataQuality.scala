@@ -1,0 +1,92 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, Tables}
+
+/** Data-quality audit — the constraint sweep a pipeline runs before
+  * publishing a snapshot: primary-key uniqueness, foreign-key
+  * orphans, null rates, and domain checks, each reported as one
+  * (constraint, n_checked, n_violations) row. Every check is a
+  * scan + aggregate or a co-partitioned anti join; the audit's output
+  * is ≤ #constraints rows at any table size, and constraints on the
+  * same table fuse into shared scans by Catalyst. */
+object DataQuality {
+
+  def audit(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val lineitem = Tables.load(s, dir, "lineitem")
+
+    def row(name: String, checked: DataFrame, violations: DataFrame): DataFrame =
+      checked.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(violations.agg(count(lit(1)).as("n_violations")))
+        .select(lit(name).as("constraint"), col("n_checked"), col("n_violations"))
+
+    val pkOrders = row("orders.o_orderkey unique", orders,
+      orders.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1))
+    val pkCustomer = row("customer.c_custkey unique", customer,
+      customer.groupBy(col("c_custkey")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1))
+    val fkLine = row("lineitem.l_orderkey in orders", lineitem,
+      lineitem.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti"))
+    val fkOrders = row("orders.o_custkey in customer", orders,
+      orders.select(col("o_custkey"))
+        .join(customer.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti"))
+    val nnPrice = row("lineitem.l_extendedprice not null", lineitem,
+      lineitem.filter(col("l_extendedprice").isNull))
+    val domDiscount = row("lineitem.l_discount in [0,1]", lineitem,
+      lineitem.filter(col("l_discount") < 0 || col("l_discount") > 1))
+    val domQty = row("lineitem.l_quantity > 0", lineitem,
+      lineitem.filter(col("l_quantity") <= 0))
+
+    Seq(pkOrders, pkCustomer, fkLine, fkOrders, nnPrice, domDiscount, domQty)
+      .reduce(_ unionByName _)
+      .orderBy(col("constraint"))
+  }
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q119_dq_audit",
+      (s, dir) => audit(s, dir),
+      Some("""SELECT * FROM (
+        |  SELECT 'orders.o_orderkey unique' AS "constraint",
+        |    (SELECT count(*) FROM orders) AS n_checked,
+        |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |       GROUP BY 1 HAVING count(*) > 1)) AS n_violations
+        |  UNION ALL
+        |  SELECT 'customer.c_custkey unique',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM (SELECT c_custkey FROM customer
+        |       GROUP BY 1 HAVING count(*) > 1))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey in orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey in customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_extendedprice not null',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_extendedprice IS NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_discount in [0,1]',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_quantity > 0',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+        |) ORDER BY "constraint"""".stripMargin),
+      doc = "Data-quality audit: PK/FK/null/domain constraints, one row each")
+  )
+}
