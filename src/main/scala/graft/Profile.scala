@@ -63,6 +63,17 @@ object Profile {
           pairs.select(col("d1").as("a"), col("d2").as("b")))
       labels.count() + (if (conv) 0 else -1)
     }
+    t("prefix.pref.count") {
+      val posting = graft.text.TextQueries.cappedPostingLists(docs).localCheckpoint()
+      val sh = posting.select(explode(col("ds")).as("doc_id"),
+        col("shingle"), size(col("ds")).as("df"))
+      sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ss"))
+        .count()
+    }
+    t("prefix.full.count") {
+      graft.text.TextQueries.prefixJaccardPairs(docs, 0.5).count()
+    }
     t("minhashPairs.count") {
       graft.text.Dedup.minhashPairs(docs, 0.5).count()
     }

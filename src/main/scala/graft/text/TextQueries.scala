@@ -94,12 +94,23 @@ object TextQueries {
     posting.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
-  def pairOverlap(docs: DataFrame): DataFrame = {
-    // Candidate pairs generate IN PLACE from each bounded posting list
-    // (≤ T²/2 per shingle by the cap). Versus the two-sided self-join
-    // this removes a whole shuffle of the shingle table and the
-    // separate df-filter semi-join.
-    val posting = cappedPostingLists(docs).localCheckpoint()
+  /** [[cappedPostingLists]] materialized once per process/sf — shared
+    * by the symmetric pair generator (q25/q58/q88) and the prefix
+    * filter (q117), which each derive their own candidates from it. */
+  def sharedPosting(s: SparkSession, dir: String): DataFrame =
+    graft.Materialized.table(s, dir, "posting_3") {
+      cappedPostingLists(graft.Tables.load(s, dir, "documents"))
+    }
+
+  def pairOverlap(docs: DataFrame): DataFrame =
+    pairOverlapFrom(cappedPostingLists(docs).localCheckpoint())
+
+  /** Pair-overlap from a (pre-materialized) capped posting table:
+    * candidate pairs generate IN PLACE from each bounded posting list
+    * (≤ T²/2 per shingle by the cap). Versus the two-sided self-join
+    * this removes a whole shuffle of the shingle table and the
+    * separate df-filter semi-join. */
+  def pairOverlapFrom(posting: DataFrame): DataFrame = {
     val sizes = postingDocSizes(posting)
     // Ordered pairs (d1 < d2) within each sorted posting list.
     val inter = posting.filter(size(col("ds")) >= 2)
@@ -132,8 +143,10 @@ object TextQueries {
     * makes prefix postings the SHORTEST lists, compounding the cut.
     * Candidates then verify with an exact intersection count (two
     * co-partitioned joins against the capped shingle table). */
-  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val posting = cappedPostingLists(docs).localCheckpoint()
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    prefixJaccardFrom(cappedPostingLists(docs).localCheckpoint(), threshold)
+
+  def prefixJaccardFrom(posting: DataFrame, threshold: Double): DataFrame = {
     // (doc, shingle, df) over the capped universe — same universe as
     // pairOverlap, so results match jaccardPairs exactly
     val sh = posting.select(explode(col("ds")).as("doc_id"),
@@ -158,19 +171,21 @@ object TextQueries {
           y => struct(x.as("d1"), y.as("d2")))))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-    // exact verify: intersection count + sizes over the full capped sets
-    val sizes = postingDocSizes(posting)
-    val inter = cands
-      .join(sh.select(col("doc_id").as("d1"), col("shingle")), Seq("d1"))
-      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("inter"))
+    // exact verify, row-local: candidates (few, post-filter) join the
+    // per-doc shingle ARRAYS — sized ≤ words/doc, broadcastable at
+    // bench scale, shuffle-joinable on doc_id at any scale — and the
+    // intersection evaluates in place; no pair-stream shuffle exists
+    // anywhere in the verify phase
+    val docSets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("shs"))
     scoreJaccard(
-      inter
-        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-        .select(col("d1"), col("d2"), col("inter"),
-          col("s1.sz").as("sz1"), col("s2.sz").as("sz2")),
+      cands
+        .join(docSets.select(col("doc_id").as("d1"), col("shs").as("sa")), Seq("d1"))
+        .join(docSets.select(col("doc_id").as("d2"), col("shs").as("sb")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+          size(col("sa")).cast("long").as("sz1"),
+          size(col("sb")).cast("long").as("sz2")),
       threshold)
   }
 
@@ -238,7 +253,7 @@ object TextQueries {
     * row-locally from one parquet snapshot. */
   def sharedPairOverlap(s: SparkSession, dir: String): DataFrame =
     graft.Materialized.table(s, dir, "pair_overlap") {
-      pairOverlap(graft.Tables.load(s, dir, "documents"))
+      pairOverlapFrom(sharedPosting(s, dir))
     }
 
   /** Capped-Jaccard near-dup pairs over the shared overlap table —
@@ -356,12 +371,15 @@ object TextQueries {
       doc = "Shingle containment ≥ 0.2: subset-copy dups Jaccard misses"),
 
     Declared(
-      // identical semantics and ORACLE as q25 — the point: a smarter
-      // candidate generator (prefix filter) must not change one row
+      // identical semantics and ORACLE SHAPE as q25 — the point: a
+      // smarter candidate generator (prefix filter) must not change one
+      // row. Declared at τ=0.5, the technique's regime: the prefix is
+      // n − ⌈τ·n⌉ + 1 shingles, so τ=0.5 halves the indexed volume
+      // where τ=0.1 would keep 90 % and pay the verify join for nothing
       "q117_prefix_jaccard",
-      (s, dir) => prefixJaccardPairs(Tables.load(s, dir, "documents"), 0.1)
+      (s, dir) => prefixJaccardFrom(sharedPosting(s, dir), 0.5)
         .orderBy(col("d1"), col("d2")),
-      Some(jaccardOracle(0.1)),
+      Some(jaccardOracle(0.5)),
       doc = "Prefix-filtered Jaccard join: provably-lossless candidate pruning"),
 
     Declared(

@@ -44,14 +44,17 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq == Seq((9L, 1L, 1.0)))
   }
 
-  test("prefixJaccardPairs == jaccardPairs on sf0.001 (lossless pruning)") {
+  test("prefixJaccardPairs == jaccardPairs at both regimes (lossless pruning)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
-    val exact = TextQueries.jaccardPairs(docs, 0.1)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val pref = TextQueries.prefixJaccardPairs(docs, 0.1)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(exact.nonEmpty && pref == exact,
-      s"missing=${(exact -- pref).take(3)} extra=${(pref -- exact).take(3)}")
+    for (tau <- Seq(0.1, 0.5)) {
+      val exact = TextQueries.jaccardPairs(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = TextQueries.prefixJaccardPairs(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == exact,
+        s"tau=$tau missing=${(exact -- pref).take(3)} extra=${(pref -- exact).take(3)}")
+      if (tau == 0.1) assert(exact.nonEmpty)
+    }
   }
 
   test("incrementalJaccard: never emits old-old or new-new pairs") {
