@@ -22,6 +22,7 @@ object Registry {
       graft.relational.EventAnalytics.declared ++
       graft.relational.SessionAnalytics.declared ++
       graft.relational.JoinShapes.declared ++
+      graft.relational.TpchShapes.declared ++
       graft.relational.SkewJoin.declared ++
       graft.relational.ZOrderLayout.declared ++
       graft.relational.ChangeData.declared ++
