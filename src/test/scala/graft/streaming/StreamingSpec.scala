@@ -203,7 +203,11 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // ProcessingTimeTimeout makes AvailableNow keep scheduling batches
+    // to fire timeouts — the query can outlive the await window. Stop
+    // it unconditionally so no orphan query runs into later suites.
+    try q.awaitTermination(120000)
+    finally q.stop()
     val got = spark.table("sessions").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // batch gaps-and-islands reference: all but each user's last session
