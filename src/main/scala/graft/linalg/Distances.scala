@@ -38,6 +38,14 @@ object Distances {
       CB.expression(a), CB.expression(b)))
   }
 
+  /** Squared Euclidean via the codegen expression (sqrt-free — the PQ
+    * encode/LUT hot path, where only the argmin matters). */
+  def squaredEuclideanCol(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    CB.column(org.apache.spark.sql.graft.SquaredEuclidean(
+      CB.expression(a), CB.expression(b)))
+  }
+
   /** Dot product via the codegen expression (LSH signature hot path). */
   def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.{ColumnBridge => CB}

@@ -94,6 +94,14 @@ object SimilarityQueries {
       doc = "IVF-blocked semantic near-dup pairs (k-means lists; seeded ⇒ rows-only)"),
 
     Declared(
+      "q126_ann_pq",
+      (s, dir) => Pq.adcTopK(Tables.load(s, dir, "embeddings"), K,
+        queryPred = col("vec_id") < 20)
+        .orderBy(col("qid"), col("rn")),
+      None,
+      doc = "Product-quantization ANN: grouped-kmeans codebooks, ADC scan over codes, exact re-rank (seeded ⇒ rows-only)"),
+
+    Declared(
       "q35_ann_lsh",
       (s, dir) => Ann.lshTopK(Tables.load(s, dir, "embeddings"), K, dim = 64,
         queryPred = col("id") < 20)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.knn.{BruteForceKnn, Recall}
-import graft.similarity.Ann
+import graft.similarity.{Ann, Pq}
 import graft.text.{Dedup, TextQueries}
 
 /** Spark-backed integration specs: recall metric, dedup sketches vs
@@ -209,6 +209,41 @@ class PipelineSpecs extends SparkSpec {
     assert(lshRecall >= 0.8, s"LSH recall $lshRecall")
     assert(ivfRecall >= 0.9, s"IVF recall $ivfRecall")
     assert(kmRecall >= 0.9, s"kmeans-IVF recall $kmRecall")
+  }
+
+  test("PQ ANN: recall ≥ 0.8 on clustered vectors; codes in-domain; deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 300).map { i =>
+      val c = i % 10
+      val v = centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      (i.toLong, v.toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val exact = graft.similarity.SimilarityQueries
+      .cosineTopK(emb, 10, col("vec_id") < 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.adcTopK(emb, 10, col("vec_id") < 30, m = 4, ks = 16, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"PQ recall = $recall")
+    assert(recall >= 0.8, s"PQ recall $recall")
+    // codes live in [0, ks) and the code table is deterministic under
+    // repartition (seeded training + first-min tie-break)
+    val books = Pq.trainCodebooks(emb, m = 4, ks = 16, dim = dim)
+    assert(books.flatten.forall(_ != null) &&
+      books.flatten.forall(_.length == dim / 4))
+    val codes1 = emb.select(col("vec_id"),
+        Pq.encodeExpr(col("embedding"), books, dim / 4).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes1.values.forall(cs => cs.length == 4 &&
+      cs.forall(c => c >= 0 && c < 16)))
+    val codes2 = emb.repartition(7).select(col("vec_id"),
+        Pq.encodeExpr(col("embedding"), books, dim / 4).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes1 == codes2)
   }
 
   test("approx_count_distinct stays within 10% of exact (q09b quality gate)") {
