@@ -23,6 +23,7 @@ object Registry {
       graft.relational.SessionAnalytics.declared ++
       graft.relational.JoinShapes.declared ++
       graft.relational.TpchShapes.declared ++
+      graft.relational.Skyline.declared ++
       graft.relational.SkewJoin.declared ++
       graft.relational.ZOrderLayout.declared ++
       graft.relational.ChangeData.declared ++
