@@ -75,7 +75,47 @@ object Bpe {
       .orderBy(col("round"))
   }
 
-  private def bpeOracle(rounds: Int): String = {
+  /** Per-document BPE encoding statistics: apply the trained merges
+    * (in training order) to every word and count resulting tokens.
+    *
+    * The merge list is `rounds` rows — driver-scalar class — and the
+    * application is a chain of 2·rounds literal regexp rewrites, pure
+    * row-local column expressions: the corpus encodes in ONE narrow
+    * pass, zero shuffles before the per-doc count. Training runs once
+    * per (process, sfDir) via [[graft.Materialized]] — q116 declares
+    * the merge table itself, this query its application. */
+  def bpeEncodeStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+      rounds: Int = 5): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val merges = trainedMerges(spark, dir, rounds)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+    var t: org.apache.spark.sql.Column =
+      concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
+    merges.foreach { case (a, b) =>
+      val pat = " " + a + " " + b + " "
+      val rep = " " + a + b + " "
+      t = regexp_replace(regexp_replace(t, pat, rep), pat, rep)
+    }
+    words.select(col("doc_id"), size(split(trim(t), " ")).as("toks"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The trained merge table, materialized once per (process, sfDir). */
+  private def trainedMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rounds: Int): DataFrame =
+    graft.Materialized.table(spark, dir, "bpe_merges")(
+      bpeMerges(graft.Tables.load(spark, dir, "documents"), rounds))
+
+  /** Shared oracle prelude: replays training — v0 char-spaced vocab,
+    * then per round the pair counts (p), the winner (b), and the
+    * rewritten vocab (v). */
+  private def oracleCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH words AS (SELECT unnest(string_split(lower(text), ' ')) AS w
@@ -102,17 +142,43 @@ object Bpe {
         |           (SELECT ' ' || a || b || ' ' FROM b$r), 'g')) AS t, n
         |       FROM $v)""".stripMargin)
     }
-    sb.append("\n" + (1 to rounds).map { r =>
-      s"SELECT $r AS round, a AS mleft, b AS mright, c AS pair_count FROM b$r"
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY round"))
     sb.toString
+  }
+
+  private def bpeOracle(rounds: Int): String =
+    oracleCtes(rounds) + "\n" + (1 to rounds).map { r =>
+      s"SELECT $r AS round, a AS mleft, b AS mright, c AS pair_count FROM b$r"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY round")
+
+  /** Encode oracle: the same trained b1..bN rewrites applied to every
+    * word of every document, then per-doc token counts. */
+  private def encodeOracle(rounds: Int): String = {
+    var t = """' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' '"""
+    for (r <- 1 to rounds) {
+      val pat = s"(SELECT ' ' || a || ' ' || b || ' ' FROM b$r)"
+      val rep = s"(SELECT ' ' || a || b || ' ' FROM b$r)"
+      t = s"regexp_replace(regexp_replace($t,\n      $pat, $rep, 'g'),\n      $pat, $rep, 'g')"
+    }
+    oracleCtes(rounds) + s""",
+      |enc AS (SELECT doc_id, len(string_split(trim($t), ' ')) AS toks
+      |        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |              FROM documents)
+      |        WHERE length(w) >= 1)
+      |SELECT doc_id, count(*) AS n_words, sum(toks) AS n_tokens
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   val declared: Seq[Declared] = Seq(
     Declared(
       "q116_bpe_merges",
-      (s, dir) => bpeMerges(Tables.load(s, dir, "documents")),
+      (s, dir) => trainedMerges(s, dir, 5).orderBy(col("round")),
       Some(bpeOracle(5)),
-      doc = "First 5 BPE merges learned from the corpus (tokenizer training loop)")
+      doc = "First 5 BPE merges learned from the corpus (tokenizer training loop)"),
+
+    Declared(
+      "q128_bpe_encode",
+      (s, dir) => bpeEncodeStats(s, dir),
+      Some(encodeOracle(5)),
+      doc = "BPE encoding applied corpus-wide: per-doc word/token counts under the trained merges")
   )
 }
