@@ -144,7 +144,84 @@ object GraphAnalytics {
       .orderBy(col("id"))
   }
 
+  /** Synchronous label propagation on the mutual KNN graph — the
+    * community-detection member of the graph family (CC finds
+    * connectivity, LPA finds densely-linked groups inside one
+    * component). `rounds` fixed synchronous updates: every node takes
+    * the most frequent label among its mutual neighbors, ties to the
+    * SMALLEST label — fully deterministic, so the DuckDB mirror (the
+    * same rounds as generated CTEs) matches exactly.
+    *
+    * Per round: one co-partitioned edge⋈label join + two hash
+    * aggregations (label counts, then per-node argmax via min(struct)
+    * — map-side partials, never a window over the edge stream).
+    * Labels checkpoint per round, superseded rounds release blocks
+    * (the repo-wide iteration hygiene). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    val und = edges
+      .join(edges.select(col("nbr").as("id"), col("id").as("nbr")),
+        Seq("id", "nbr"), "left_semi")
+      .localCheckpoint() // scanned every round
+    var lab = edges.select(col("id")).distinct()
+      .withColumn("lab", col("id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val counts = und
+        .join(lab.select(col("id").as("nbr"), col("lab")), Seq("nbr"))
+        .groupBy(col("id"), col("lab")).agg(count(lit(1)).as("c"))
+      // argmax with min-label tie-break: min(struct(-c, lab))
+      val pick = counts
+        .groupBy(col("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("lab").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("newlab"))
+      val next = lab.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab"))
+        .localCheckpoint()
+      Checkpoints.release(lab)
+      lab = next
+    }
+    val out = lab.orderBy(col("id"))
+    Checkpoints.release(und)
+    out
+  }
+
+  private def lpaOracle(rounds: Int): String = {
+    val d = DuckSql.euclidean("a.embedding", "b.embedding")
+    val sb = new StringBuilder
+    sb.append(s"""WITH pairs AS (
+      |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      |), ranked AS (
+      |  SELECT id, nbr, dist,
+      |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
+      |  FROM pairs
+      |), edges AS (SELECT id, nbr FROM ranked WHERE rn <= 10),
+      |und AS (SELECT e.id, e.nbr FROM edges e
+      |        WHERE EXISTS (SELECT 1 FROM edges r
+      |                      WHERE r.id = e.nbr AND r.nbr = e.id)),
+      |l0 AS (SELECT DISTINCT id, id AS lab FROM edges)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = s"l${r - 1}"
+      sb.append(s""",
+        |c$r AS (SELECT u.id, l.lab, count(*) AS c
+        |       FROM und u JOIN $p l ON u.nbr = l.id GROUP BY 1, 2),
+        |p$r AS (SELECT id, lab FROM (
+        |         SELECT id, lab,
+        |                row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+        |         FROM c$r) WHERE rn = 1),
+        |l$r AS (SELECT l.id, coalesce(p.lab, l.lab) AS lab
+        |       FROM $p l LEFT JOIN p$r p ON p.id = l.id)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, lab FROM l$rounds ORDER BY id")
+    sb.toString
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q129_label_prop",
+      (s, dir) => labelPropagation(KnnQueries.knn10(s, dir)),
+      Some(lpaOracle(5)),
+      doc = "Label-propagation communities on the mutual KNN graph (5 sync rounds, min-label ties)"),
+
     Declared(
       "q114_kcore",
       (s, dir) => kCore(KnnQueries.knn10(s, dir), k = 5),
