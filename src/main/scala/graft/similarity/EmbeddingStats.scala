@@ -193,7 +193,82 @@ object EmbeddingStats {
       |          / (count(*) - 1), 8) AS cov
       |      FROM p GROUP BY i, j)""".stripMargin
 
+  /** Silhouette score per point over the label clustering — the
+    * cluster-quality metric of the embedding family: s = (b − a) /
+    * max(a, b) with a = mean intra-cluster distance, b = nearest other
+    * cluster's mean distance; s = 0 for singleton/degenerate cases
+    * (the standard convention).
+    *
+    * Determinism: each pair distance quantizes to integer MICROS via
+    * floor() BEFORE any sum (floor of an identical double is binary —
+    * no decimal-repr rounding divergence), so a and b are one double
+    * division over exact integers and the final s lands as floor-ppm.
+    *
+    * This is the exact all-pairs form — the evaluation-time baseline,
+    * like q54 for dedup; at corpus scale you sample points per label
+    * (the metric is a mean — a uniform sample estimates it) or reuse
+    * the q102/q108 blocked pair streams. One broadcast of the vector
+    * table, one (i, lj) partial-agg shuffle — no row explosion beyond
+    * the pair stream itself. */
+  def silhouette(embeddings: DataFrame): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("i"), col("label").as("li"),
+      col("embedding").as("vi"))
+    val b = embeddings.select(col("vec_id").as("j"), col("label").as("lj"),
+      col("embedding").as("vj"))
+    val perLabel = a.join(broadcast(b), col("i") =!= col("j"))
+      .select(col("i"), col("li"), col("lj"),
+        floor(graft.linalg.Distances.euclidean(col("vi"), col("vj")) * 1e6)
+          .cast("long").as("dm"))
+      .groupBy(col("i"), col("li"), col("lj"))
+      .agg(sum(col("dm")).as("s"), count(lit(1)).as("c"))
+    val intra = perLabel.filter(col("li") === col("lj"))
+      .select(col("i"), (col("s").cast("double") / col("c")).as("a_mean"),
+        col("c").as("n_same"))
+    val inter = perLabel.filter(col("li") =!= col("lj"))
+      .select(col("i"), (col("s").cast("double") / col("c")).as("m"))
+      .groupBy(col("i")).agg(min(col("m")).as("b_mean"))
+    embeddings.select(col("vec_id"), col("label"))
+      .join(intra, col("vec_id") === intra("i"), "left").drop("i")
+      .join(inter, col("vec_id") === inter("i"), "left").drop("i")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_same"), lit(0L)).as("n_same"),
+        when(col("a_mean").isNull || col("b_mean").isNull ||
+          greatest(col("a_mean"), col("b_mean")) === 0.0, 0L)
+          .otherwise(floor((col("b_mean") - col("a_mean"))
+            / greatest(col("a_mean"), col("b_mean")) * 1e6).cast("long"))
+          .as("s_ppm"))
+      .orderBy(col("vec_id"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q130_silhouette",
+      (s, dir) => silhouette(Tables.load(s, dir, "embeddings")),
+      Some {
+        val d = graft.DuckSql.euclidean("a.embedding", "b.embedding")
+        s"""WITH pairs AS (
+           |  SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+           |         CAST(floor($d * 1000000.0) AS BIGINT) AS dm
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+           |pl AS (SELECT i, li, lj, sum(dm) AS s, count(*) AS c
+           |       FROM pairs GROUP BY 1, 2, 3),
+           |aa AS (SELECT i, CAST(s AS DOUBLE) / c AS a_mean, c AS n_same
+           |       FROM pl WHERE li = lj),
+           |bb AS (SELECT i, min(CAST(s AS DOUBLE) / c) AS b_mean
+           |       FROM pl WHERE li <> lj GROUP BY 1)
+           |SELECT e.vec_id, e.label, coalesce(aa.n_same, 0) AS n_same,
+           |  CASE WHEN aa.i IS NULL OR bb.i IS NULL
+           |         OR greatest(a_mean, b_mean) = 0 THEN 0
+           |       ELSE CAST(floor((b_mean - a_mean)
+           |              / greatest(a_mean, b_mean) * 1000000.0) AS BIGINT)
+           |  END AS s_ppm
+           |FROM embeddings e
+           |LEFT JOIN aa ON aa.i = e.vec_id
+           |LEFT JOIN bb ON bb.i = e.vec_id
+           |ORDER BY e.vec_id""".stripMargin
+      },
+      doc = "Per-point silhouette over the label clustering (floor-micro exact)"),
+
     Declared(
       "q100_pca_power",
       (s, dir) => pcaTopComponent(Tables.load(s, dir, "embeddings")),
