@@ -24,6 +24,7 @@ object Registry {
       graft.relational.JoinShapes.declared ++
       graft.relational.TpchShapes.declared ++
       graft.relational.Skyline.declared ++
+      graft.relational.Regression.declared ++
       graft.relational.SkewJoin.declared ++
       graft.relational.ZOrderLayout.declared ++
       graft.relational.ChangeData.declared ++
