@@ -25,6 +25,7 @@ object Registry {
       graft.relational.TpchShapes.declared ++
       graft.relational.Skyline.declared ++
       graft.relational.Regression.declared ++
+      graft.relational.TimeSeries.declared ++
       graft.relational.SkewJoin.declared ++
       graft.relational.ZOrderLayout.declared ++
       graft.relational.ChangeData.declared ++

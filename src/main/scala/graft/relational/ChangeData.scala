@@ -65,7 +65,78 @@ object ChangeData {
       .orderBy(col("user_id"), col("run_id"))
   }
 
+  /** Snapshot diff: classify every primary key across two table
+    * versions as added / removed / changed (unchanged rows drop).
+    * ONE co-partitioned full-outer hash join on the key — both sides
+    * shuffle once; with both snapshots bucketed/partitioned by pk at
+    * the warehouse layer even that shuffle disappears. Output size is
+    * the churn, not the table. Money compares in exact integer cents. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("pk"), col("cents").as("old_cents"),
+      col("attr").as("old_attr"))
+    val b = v2.select(col("pk"), col("cents").as("new_cents"),
+      col("attr").as("new_attr"))
+    a.join(b, Seq("pk"), "full_outer")
+      .withColumn("status",
+        when(col("old_cents").isNull, lit("added"))
+          .when(col("new_cents").isNull, lit("removed"))
+          .when(col("old_cents") =!= col("new_cents")
+            || col("old_attr") =!= col("new_attr"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("pk"), col("status"), col("old_cents"), col("new_cents"))
+      .orderBy(col("pk"))
+  }
+
+  /** Derive two deterministic order-table "versions" for q133: v2
+    * inserts the keys ≡0 mod 97 (absent from v1), deletes the keys
+    * ≡0 mod 89, and bumps the price of keys ≡0 mod 7 by 5 dollars. */
+  private def orderVersions(orders: DataFrame): (DataFrame, DataFrame) = {
+    val base = orders.select(col("o_orderkey").as("pk"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderpriority").as("attr"))
+    val v1 = base.filter(pmod(col("pk"), lit(97L)) =!= 0L)
+    val v2 = base.filter(pmod(col("pk"), lit(89L)) =!= 0L)
+      .withColumn("cents",
+        when(pmod(col("pk"), lit(7L)) === 0L, col("cents") + 500L)
+          .otherwise(col("cents")))
+    (v1, v2)
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q133_snapshot_diff",
+      (s, dir) => {
+        val (v1, v2) = orderVersions(Tables.load(s, dir, "orders"))
+        snapshotDiff(v1, v2)
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS pk,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderpriority AS attr
+        |  FROM orders),
+        |v1 AS (SELECT * FROM base WHERE pk % 97 <> 0),
+        |v2 AS (SELECT pk,
+        |         CASE WHEN pk % 7 = 0 THEN cents + 500 ELSE cents END AS cents,
+        |         attr
+        |       FROM base WHERE pk % 89 <> 0),
+        |j AS (SELECT coalesce(v1.pk, v2.pk) AS pk,
+        |        v1.cents AS old_cents, v2.cents AS new_cents,
+        |        v1.attr AS old_attr, v2.attr AS new_attr
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.pk = v2.pk)
+        |SELECT pk,
+        |  CASE WHEN old_cents IS NULL THEN 'added'
+        |       WHEN new_cents IS NULL THEN 'removed'
+        |       WHEN old_cents <> new_cents OR old_attr <> new_attr
+        |         THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  old_cents, new_cents
+        |FROM j
+        |WHERE NOT (old_cents IS NOT NULL AND new_cents IS NOT NULL
+        |           AND old_cents = new_cents AND old_attr = new_attr)
+        |ORDER BY pk""".stripMargin),
+      doc = "Snapshot diff: added/removed/changed keys across two table versions"),
+
     Declared(
       // base = hash-stable 2/3 slice, changes = the remaining 1/3:
       // a deterministic stand-in for snapshot + CDC batch

@@ -72,6 +72,36 @@ object CorpusStats {
       .orderBy(col("source"))
   }
 
+  /** Equi-depth (equi-height) histogram at value grain: the corpus
+    * first collapses to (n_chars, count) — one map-combinable agg, at
+    * most max-length distinct rows at ANY corpus size — then each
+    * distinct length lands in decile floor(cum_before·B / N). The
+    * cumulative window runs over the tiny aggregated table only (the
+    * q71 idiom), never the corpus, so there is no global sort of the
+    * data anywhere — this is how equi-depth boundaries are computed
+    * at 100 TB, where an ntile() over the raw rows would funnel the
+    * whole table through one partition.
+    *
+    * Integer determinism: bucket = floor of an exact-integer double
+    * division (all operands < 2⁵³; a correctly-rounded quotient of
+    * exact integers floors identically on both engines). */
+  def equiDepthHistogram(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val byLen = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val total = byLen.agg(sum(col("cnt")).as("n_total"))
+    val w = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byLen
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket",
+        floor(col("cum_before") * lit(buckets.toDouble) / col("n_total"))
+          .cast("int"))
+      .groupBy(col("bucket"))
+      .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+        sum(col("cnt")).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
   /** Count-Min-Sketch frequency estimates for a fixed probe vocabulary
     * (the stopword list): the sketch builds in ONE distributed pass
     * with a merge-law partial aggregation — no (word) shuffle at any
@@ -92,6 +122,24 @@ object CorpusStats {
   }
 
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q134_equidepth_histogram",
+      (s, dir) => equiDepthHistogram(Tables.load(s, dir, "documents")),
+      Some("""WITH bylen AS (SELECT n_chars, count(*) AS cnt
+        |         FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM bylen),
+        |c AS (SELECT n_chars, cnt,
+        |        CAST(coalesce(sum(cnt) OVER (ORDER BY n_chars
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS cum_before
+        |      FROM bylen)
+        |SELECT CAST(floor(cum_before * 10.0 / n_total) AS INT) AS bucket,
+        |  min(n_chars) AS lo, max(n_chars) AS hi,
+        |  CAST(sum(cnt) AS BIGINT) AS n_docs
+        |FROM c CROSS JOIN t
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Equi-depth histogram from value-grain cumulative counts (no global sort)"),
+
     Declared(
       "q71_length_histogram",
       (s, dir) => lengthHistogram(Tables.load(s, dir, "documents")),

@@ -28,12 +28,14 @@ object PipelineOps {
     * (doc_id, cluster = min doc id in its component, is_canonical).
     * Docs in no pair are their own singleton cluster. */
   def dupClusters(docs: DataFrame, threshold: Double,
-                  pairsOverride: Option[DataFrame] = None): DataFrame = {
+                  pairsOverride: Option[DataFrame] = None,
+                  maxIter: Int = 25): DataFrame = {
     val pairs = pairsOverride.getOrElse(TextQueries.jaccardPairs(docs, threshold))
     val nodes = docs.select(col("doc_id").cast("long").as("id"))
     val (labels, converged) = ConnectedComponents.label(
       nodes,
-      pairs.select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b")))
+      pairs.select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b")),
+      maxIter)
     require(converged, "connected components did not reach a fixpoint")
     labels
       .select(col("id").as("doc_id"), col("comp").as("cluster"),
