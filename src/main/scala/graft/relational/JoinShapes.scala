@@ -148,7 +148,69 @@ object JoinShapes {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Interval-OVERLAP join (interval × interval, vs q07/q109's point ×
+    * interval): urgent-order activity windows [orderdate, +3d] against
+    * low-priority windows in the SAME nation. The non-equi overlap
+    * predicate (s₁ ≤ e₂ ∧ s₂ ≤ e₁) becomes an equi-join on
+    * (nation, week-bucket): each interval explodes to every bucket it
+    * touches (≤ 2 at width ≥ length), and a pair is emitted exactly
+    * once — in the bucket of max(s₁, s₂), which any overlapping pair
+    * provably shares (max(s) lies inside both intervals) — so no
+    * distinct pass. Work is Σ per-(nation, week) products: bounded by
+    * temporal locality, never \|L\|·\|R\|. Output aggregates per left
+    * order (the churn-sized grain). Date math is whole integer days. */
+  def intervalOverlapJoin(orders: DataFrame, customer: DataFrame,
+                          lenDays: Int = 3, widthDays: Int = 7): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val o = orders
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("c_nationkey").as("nation"),
+        datediff(to_date(col("o_orderdate")), epoch).as("s"))
+      .withColumn("e", col("s") + lenDays)
+    def banded(side: DataFrame) = side.withColumn("bucket",
+      explode(sequence(floor(col("s").cast("double") / widthDays).cast("long"),
+        floor(col("e").cast("double") / widthDays).cast("long"))))
+    val l = banded(o.filter(col("o_orderpriority") === "1-URGENT"))
+      .select(col("nation"), col("bucket"), col("o_orderkey").as("o1"),
+        col("s").as("s1"), col("e").as("e1"))
+    val r = banded(o.filter(col("o_orderpriority") === "5-LOW"))
+      .select(col("nation"), col("bucket"), col("o_orderkey").as("o2"),
+        col("s").as("s2"), col("e").as("e2"))
+    l.join(r, Seq("nation", "bucket"))
+      .filter(col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .filter(col("bucket") ===
+        floor(greatest(col("s1"), col("s2")).cast("double") / widthDays)
+          .cast("long"))
+      .groupBy(col("o1"), col("nation"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("e1"), col("e2")) - greatest(col("s1"), col("s2")) + 1)
+          .as("total_overlap_days"))
+      .orderBy(col("o1"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q135_interval_overlap",
+      (s, dir) => intervalOverlapJoin(Tables.load(s, dir, "orders"),
+        Tables.load(s, dir, "customer")),
+      Some("""WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority, c_nationkey AS nation,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 3 AS e
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |l AS (SELECT * FROM o WHERE o_orderpriority = '1-URGENT'),
+        |r AS (SELECT * FROM o WHERE o_orderpriority = '5-LOW')
+        |SELECT l.o_orderkey AS o1, l.nation,
+        |  count(*) AS n_overlaps,
+        |  CAST(sum(least(l.e, r.e) - greatest(l.s, r.s) + 1) AS BIGINT)
+        |    AS total_overlap_days
+        |FROM l JOIN r ON l.nation = r.nation
+        |  AND l.s <= r.e AND r.s <= l.e
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+      doc = "Interval-overlap join via touched-bucket equi-join, emit-once rule"),
+
     Declared(
       "q109_banded_range_join",
       (s, dir) => bandedRangeJoin(Tables.load(s, dir, "customer"),
