@@ -184,6 +184,70 @@ object GraphAnalytics {
     out
   }
 
+  /** Multi-source BFS levels over the directed KNN graph: every node
+    * whose id ≡ 0 (mod `sourceMod`) is a 0-level source; level h =
+    * fewest hops to any source (NULL if unreached within `maxHops`).
+    * Per hop: one co-partitioned frontier⋈edges join + a distinct on
+    * the (small, shrinking) newly-reached set + a left join back —
+    * the frontier never exceeds the node table and the level column
+    * is write-once, so rounds never rewrite settled state. Levels
+    * checkpoint per hop, superseded rounds release blocks (repo-wide
+    * iteration hygiene). All-integer ⇒ engine-exact. */
+  def bfsLevels(edges: DataFrame, sourceMod: Long = 100L,
+                maxHops: Int = 4): DataFrame = {
+    val e = edges.select(col("id"), col("nbr")).localCheckpoint()
+    var levels = e.select(col("id"))
+      .union(e.select(col("nbr").as("id"))).distinct()
+      .withColumn("lvl",
+        when(pmod(col("id"), lit(sourceMod)) === 0L, lit(0))
+          .otherwise(lit(null).cast("int")))
+      .localCheckpoint()
+    for (h <- 1 to maxHops) {
+      val newly = levels.filter(col("lvl") === (h - 1))
+        .join(e, Seq("id"))
+        .select(col("nbr").as("id")).distinct()
+        .withColumn("hit", lit(1))
+      val next = levels.join(newly, Seq("id"), "left")
+        .select(col("id"),
+          when(col("lvl").isNotNull, col("lvl"))
+            .when(col("hit").isNotNull, lit(h))
+            .otherwise(lit(null).cast("int")).as("lvl"))
+        .localCheckpoint()
+      Checkpoints.release(levels)
+      levels = next
+    }
+    val out = levels.orderBy(col("id"))
+    Checkpoints.release(e)
+    out
+  }
+
+  private def bfsOracle(sourceMod: Long, maxHops: Int): String = {
+    val d = DuckSql.euclidean("a.embedding", "b.embedding")
+    val sb = new StringBuilder
+    sb.append(s"""WITH pairs AS (
+      |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      |), ranked AS (
+      |  SELECT id, nbr, dist,
+      |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
+      |  FROM pairs
+      |), edges AS (SELECT id, nbr FROM ranked WHERE rn <= 10),
+      |l0 AS (SELECT id, CASE WHEN id % $sourceMod = 0 THEN 0 END AS lvl
+      |       FROM (SELECT id FROM edges UNION SELECT nbr FROM edges))""".stripMargin)
+    for (h <- 1 to maxHops) {
+      val p = s"l${h - 1}"
+      sb.append(s""",
+        |n$h AS (SELECT DISTINCT e.nbr AS id
+        |       FROM edges e JOIN $p l ON e.id = l.id AND l.lvl = ${h - 1}),
+        |l$h AS (SELECT l.id,
+        |         CASE WHEN l.lvl IS NOT NULL THEN l.lvl
+        |              WHEN n.id IS NOT NULL THEN $h END AS lvl
+        |       FROM $p l LEFT JOIN n$h n ON l.id = n.id)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, CAST(lvl AS INT) AS lvl FROM l$maxHops ORDER BY id")
+    sb.toString
+  }
+
   private def lpaOracle(rounds: Int): String = {
     val d = DuckSql.euclidean("a.embedding", "b.embedding")
     val sb = new StringBuilder
@@ -216,6 +280,12 @@ object GraphAnalytics {
   }
 
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q136_bfs_levels",
+      (s, dir) => bfsLevels(KnnQueries.knn10(s, dir)),
+      Some(bfsOracle(100L, 4)),
+      doc = "Multi-source BFS hop levels on the directed KNN graph (4 hops)"),
+
     Declared(
       "q129_label_prop",
       (s, dir) => labelPropagation(KnnQueries.knn10(s, dir)),
