@@ -192,6 +192,60 @@ object StreamingPipelines {
       .select(col("doc_id"), col("d_old"), col("jaccard"))
   }
 
+  /** Streaming MERGE: maintain a keyed last-write-wins snapshot from a
+    * change stream via `foreachBatch` — the streaming half of q112's
+    * CDC compaction, and the pattern every streaming warehouse sink
+    * (Delta/Iceberg MERGE) implements underneath. Each micro-batch is
+    * one hash aggregation of (prior snapshot ∪ batch): `max(struct(ts,
+    * event_id, …))` picks the per-key winner with map-side partials —
+    * no per-key log sort, cost ∝ snapshot + batch, not history.
+    *
+    * Tombstones (value < 0.1) STAY in the snapshot: dropping them
+    * would let an out-of-order older update resurrect a deleted key
+    * in a later batch. The read view filters them. Snapshots write to
+    * `gen=<n>` subdirs (parquet can't overwrite a dir it is reading);
+    * each batch reads the latest generation — the manifest-swap
+    * pattern of table formats, reduced to its core. */
+  def upsertStreamSink(changes: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val tagged = batch.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+        .withColumn("is_delete", col("value") < 0.1)
+      val prior = latestSnapshot(spark, stateDir).getOrElse(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          tagged.schema))
+      val merged = prior.unionByName(tagged)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("is_delete"),
+          col("event_type"), col("value"))).as("w"))
+        .select(col("user_id"), col("w.ts").as("ts"),
+          col("w.event_id").as("event_id"),
+          col("w.event_type").as("event_type"), col("w.value").as("value"),
+          col("w.is_delete").as("is_delete"))
+      merged.write.mode("overwrite")
+        .parquet(s"$stateDir/gen=${batchId + 1}")
+      ()
+    }
+  }
+
+  /** Latest `gen=<n>` snapshot under `stateDir`, if any. */
+  def latestSnapshot(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val dir = new java.io.File(stateDir)
+    val gens = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      .map(_.getName.stripPrefix("gen=").toLong)
+    if (gens.isEmpty) None
+    else Some(spark.read.parquet(s"$stateDir/gen=${gens.max}"))
+  }
+
+  /** Live read view over the snapshot: tombstones filtered. */
+  def upsertView(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    latestSnapshot(spark, stateDir).map(_.filter(!col("is_delete"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value")))
+
   /** File-source streaming read of ingest-timestamped documents. */
   def readDocsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
