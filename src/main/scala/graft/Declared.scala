@@ -41,6 +41,7 @@ object Registry {
       graft.text.CorpusOps.declared ++
       graft.text.LineDedup.declared ++
       graft.text.CorpusStats.declared ++
+      graft.text.LanguageModel.declared ++
       graft.text.SampleOps.declared ++
       graft.similarity.SimilarityQueries.declared ++
       graft.similarity.EmbeddingStats.declared ++

@@ -190,6 +190,29 @@ object TpchShapes {
       .orderBy(col("s_suppkey"))
   }
 
+  /** TPC-H Q14: promotion revenue share for one ship month. The
+    * distinctive planning property vs Q8: the aggregate collapses to a
+    * SINGLE row, so the share division runs exactly once, on two exact
+    * integer cent sums over the same filtered rows — and the one-month
+    * shipdate filter must reach the parquet scan (`PushedFilters`), so
+    * at 100 TB the job reads ~1/84th of lineitem before the join. The
+    * part side carries only (p_partkey, is_promo) into a broadcast. */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val l = lineitem
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_partkey"), revCents.as("rev_cents"))
+    l.join(broadcast(part.select(col("p_partkey"),
+        (col("p_type") === "PROMO").as("is_promo"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), col("rev_cents")).otherwise(0L)).as("promo_cents"),
+        sum(col("rev_cents")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        (lit(100.0) * col("promo_cents").cast("double") /
+          col("total_cents").cast("double")).as("promo_share"))
+  }
+
   private val REV =
     "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"
 
@@ -300,6 +323,20 @@ object TpchShapes {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
         |ORDER BY s_suppkey""".stripMargin),
-      doc = "TPC-H Q15 shape: scalar max over an aggregated view")
+      doc = "TPC-H Q15 shape: scalar max over an aggregated view"),
+
+    Declared(
+      "q138_promo_revenue",
+      (s, dir) => promoRevenue(Tables.load(s, dir, "lineitem"),
+        Tables.load(s, dir, "part")),
+      Some(s"""SELECT
+        |  sum(CASE WHEN p_type = 'PROMO' THEN $REV ELSE 0 END) AS promo_cents,
+        |  sum($REV) AS total_cents,
+        |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $REV ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum($REV) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin),
+      doc = "TPC-H Q14 shape: single-row promo share, month-pruned scan + broadcast dim")
   )
 }

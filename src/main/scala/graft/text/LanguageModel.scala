@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, Tables}
+
+/** Statistical language-model scoring — the perplexity quality filter
+  * every large-scale curation pipeline runs (CCNet trains a 5-gram
+  * KenLM and drops the worst-perplexity tail; Gopher/MassiveText and
+  * RefinedWeb keep variants of the same gate). Reference scope: the
+  * corpus-quality family of `testdatascalability.py`-style document
+  * scoring; model here is an add-one-smoothed bigram LM trained on the
+  * corpus itself and applied back to every document.
+  *
+  * Scale design (100 TB):
+  *  - The model is a (w1, w2) → count table built by ONE hash
+  *    aggregation of the corpus bigram stream — map-side partials, no
+  *    sort. Context counts c(w1) derive from the bigram table (vocab²
+  *    worst-case rows, corpus-independent), never from a second corpus
+  *    pass.
+  *  - Scoring joins per-document DISTINCT bigrams (pre-aggregated with
+  *    multiplicity `n`) against the model, co-partitioned on (w1, w2)
+  *    — the probe volume is bounded by distinct bigrams per doc, not
+  *    token count, and a hot bigram ("of the") is 1:N against a single
+  *    model row, so no join explosion exists.
+  *  - The vocabulary size is a 1-row broadcast scalar; the only
+  *    corpus-sized shuffles are the two hash aggs and the final
+  *    per-doc sum.
+  *
+  * Double determinism (the repo-wide idiom): every log term is derived
+  * from four exact integers (n, c12, c1, V), the smoothed probability
+  * is one correctly-rounded double division, and the n·ln(p) term is
+  * quantized to integer nano-nats BEFORE summation — long addition is
+  * order-independent where float addition is not. The per-token score
+  * is a floor of an exact-integer double division (all operands
+  * < 2⁵³), which floors identically on both engines.
+  */
+object LanguageModel {
+
+  /** Per-document mean negative log-likelihood (nano-nats/bigram)
+    * under an add-one-smoothed bigram LM trained on the whole corpus.
+    * Documents with fewer than two tokens have no bigrams and drop
+    * out (mirrored in the oracle). Higher = more surprising = the
+    * candidate for the quality-filter tail. */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+    // bind the words array BEFORE the lambda (lambda bodies re-evaluate
+    // outer expressions per element — the round-4 shingle finding)
+    val bg = ws.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // one corpus pass; feeds both the model aggregation and the probe
+    val docBg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val c12 = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = ws.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    // ln p(w2|w1) with add-one smoothing, quantized per (doc, bigram)
+    val termNano = round(col("n") *
+      log((col("c12") + 1).cast("double") / (col("c1") + col("v"))) * 1e9)
+      .cast("long")
+    docBg.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n"), termNano.as("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), sum(col("t")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor((-col("s")).cast("double") / col("n_bigrams"))
+          .cast("long").as("nll_nano_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q137_lm_perplexity",
+      (s, dir) => bigramNll(Tables.load(s, dir, "documents")),
+      Some("""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |        FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |       FROM (SELECT doc_id, w,
+        |               unnest(generate_series(1, len(w) - 1)) AS i
+        |             FROM ws)),
+        |docbg AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12
+        |        FROM docbg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(w) AS tok FROM ws)),
+        |terms AS (SELECT doc_id, n,
+        |    CAST(round(n * ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))
+        |      * 1000000000) AS BIGINT) AS t
+        |  FROM docbg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  CAST(floor(CAST(-sum(t) AS DOUBLE) / sum(n)) AS BIGINT) AS nll_nano_tok
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "Bigram-LM perplexity quality score per document (add-one smoothing, nano-nat quantized)")
+  )
+}

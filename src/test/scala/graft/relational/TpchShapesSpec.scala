@@ -54,4 +54,17 @@ class TpchShapesSpec extends SparkSpec {
       .as[(String, Double)].collect().toSeq
     assert(out == Seq(("NATION_0", 50.0)))
   }
+
+  test("Q14: promo share divides exact cent sums; month filter applies") {
+    val li = Seq(
+      (1L, "1996-03-05", 30.0, 0.0),  // promo part, in month
+      (2L, "1996-03-07", 90.0, 0.0),  // non-promo, in month
+      (1L, "1996-04-01", 500.0, 0.0)  // promo but outside the month
+    ).toDF("l_partkey", "d", "l_extendedprice", "l_discount")
+      .withColumn("l_shipdate", col("d").cast("timestamp")).drop("d")
+    val part = Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
+    val out = TpchShapes.promoRevenue(li, part)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((3000L, 12000L, 25.0)))
+  }
 }

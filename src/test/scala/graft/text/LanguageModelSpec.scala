@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+
+  /** Independent reference: plain-Scala bigram LM with add-one
+    * smoothing, same quantization pipeline as the declared query. */
+  private def expected(texts: Map[Long, String]): Map[Long, (Long, Long)] = {
+    val words = texts.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+    val bigrams = words.map { case (id, ws) => id -> ws.zip(ws.drop(1)) }
+    val c12 = bigrams.values.flatten
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val v = words.values.flatten.toSet.size.toLong
+    bigrams.collect { case (id, bs) if bs.nonEmpty =>
+      val terms = bs.groupBy(identity).map { case (b, occ) =>
+        val n = occ.size.toLong
+        val p = (c12(b) + 1).toDouble / (c1(b._1) + v)
+        math.round(n * math.log(p) * 1e9)
+      }
+      val s = terms.sum
+      id -> (bs.size.toLong, math.floor(-s.toDouble / bs.size).toLong)
+    }
+  }
+
+  test("matches an independently coded reference model") {
+    val texts = Map(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat",
+      3L -> "dogs bark loudly at night",
+      4L -> "the the the the")
+    val got = LanguageModel.bigramNll(docs(texts.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected(texts))
+  }
+
+  test("docs with fewer than two tokens drop out; repeats score lower than rarities") {
+    val texts = Map(
+      1L -> "alpha",                        // 1 token, no bigrams
+      2L -> "beta beta beta beta beta",     // the corpus's dominant bigram
+      3L -> "gamma delta epsilon zeta")     // all singleton bigrams
+    val got = LanguageModel.bigramNll(docs(texts.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!got.contains(1L))
+    assert(got(2L) < got(3L),
+      "the repeated-bigram doc must be less surprising than the all-rare doc")
+  }
+
+  test("invariant under repartition") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = LanguageModel.bigramNll(d).collect().toSeq
+    val b = LanguageModel.bigramNll(d.repartition(7)).collect().toSeq
+    assert(a == b)
+  }
+}
