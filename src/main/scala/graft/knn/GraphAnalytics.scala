@@ -221,6 +221,86 @@ object GraphAnalytics {
     out
   }
 
+  /** Multi-source weighted shortest paths (≤ `maxHops` edges) over the
+    * directed KNN graph — Bellman-Ford relaxation, the weighted sibling
+    * of [[bfsLevels]]: where BFS settles a node once, here a later
+    * round can IMPROVE a settled distance through a cheaper longer
+    * path (the spec plants one). Edge weights are the 6-dp distances
+    * in exact integer micros, so every relaxation is integer addition
+    * + integer min — engine-exact with no float-summation order issue.
+    *
+    * Scale per round: one co-partitioned frontier⋈edges join + one
+    * min-aggregation + one left join back — and the frontier holds
+    * only nodes whose distance CHANGED last round (relaxing from an
+    * unchanged node re-offers candidates already beaten, so dropping
+    * them is provably result-identical; the oracle relaxes from ALL
+    * settled nodes and must agree). Frontiers shrink toward
+    * convergence, so late rounds are near-free at any graph size. */
+  def ssspMicro(edges: DataFrame, sourceMod: Long = 100L,
+                maxHops: Int = 4): DataFrame = {
+    val e = edges.select(col("id"), col("nbr"),
+      round(col("dist") * 1e6).cast("long").as("w")).localCheckpoint()
+    var state = e.select(col("id"))
+      .union(e.select(col("nbr").as("id"))).distinct()
+      .withColumn("d",
+        when(pmod(col("id"), lit(sourceMod)) === 0L, lit(0L))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("improved", col("d").isNotNull)
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val cand = state.filter(col("improved"))
+        .join(e, Seq("id"))
+        .groupBy(col("nbr"))
+        .agg(min(col("d") + col("w")).as("nd"))
+        .withColumnRenamed("nbr", "id")
+      val next = state.join(cand, Seq("id"), "left")
+        .select(col("id"),
+          when(col("d").isNull, col("nd"))
+            .when(col("nd").isNull, col("d"))
+            .otherwise(least(col("d"), col("nd"))).as("d"),
+          (col("nd").isNotNull && (col("d").isNull || col("nd") < col("d")))
+            .as("improved"))
+        .localCheckpoint()
+      Checkpoints.release(state)
+      state = next
+    }
+    val out = state.select(col("id"), col("d").as("dist_micro"))
+      .orderBy(col("id"))
+    Checkpoints.release(e)
+    out
+  }
+
+  private def ssspOracle(sourceMod: Long, maxHops: Int): String = {
+    val d = DuckSql.euclidean("a.embedding", "b.embedding")
+    val sb = new StringBuilder
+    sb.append(s"""WITH pairs AS (
+      |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      |), ranked AS (
+      |  SELECT id, nbr, dist,
+      |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
+      |  FROM pairs
+      |), edges AS (SELECT id, nbr, CAST(round(dist * 1000000) AS BIGINT) AS w
+      |             FROM ranked WHERE rn <= 10),
+      |d0 AS (SELECT id, CASE WHEN id % $sourceMod = 0
+      |                       THEN CAST(0 AS BIGINT) END AS d
+      |       FROM (SELECT id FROM edges UNION SELECT nbr FROM edges))""".stripMargin)
+    for (h <- 1 to maxHops) {
+      val p = s"d${h - 1}"
+      sb.append(s""",
+        |u$h AS (SELECT e.nbr AS id, min(l.d + e.w) AS nd
+        |       FROM edges e JOIN $p l ON e.id = l.id AND l.d IS NOT NULL
+        |       GROUP BY 1),
+        |d$h AS (SELECT l.id,
+        |         CASE WHEN l.d IS NULL THEN u.nd
+        |              WHEN u.nd IS NULL THEN l.d
+        |              ELSE least(l.d, u.nd) END AS d
+        |       FROM $p l LEFT JOIN u$h u ON l.id = u.id)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, d AS dist_micro FROM d$maxHops ORDER BY id")
+    sb.toString
+  }
+
   private def bfsOracle(sourceMod: Long, maxHops: Int): String = {
     val d = DuckSql.euclidean("a.embedding", "b.embedding")
     val sb = new StringBuilder
@@ -285,6 +365,12 @@ object GraphAnalytics {
       (s, dir) => bfsLevels(KnnQueries.knn10(s, dir)),
       Some(bfsOracle(100L, 4)),
       doc = "Multi-source BFS hop levels on the directed KNN graph (4 hops)"),
+
+    Declared(
+      "q139_sssp",
+      (s, dir) => ssspMicro(KnnQueries.knn10(s, dir)),
+      Some(ssspOracle(100L, 4)),
+      doc = "Multi-source weighted shortest paths on the KNN graph (Bellman-Ford, 4 rounds, integer micros)"),
 
     Declared(
       "q129_label_prop",
