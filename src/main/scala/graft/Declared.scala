@@ -42,6 +42,8 @@ object Registry {
       graft.text.LineDedup.declared ++
       graft.text.CorpusStats.declared ++
       graft.text.LanguageModel.declared ++
+      graft.text.Redaction.declared ++
+      graft.text.ShardPlan.declared ++
       graft.text.SampleOps.declared ++
       graft.similarity.SimilarityQueries.declared ++
       graft.similarity.EmbeddingStats.declared ++
