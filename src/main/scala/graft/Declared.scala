@@ -26,6 +26,7 @@ object Registry {
       graft.relational.Skyline.declared ++
       graft.relational.Regression.declared ++
       graft.relational.TimeSeries.declared ++
+      graft.relational.MarketBasket.declared ++
       graft.relational.SkewJoin.declared ++
       graft.relational.ZOrderLayout.declared ++
       graft.relational.ChangeData.declared ++

@@ -99,6 +99,31 @@ object GraphAnalytics {
       .orderBy(col("id"))
   }
 
+  /** Local clustering coefficient per node on the mutual KNN graph:
+    * C(v) = 2·T(v) / (d(v)·(d(v)−1)) — the hub-vs-cluster discriminator
+    * (Watts & Strogatz 1998) that complements the raw triangle count.
+    *
+    * Reuses the bounded-degree triangle plan ([[triangleCounts]]) plus
+    * one degree aggregation on the same undirected edge set; the
+    * coefficient is one double division of exact integers
+    * floor-quantized to ppm (the q130 idiom — floor of an identical
+    * binary double is engine-independent, unlike decimal rounding). */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .join(edges.select(col("nbr").as("id"), col("id").as("nbr")),
+        Seq("id", "nbr"), "left_semi")
+    val deg = und.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(edges)
+    tri
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"), col("n_tri"),
+        when(coalesce(col("deg"), lit(0L)) < 2, lit(0L))
+          .otherwise(floor(lit(1e6) * lit(2.0) * col("n_tri").cast("double")
+            / (col("deg").cast("double") * (col("deg") - 1).cast("double"))).cast("long"))
+          .as("coeff_ppm"))
+      .orderBy(col("id"))
+  }
+
   /** k-core of the mutual (undirected) KNN graph — iterative peel:
     * drop nodes with degree < k, recompute, repeat to fixpoint. The
     * third iteration pattern of the graph family (CC contracts stars,
@@ -414,6 +439,47 @@ object GraphAnalytics {
            |LEFT JOIN cnt c ON c.id = n.id ORDER BY n.id""".stripMargin
       },
       doc = "Per-node triangles on the mutual KNN graph (bounded-degree node-iterator)"),
+
+    Declared(
+      "q147_clustering_coeff",
+      (s, dir) => clusteringCoefficient(KnnQueries.knn10(s, dir)),
+      Some {
+        val d = DuckSql.euclidean("a.embedding", "b.embedding")
+        s"""WITH pairs AS (
+           |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |), ranked AS (
+           |  SELECT id, nbr, dist,
+           |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
+           |  FROM pairs
+           |), edges AS (SELECT id, nbr FROM ranked WHERE rn <= 10),
+           |und AS (
+           |  SELECT e.id AS a, e.nbr AS b FROM edges e
+           |  WHERE e.id < e.nbr
+           |    AND EXISTS (SELECT 1 FROM edges r
+           |                WHERE r.id = e.nbr AND r.nbr = e.id)),
+           |deg AS (
+           |  SELECT id, count(*) AS deg FROM (
+           |    SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+           |  GROUP BY 1),
+           |tri AS (
+           |  SELECT u1.a, u1.b, u2.b AS c
+           |  FROM und u1 JOIN und u2 ON u1.b = u2.a
+           |  WHERE EXISTS (SELECT 1 FROM und u3
+           |                WHERE u3.a = u1.a AND u3.b = u2.b)),
+           |x AS (SELECT unnest([a, b, c]) AS id FROM tri),
+           |cnt AS (SELECT id, count(*) AS n_tri FROM x GROUP BY id)
+           |SELECT n.id, coalesce(d.deg, 0) AS deg,
+           |  coalesce(c.n_tri, 0) AS n_tri,
+           |  CASE WHEN coalesce(d.deg, 0) < 2 THEN 0
+           |       ELSE CAST(floor(1e6 * 2.0 * CAST(coalesce(c.n_tri, 0) AS DOUBLE)
+           |            / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE))) AS BIGINT)
+           |  END AS coeff_ppm
+           |FROM (SELECT DISTINCT id FROM edges) n
+           |LEFT JOIN deg d ON d.id = n.id
+           |LEFT JOIN cnt c ON c.id = n.id ORDER BY n.id""".stripMargin
+      },
+      doc = "Local clustering coefficient per node (2T/d(d-1), floor-ppm exact)"),
 
     Declared(
       "q95_mutual_knn",

@@ -50,6 +50,73 @@ object TimeSeries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Daily OHLC bars per event series — the downsampling step that
+    * turns a raw tick/event stream into the bounded-size summary every
+    * charting and forecasting layer consumes.
+    *
+    * Scale shape: ONE hash aggregation with map-side partials — open
+    * and close are `min/max(struct(ts, event_id, cents))` so the
+    * first/last observation is recovered inside the aggregate without
+    * any window sort over the raw stream (a window would sort every
+    * partition's full day of events; the struct-min carries exactly
+    * one candidate per partial). `event_id` breaks same-microsecond
+    * ties deterministically. All money is exact integer cents. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), cents.as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("cents"))).getField("cents").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(struct(col("ts"), col("event_id"), col("cents"))).getField("cents").as("close_cents"),
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("volume_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** CUSUM change-point per event series on the daily-count signal
+    * (Page 1954): S_k = Σ_{i≤k}(n_i − mean), changepoint = argmax|S_k|.
+    * Computed in EXACT integers by scaling through the series length:
+    * days·S_k = days·cumsum_k − k·total — no double ever enters, so
+    * the argmax (and ties, broken toward the earlier day) is
+    * bit-deterministic across engines.
+    *
+    * Scale shape: the raw volume is touched once by the daily
+    * count aggregation; the cumulative window and the argmax run over
+    * ≤ (#series × #days) rows — calendar-bounded, not volume-bounded.
+    * The per-series window partitions on event_type: fine while
+    * #days per series is window-sortable (thousands), which a daily
+    * grain guarantees for decades of data. */
+  def cusumChangePoint(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val full = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .select(col("event_type"), col("day"), col("n"),
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        row_number().over(w).as("k"),
+        sum(col("n")).over(full).as("total"),
+        count(lit(1)).over(full).as("days"))
+      .select(col("event_type"), col("day"), col("days"),
+        (col("days") * col("cum") - col("k") * col("total")).as("s_scaled"))
+    scored
+      .groupBy(col("event_type"))
+      .agg(
+        min(struct((-abs(col("s_scaled"))).as("na"), col("day"), col("s_scaled"))).as("best"),
+        max(col("days")).as("days"))
+      .select(col("event_type"),
+        col("best.day").as("change_day"),
+        col("best.s_scaled").as("s_scaled"),
+        col("days"))
+      .orderBy(col("event_type"))
+  }
+
   val declared: Seq[Declared] = Seq(
     Declared(
       "q132_gap_fill",
@@ -72,6 +139,51 @@ object TimeSeries {
         |FROM cal c LEFT JOIN daily d
         |  ON c.event_type = d.event_type AND c.day = d.day
         |ORDER BY 1, 2""".stripMargin),
-      doc = "Daily gap-fill + forward-fill resample per event series")
+      doc = "Daily gap-fill + forward-fill resample per event series"),
+
+    Declared(
+      "q144_ohlc",
+      (s, dir) => ohlcBars(Tables.load(s, dir, "events")),
+      Some("""WITH t AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM t)
+        |SELECT event_type, day,
+        |  max(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+        |  max(cents) AS high_cents,
+        |  min(cents) AS low_cents,
+        |  max(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+        |  count(*) AS n,
+        |  sum(cents) AS volume_cents
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "Daily OHLC bars per event series (single struct-min/max aggregation, no window sort)"),
+
+    Declared(
+      "q145_cusum",
+      (s, dir) => cusumChangePoint(Tables.load(s, dir, "events")),
+      Some("""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT event_type, day,
+        |    count(*) OVER (PARTITION BY event_type)
+        |      * sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |        * sum(n) OVER (PARTITION BY event_type) AS s_scaled,
+        |    count(*) OVER (PARTITION BY event_type) AS days
+        |  FROM d),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |              ORDER BY abs(s_scaled) DESC, day) AS rn
+        |  FROM sc)
+        |SELECT event_type, day AS change_day, s_scaled, days
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin),
+      doc = "CUSUM change-point per event series in exact scaled integers (argmax |days*cum - k*total|)")
   )
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Declared, Tables}
@@ -135,6 +136,43 @@ object Retrieval {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Prefix autocompletion table: the top `k` corpus words (by exact
+    * frequency, word-ordered ties) for every distinct leading
+    * `prefixLen`-char prefix — the offline artifact a typeahead
+    * service serves.
+    *
+    * Scale shape: the corpus is touched once by the word-count
+    * aggregation; everything after runs on the vocabulary (bounded,
+    * Heaps-law-sublinear), and the per-prefix rank is a window over
+    * ≤ |vocab| rows that WindowGroupLimit prunes to k per prefix on
+    * the map side before the shuffle. */
+  def autocomplete(docs: DataFrame, prefixLen: Int = 2, k: Int = 3): DataFrame = {
+    val counts = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > prefixLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("prefix")).orderBy(col("n").desc, col("w"))
+    counts
+      .withColumn("prefix", substring(col("w"), 1, prefixLen))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("prefix"), col("rn"), col("w").as("word"), col("n"))
+      .orderBy(col("prefix"), col("rn"))
+  }
+
+  private def autocompleteOracle(prefixLen: Int, k: Int): String =
+    s"""WITH c AS (
+       |  SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE length(w) > $prefixLen GROUP BY 1),
+       |r AS (
+       |  SELECT substr(w, 1, $prefixLen) AS prefix, w, n,
+       |         row_number() OVER (PARTITION BY substr(w, 1, $prefixLen)
+       |                            ORDER BY n DESC, w) AS rn
+       |  FROM c)
+       |SELECT prefix, rn, w AS word, n FROM r WHERE rn <= $k
+       |ORDER BY prefix, rn""".stripMargin
+
   private val QueryTerms = Seq("vector", "join", "scan")
   private val Phrases = Seq("table scan", "hash join", "fast table",
     "slow query", "key agg", "no hits")
@@ -150,6 +188,12 @@ object Retrieval {
       "q142_phrase_search",
       (s, dir) => phraseSearch(Tables.load(s, dir, "documents"), Phrases),
       Some(phraseOracle(Phrases)),
-      doc = "Batch phrase search: broadcast phrase probe into the bigram stream, no content shuffle")
+      doc = "Batch phrase search: broadcast phrase probe into the bigram stream, no content shuffle"),
+
+    Declared(
+      "q146_autocomplete",
+      (s, dir) => autocomplete(Tables.load(s, dir, "documents")),
+      Some(autocompleteOracle(2, 3)),
+      doc = "Prefix autocompletion: top-3 corpus words per 2-char prefix (vocab-bounded, WindowGroupLimit-pruned)")
   )
 }

@@ -48,4 +48,54 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.head.getBoolean(3)) // min day is observed by construction
     assert(out.map(_.getLong(4)).toSeq == Seq(700L, 700L, 900L))
   }
+
+  test("ohlcBars: open/close by time, high/low by value, exact cents") {
+    val out = TimeSeries.ohlcBars(eventsOf(Seq(
+      ("t", "2024-01-01 10:00:00", 1.00),
+      ("t", "2024-01-01 09:00:00", 3.00), // earliest → open
+      ("t", "2024-01-01 11:00:00", 2.00), // latest → close
+      ("t", "2024-01-02 08:00:00", 5.00)  // second bar
+    ))).collect()
+    assert(out.length == 2)
+    val d1 = out.head
+    // (event_type, day, open, high, low, close, n, volume)
+    assert((d1.getLong(2), d1.getLong(3), d1.getLong(4), d1.getLong(5),
+      d1.getLong(6), d1.getLong(7)) == ((300L, 300L, 100L, 200L, 3L, 600L)))
+    val d2 = out(1)
+    assert((d2.getLong(2), d2.getLong(5), d2.getLong(6)) == ((500L, 500L, 1L)))
+  }
+
+  test("ohlcBars: same-timestamp ties break by event_id") {
+    // eventsOf assigns event_id by list position: first row wins open
+    val out = TimeSeries.ohlcBars(eventsOf(Seq(
+      ("t", "2024-01-01 10:00:00", 5.0), // event_id 0 → open
+      ("t", "2024-01-01 10:00:00", 7.0)  // event_id 1 → close
+    ))).collect()
+    assert(out.length == 1)
+    assert((out.head.getLong(2), out.head.getLong(5)) == ((500L, 700L)))
+  }
+
+  test("cusumChangePoint: level shift found at the pre-shift peak") {
+    // counts 1,1,5,5 → days=4, total=12; S_scaled = 4*cum - k*12:
+    // -8, -16, -8, 0 → max |S| at day 2 (the last pre-shift day)
+    val rows = Seq.tabulate(1)(_ => ("s", "2024-01-01", 1.0)) ++
+      Seq.tabulate(1)(_ => ("s", "2024-01-02", 1.0)) ++
+      Seq.tabulate(5)(_ => ("s", "2024-01-03", 1.0)) ++
+      Seq.tabulate(5)(_ => ("s", "2024-01-04", 1.0))
+    val out = TimeSeries.cusumChangePoint(eventsOf(rows)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDate(1).toString == "2024-01-02")
+    assert(r.getLong(2) == -16L)
+    assert(r.getLong(3) == 4L)
+  }
+
+  test("cusumChangePoint: flat series ties break to the earliest day") {
+    val out = TimeSeries.cusumChangePoint(eventsOf(Seq(
+      ("f", "2024-01-01", 1.0), ("f", "2024-01-01", 1.0),
+      ("f", "2024-01-02", 1.0), ("f", "2024-01-02", 1.0)
+    ))).collect()
+    assert(out.head.getDate(1).toString == "2024-01-01")
+    assert(out.head.getLong(2) == 0L)
+  }
 }

@@ -29,6 +29,21 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - d2) < 1e-4)
   }
 
+  test("autocomplete: top-k per prefix by frequency, word-ordered ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat cat cat car car cab can dog dot"),
+      (2L, "cat car do x ca")) // "do"/"x"/"ca" ≤ 2 chars: excluded
+      .toDF("doc_id", "text")
+    val out = Retrieval.autocomplete(docs, prefixLen = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val ca = out.filter(_._1 == "ca")
+    // cat 4, car 3, then cab/can tie at 1 → word order picks cab
+    assert(ca.toSeq == Seq(("ca", 1, "cat", 4L), ("ca", 2, "car", 3L), ("ca", 3, "cab", 1L)))
+    val doPfx = out.filter(_._1 == "do")
+    assert(doPfx.toSeq == Seq(("do", 1, "dog", 1L), ("do", 2, "dot", 1L)))
+  }
+
   test("incrementalJaccard: identical new doc pairs with its old copy only") {
     import spark.implicits._
     // 9 is "new" (id % 10 == 9): an exact copy of old doc 1 → jaccard 1.
