@@ -259,7 +259,91 @@ object EventAnalytics {
           - col("cb").cast("double") / col("nb")) / denom, 6)).as("z"))
   }
 
+  /** Top event-type trigrams across user journeys — the sequence-mining
+    * read ("what do users actually do, in order") behind navigation and
+    * drop-off analysis. Consecutive-triple extraction is two lead()
+    * calls on the per-user (ts, event_id) order; everything after runs
+    * on the (|types|³-bounded) path vocabulary.
+    *
+    * Scale shape: one shuffle on user_id for the window (per-user
+    * partitions are user-activity-sized, never corpus-sized), one
+    * map-combinable count aggregation, and a WindowGroupLimit-free
+    * global top-k (ORDER BY + LIMIT over ≤ |types|³ aggregated rows). */
+  def eventPaths(events: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
+  /** Winsorized per-type value stats: clamp cents into
+    * [floor(p05), ceil(p95)] and report the robust mean next to the raw
+    * one — the outlier-resistant aggregate a metrics layer publishes.
+    * The interpolated percentile is computed once per type (exact
+    * percentile over integer cents — matches DuckDB's quantile_cont
+    * bit-for-bit, proven by q47), then floor/ceil re-enter integer
+    * domain so every downstream sum is exact long arithmetic.
+    *
+    * Scale shape: exact percentile shuffles each type's values once
+    * (the documented exact tier; q47b's sketch is the 100 TB path);
+    * the clamp+mean pass is map-side partial over the same shuffle. */
+  def winsorizedStats(events: DataFrame): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    val bounds = events
+      .select(col("event_type"), cents.as("c"))
+      .groupBy(col("event_type"))
+      .agg(floor(expr("percentile(c, 0.05)")).cast("long").as("lo_cents"),
+        ceil(expr("percentile(c, 0.95)")).cast("long").as("hi_cents"))
+    events
+      .select(col("event_type"), cents.as("c"))
+      .join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"), col("lo_cents"), col("hi_cents"),
+        greatest(col("lo_cents"), least(col("hi_cents"), col("c"))).as("wc"),
+        col("c"))
+      .groupBy(col("event_type"))
+      .agg(max(col("lo_cents")).as("lo_cents"), max(col("hi_cents")).as("hi_cents"),
+        count(lit(1)).as("n"), sum(col("c")).as("raw_sum_cents"),
+        sum(col("wc")).as("wins_sum_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q150_event_paths",
+      (s, dir) => eventPaths(Tables.load(s, dir, "events")),
+      Some("""WITH t AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM t WHERE e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin),
+      doc = "Top-10 per-user event-type trigram paths (two lead()s, path-vocab-bounded top-k)"),
+
+    Declared(
+      "q149_winsorized",
+      (s, dir) => winsorizedStats(Tables.load(s, dir, "events")),
+      Some("""WITH c AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(floor(quantile_cont(CAST(c AS DOUBLE), 0.05)) AS BIGINT) AS lo_cents,
+        |    CAST(ceil(quantile_cont(CAST(c AS DOUBLE), 0.95)) AS BIGINT) AS hi_cents
+        |  FROM c GROUP BY 1)
+        |SELECT c.event_type, max(b.lo_cents) AS lo_cents, max(b.hi_cents) AS hi_cents,
+        |  count(*) AS n, sum(c.c) AS raw_sum_cents,
+        |  sum(greatest(b.lo_cents, least(b.hi_cents, c.c))) AS wins_sum_cents
+        |FROM c JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Winsorized per-type stats: clamp at [floor(p05), ceil(p95)], exact integer sums"),
+
     Declared(
       "q118_ab_test",
       (s, dir) => abTest(Tables.load(s, dir, "events")),

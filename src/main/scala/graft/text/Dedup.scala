@@ -101,7 +101,80 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo,
+    * SIGMOD'95): sort each language's documents by a cheap blocking key
+    * (the normalized text prefix), slide a window of `w`, and verify
+    * only the ≤ (w−1)·N neighbor pairs with exact word-set Jaccard.
+    * The classic entity-resolution alternative to hash blocking: linear
+    * candidate count by construction (vs MinHash's collision-dependent
+    * count), at the cost of only finding near-dups that sort close.
+    *
+    * Scale shape: one sort-shuffle on (lang, key) — the window's lead()
+    * needs no second pass; the Jaccard verify is row-local on the pair
+    * (array_distinct/intersect of the two bound word arrays). At 100 TB
+    * the sort is a range-partitioned TeraSort-shape exchange, and the
+    * window's (w−1) lookahead crosses partition bounds correctly by
+    * definition of the window frame. Jaccard is floor-ppm over exact
+    * integer set sizes. */
+  def sortedNeighborhoodPairs(docs: DataFrame, w: Int = 3,
+      tauPpm: Long = 500000L, keyLen: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      substring(lower(col("text")), 1, keyLen).as("key"),
+      array_distinct(split(lower(col("text")), " ")).as("ws"))
+    val win = Window.partitionBy(col("lang")).orderBy(col("key"), col("doc_id"))
+    val nbrCols = (1 until w).map(i =>
+      struct(lead(col("doc_id"), i).over(win).as("doc_id"),
+        lead(col("ws"), i).over(win).as("ws")).as(s"nb$i"))
+    val withNbrs = keyed.select(
+      Seq(col("lang"), col("doc_id"), col("ws")) ++ nbrCols: _*)
+    val pairs = withNbrs
+      .select(col("lang"), col("doc_id").as("d1"), col("ws").as("ws1"),
+        explode(array((1 until w).map(i => col(s"nb$i")): _*)).as("nb"))
+      .filter(col("nb.doc_id").isNotNull)
+      .select(col("lang"), col("d1"), col("nb.doc_id").as("d2"),
+        size(array_intersect(col("ws1"), col("nb.ws"))).as("inter"),
+        size(col("ws1")).as("s1"), size(col("nb.ws")).as("s2"))
+    pairs
+      .select(col("lang"), col("d1"), col("d2"),
+        floor(lit(1e6) * col("inter").cast("double")
+          / (col("s1") + col("s2") - col("inter")).cast("double")).cast("long")
+          .as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= tauPpm)
+      .orderBy(col("lang"), col("d1"), col("d2"))
+  }
+
+  private def snmOracle(w: Int, tauPpm: Long, keyLen: Int): String =
+    s"""WITH k AS (
+       |  SELECT doc_id, lang, substr(lower(text), 1, $keyLen) AS key,
+       |         list_distinct(string_split(lower(text), ' ')) AS ws
+       |  FROM documents),
+       |n AS (
+       |  SELECT lang, doc_id AS d1, ws AS ws1,
+       |         lead(doc_id, 1) OVER w AS n1_id, lead(ws, 1) OVER w AS n1_ws,
+       |         lead(doc_id, 2) OVER w AS n2_id, lead(ws, 2) OVER w AS n2_ws
+       |  FROM k WINDOW w AS (PARTITION BY lang ORDER BY key, doc_id)),
+       |p AS (
+       |  SELECT lang, d1, n1_id AS d2, len(list_intersect(ws1, n1_ws)) AS i,
+       |         len(ws1) AS s1, len(n1_ws) AS s2 FROM n WHERE n1_id IS NOT NULL
+       |  UNION ALL
+       |  SELECT lang, d1, n2_id, len(list_intersect(ws1, n2_ws)),
+       |         len(ws1), len(n2_ws) FROM n WHERE n2_id IS NOT NULL),
+       |j AS (
+       |  SELECT lang, d1, d2,
+       |    CAST(floor(1e6 * CAST(i AS DOUBLE)
+       |         / CAST(s1 + s2 - i AS DOUBLE)) AS BIGINT) AS jaccard_ppm
+       |  FROM p)
+       |SELECT lang, d1, d2, jaccard_ppm FROM j
+       |WHERE jaccard_ppm >= $tauPpm ORDER BY lang, d1, d2""".stripMargin
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q148_sorted_neighborhood",
+      (s, dir) => sortedNeighborhoodPairs(graft.Tables.load(s, dir, "documents")),
+      Some(snmOracle(3, 500000L, 24)),
+      doc = "Sorted-neighborhood near-dup pairs (SIGMOD'95 blocking, window w=3, exact Jaccard verify)"),
+
     Declared(
       "q33_minhash_pairs",
       (s, dir) => minhashPairs(graft.Tables.load(s, dir, "documents"), 0.5)

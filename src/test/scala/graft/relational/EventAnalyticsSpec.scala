@@ -176,4 +176,50 @@ class EventAnalyticsSpec extends SparkSpec {
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
     assert(got == again)
   }
+
+  test("eventPaths: consecutive triples per user, counted across users") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: v c p  → one triple (v,c,p)
+      (1L, ts("2024-01-01 09:00:00"), 1L, "v", 0.0),
+      (2L, ts("2024-01-01 09:01:00"), 1L, "c", 0.0),
+      (3L, ts("2024-01-01 09:02:00"), 1L, "p", 0.0),
+      // user 2: v c p x → triples (v,c,p) and (c,p,x)
+      (4L, ts("2024-01-01 10:00:00"), 2L, "v", 0.0),
+      (5L, ts("2024-01-01 10:01:00"), 2L, "c", 0.0),
+      (6L, ts("2024-01-01 10:02:00"), 2L, "p", 0.0),
+      (7L, ts("2024-01-01 10:03:00"), 2L, "x", 0.0),
+      // user 3: only two events → no triple
+      (8L, ts("2024-01-01 11:00:00"), 3L, "v", 0.0),
+      (9L, ts("2024-01-01 11:01:00"), 3L, "c", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventAnalytics.eventPaths(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("v", "c", "p", 2L, 2L), ("c", "p", "x", 1L, 1L)))
+  }
+
+  test("eventPaths: triples never cross users") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 09:01:00"), 1L, "b", 0.0),
+      (3L, ts("2024-01-01 09:02:00"), 2L, "c", 0.0),
+      (4L, ts("2024-01-01 09:03:00"), 2L, "d", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventAnalytics.eventPaths(events).collect().isEmpty)
+  }
+
+  test("winsorizedStats: clamp changes only the tails") {
+    import spark.implicits._
+    // 21 values 0,100,...,2000 cents: p05 = 100 (index 1 of 0..20),
+    // p95 = 1900 → clamp 0→100 and 2000→1900
+    val events = (0 to 20).map(i =>
+      (i.toLong, ts("2024-01-01 09:00:00"), 1L, "t", i * 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.winsorizedStats(events).collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((100L, 1900L)))
+    assert(r.getLong(3) == 21L)
+    assert(r.getLong(4) == (0 to 20).map(_ * 100L).sum)
+    assert(r.getLong(5) == r.getLong(4) + 100L - 100L) // +100 at lo, -100 at hi
+  }
 }
