@@ -121,7 +121,92 @@ object CorpusStats {
       .orderBy(col("word"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * trigrams whose globally FIRST occurrence (by doc_id order) is this
+    * doc — the curve dataset builders plot to see where a corpus stops
+    * contributing new content (falling novelty ⇒ the tail is
+    * re-crawls/boilerplate; also the signal behind "dedup before you
+    * scale" decisions).
+    *
+    * Scale shape: one pass builds the distinct (doc, shingle-hash)
+    * table; the global first-occurrence is a map-combinable min(doc_id)
+    * per shingle; attribution is ONE co-partitioned join back on the
+    * shingle key (both sides already hash-partitioned by it). Novelty
+    * is floor-ppm over two exact integers. */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    // no checkpoint: the double scan+explode is cheaper than pinning a
+    // token-sized table in executor memory for the session (the r1
+    // bench-poisoning lesson), and both consumers shuffle on `shingle`
+    // so the exchange is shared where it matters
+    val sh = TextQueries.hashedWordShingles(docs, 3)
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        floor(lit(1e6) * col("n_novel").cast("double")
+          / col("n_shingles").cast("double")).cast("long").as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-source exact-duplicate matrix: for every unordered source
+    * pair, how many distinct contents exist in BOTH — the provenance
+    * read behind mixture weighting (two crawls sharing half their
+    * content must not be weighted as independent corpora).
+    *
+    * The content key is the normalized `keyLen`-char prefix — the
+    * cheap canonical key that also catches near-identical re-crawls
+    * (exact-hash equality is its keyLen→∞ degenerate case and finds
+    * nothing on corpora whose twins differ by a byte).
+    *
+    * Scale shape: contents dedup to (key-hash, source) once (one
+    * content shuffle, same budget as exact dedup q24); the pair
+    * expansion is a self-join per key whose group size is bounded by
+    * #sources, and the output is ≤ |sources|² rows at any corpus
+    * size. The join key is the 64-bit prefix hash (collisions would
+    * be CAUGHT by the string-keyed oracle, not hidden). */
+  def crossSourceDup(docs: DataFrame, keyLen: Int = 80): DataFrame = {
+    val d = docs.select(
+      xxhash64(substring(lower(col("text")), 1, keyLen)).as("h"),
+      col("source")).distinct()
+    d.join(d.select(col("h"), col("source").as("source_b")), Seq("h"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q151_ngram_novelty",
+      (s, dir) => ngramNovelty(Tables.load(s, dir, "documents")),
+      Some("""WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w WHERE len(ws) >= 3),
+        |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |  sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+        |  CAST(floor(1e6 * CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / CAST(count(*) AS DOUBLE)) AS BIGINT) AS novelty_ppm
+        |FROM sh JOIN f USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Per-doc trigram novelty vs all earlier docs (global first-occurrence attribution)"),
+
+    Declared(
+      "q152_cross_source_dup",
+      (s, dir) => crossSourceDup(Tables.load(s, dir, "documents")),
+      Some("""WITH d AS (SELECT DISTINCT substr(lower(text), 1, 80) AS k, source
+        |       FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |FROM d a JOIN d b ON a.k = b.k AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "Cross-source shared-content matrix on the normalized prefix key (≤ |sources|² rows)"),
+
     Declared(
       "q134_equidepth_histogram",
       (s, dir) => equiDepthHistogram(Tables.load(s, dir, "documents")),
