@@ -42,11 +42,13 @@ object Registry {
       graft.text.CorpusOps.declared ++
       graft.text.LineDedup.declared ++
       graft.text.CorpusStats.declared ++
+      graft.text.CorpusHygiene.declared ++
       graft.text.LanguageModel.declared ++
       graft.text.Redaction.declared ++
       graft.text.ShardPlan.declared ++
       graft.text.SampleOps.declared ++
       graft.similarity.SimilarityQueries.declared ++
+      graft.similarity.ContrastiveMining.declared ++
       graft.similarity.EmbeddingStats.declared ++
       graft.multimodal.Multimodal.declared ++
       graft.mrdf.MrdfQueries.declared ++

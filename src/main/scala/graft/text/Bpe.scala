@@ -112,6 +112,14 @@ object Bpe {
     graft.Materialized.table(spark, dir, "bpe_merges")(
       bpeMerges(graft.Tables.load(spark, dir, "documents"), rounds))
 
+  /** Per-doc encode stats, materialized once per (process, sfDir):
+    * the corpus-wide regexp rewrite cascade is the expensive step and
+    * both q128 and the fertility rollup (q157) consume it. */
+  private def sharedEncodeStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.Materialized.table(spark, dir, "bpe_encode")(
+      bpeEncodeStats(spark, dir))
+
   /** Shared oracle prelude: replays training — v0 char-spaced vocab,
     * then per round the pair counts (p), the winner (b), and the
     * rewritten vocab (v). */
@@ -150,9 +158,9 @@ object Bpe {
       s"SELECT $r AS round, a AS mleft, b AS mright, c AS pair_count FROM b$r"
     }.mkString("", "\nUNION ALL\n", "\nORDER BY round")
 
-  /** Encode oracle: the same trained b1..bN rewrites applied to every
-    * word of every document, then per-doc token counts. */
-  private def encodeOracle(rounds: Int): String = {
+  /** Shared encode CTEs: the trained b1..bN rewrites applied to every
+    * word of every document, reduced to per-doc (n_words, n_tokens). */
+  private def encCtes(rounds: Int): String = {
     var t = """' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' '"""
     for (r <- 1 to rounds) {
       val pat = s"(SELECT ' ' || a || ' ' || b || ' ' FROM b$r)"
@@ -163,10 +171,24 @@ object Bpe {
       |enc AS (SELECT doc_id, len(string_split(trim($t), ' ')) AS toks
       |        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
       |              FROM documents)
-      |        WHERE length(w) >= 1)
-      |SELECT doc_id, count(*) AS n_words, sum(toks) AS n_tokens
-      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |        WHERE length(w) >= 1),
+      |perdoc AS (SELECT doc_id, count(*) AS n_words, sum(toks) AS n_tokens
+      |           FROM enc GROUP BY doc_id)""".stripMargin
   }
+
+  private def encodeOracle(rounds: Int): String =
+    encCtes(rounds) +
+      "\nSELECT doc_id, n_words, n_tokens FROM perdoc ORDER BY doc_id"
+
+  private def fertilityOracle(rounds: Int): String =
+    encCtes(rounds) + s"""
+      |SELECT d.lang, count(*) AS n_docs,
+      |  CAST(sum(n_words) AS BIGINT) AS n_words,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(floor(1e6 * CAST(sum(n_tokens) AS DOUBLE) / sum(n_words))
+      |    AS BIGINT) AS fertility_ppm
+      |FROM perdoc JOIN documents d USING (doc_id)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   val declared: Seq[Declared] = Seq(
     Declared(
@@ -177,8 +199,28 @@ object Bpe {
 
     Declared(
       "q128_bpe_encode",
-      (s, dir) => bpeEncodeStats(s, dir),
+      (s, dir) => sharedEncodeStats(s, dir).orderBy(col("doc_id")),
       Some(encodeOracle(5)),
-      doc = "BPE encoding applied corpus-wide: per-doc word/token counts under the trained merges")
+      doc = "BPE encoding applied corpus-wide: per-doc word/token counts under the trained merges"),
+
+    Declared(
+      // Tokenizer fertility by language (tokens emitted per word) —
+      // the metric that decides whether a tokenizer is fair to a
+      // language before mixture weights are set. Rollup over the
+      // shared per-doc encode stats: zero extra corpus scans.
+      "q157_bpe_fertility",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .join(sharedEncodeStats(s, dir), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("fertility_ppm",
+          floor(lit(1e6) * col("n_tokens").cast("double") / col("n_words"))
+            .cast("long"))
+        .orderBy(col("lang")),
+      Some(fertilityOracle(5)),
+      doc = "Per-language BPE fertility (tokens per word) from the shared encode stats")
   )
 }

@@ -154,11 +154,20 @@ object PipelineOps {
   private val Budget = 2048
   private val Shards = 4
 
+  /** The τ=0.1 near-dup cluster assignment, materialized once per
+    * process/sf: the connected-components loop is the expensive step
+    * and both q58 and the canonical-selection query (q154) consume the
+    * same labels. */
+  def sharedDupClusters(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.Materialized.table(s, dir, "dup_clusters") {
+      dupClusters(Tables.load(s, dir, "documents"), 0.1,
+        pairsOverride = Some(TextQueries.sharedJaccardPairs(s, dir, 0.1)))
+    }
+
   val declared: Seq[Declared] = Seq(
     Declared(
       "q58_dup_clusters",
-      (s, dir) => dupClusters(Tables.load(s, dir, "documents"), 0.1,
-        pairsOverride = Some(TextQueries.sharedJaccardPairs(s, dir, 0.1))),
+      (s, dir) => sharedDupClusters(s, dir).orderBy(col("doc_id")),
       Some(s"""WITH RECURSIVE ${TextQueries.jaccardCtes(0.1)},
         |e AS (SELECT d1 AS a, d2 AS b FROM jp
         |      UNION ALL SELECT d2, d1 FROM jp),
