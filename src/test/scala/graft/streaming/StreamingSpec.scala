@@ -28,11 +28,17 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
     // watermark holds back open windows in append mode; compare the
     // closed prefix against the batch result
+    // Compare window starts as strings, not Timestamp objects: the
+    // collected class (java.sql.Timestamp vs java.time.LocalDateTime)
+    // depends on the timestamp type (NTZ parquet) and the session's
+    // java8 datetime API flag, which another suite sharing the JVM may
+    // have flipped; NTZ also refuses a bigint cast.
     val got = spark.table("tumbling")
-      .select(col("w_start"), col("event_type"), col("n")).collect()
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      .select(col("w_start").cast("string"), col("event_type"), col("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     val all = StreamingPipelines.tumblingCounts(eventsBatch())
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      .select(col("w_start").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(got.nonEmpty, "streaming produced no closed windows")
     assert(got.subsetOf(all), "streaming window disagrees with batch")
   }
