@@ -190,7 +190,40 @@ object JoinShapes {
       .orderBy(col("o1"))
   }
 
+  /** Relational division ("FOR ALL") — the classic shape missing from
+    * the join family: event types active in EVERY hour-of-day the log
+    * covers. Implemented by the count-match rewrite (countDistinct per
+    * group == countDistinct of the divisor), not the textbook double
+    * NOT EXISTS: the division collapses to two distinct aggregations —
+    * the per-partition distinct partials bound the shuffle by
+    * |types| × 24 rows at any event volume, where the nested-anti-join
+    * form would shuffle the cross space. The divisor (one row) joins
+    * back by broadcast; no driver action. */
+  def hourlyDivision(events: DataFrame): DataFrame = {
+    val hrs = events.select(col("event_type"), hour(col("ts")).as("h"))
+    val divisor = hrs.agg(countDistinct(col("h")).as("n_all"))
+    hrs.groupBy(col("event_type"))
+      .agg(countDistinct(col("h")).as("n_hours"))
+      .crossJoin(broadcast(divisor))
+      .filter(col("n_hours") === col("n_all"))
+      .select(col("event_type"), col("n_hours"))
+      .orderBy(col("event_type"))
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q161_division",
+      (s, dir) => hourlyDivision(Tables.load(s, dir, "events")),
+      Some("""WITH h AS (
+        |  SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS h
+        |  FROM events),
+        |tot AS (SELECT count(DISTINCT h) AS n_all FROM h)
+        |SELECT event_type, count(DISTINCT h) AS n_hours
+        |FROM h GROUP BY event_type
+        |HAVING count(DISTINCT h) = (SELECT n_all FROM tot)
+        |ORDER BY event_type""".stripMargin),
+      doc = "Relational division (FOR ALL hours) via the count-match rewrite — two distinct aggs, no nested anti join"),
+
     Declared(
       "q135_interval_overlap",
       (s, dir) => intervalOverlapJoin(Tables.load(s, dir, "orders"),

@@ -117,6 +117,42 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** Per-user EWMA (α = 1/2) over the event-value stream — the
+    * smoothing primitive behind rate limiters, anomaly baselines and
+    * engagement scores. A sequential recurrence (s_i depends on
+    * s_{i-1}) looks driver-shaped, but per KEY it is an ordered fold:
+    * ONE hash aggregation collects each user's (ts, event_id, value)
+    * history, `sort_array` fixes the unique total order, and a
+    * codegen'd `aggregate` lambda runs the fold row-locally — no
+    * window sort over the raw stream, no driver loop, and the shuffle
+    * moves each event exactly once.
+    *
+    * Determinism across engines: values enter as floor-micros longs and
+    * the recurrence is integer — s_i = (s_{i-1} + v_i) div 2 — so no
+    * floating addition ever happens in either engine. α = 1/2 also
+    * means contributions decay by exactly one bit per step: the fold
+    * forgets history ~64 events back, which is the practical EWMA
+    * horizon anyway.
+    *
+    * Scale shape: per-key state is that user's own history (bounded by
+    * per-user activity, not corpus size); a trillion-event log with
+    * bounded per-user cardinality folds in one shuffle. For unbounded
+    * keys you'd pre-window by recency — the recurrence telescopes, so
+    * dropping a prefix only perturbs the result below the kept bits. */
+  def ewmaByUser(events: DataFrame): DataFrame = {
+    val vMicros = floor(col("value") * 1e6).cast("long")
+    events
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), vMicros.as("v")).as("obs"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("obs"))).as("seq"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        expr("aggregate(transform(seq, x -> x.v), CAST(0 AS BIGINT)," +
+          " (s, x) -> (s + x) div 2)").as("ewma_micros"))
+      .orderBy(col("user_id"))
+  }
+
   val declared: Seq[Declared] = Seq(
     Declared(
       "q132_gap_fill",
@@ -184,6 +220,25 @@ object TimeSeries {
         |  FROM sc)
         |SELECT event_type, day AS change_day, s_scaled, days
         |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin),
-      doc = "CUSUM change-point per event series in exact scaled integers (argmax |days*cum - k*total|)")
+      doc = "CUSUM change-point per event series in exact scaled integers (argmax |days*cum - k*total|)"),
+
+    Declared(
+      "q158_ewma",
+      (s, dir) => ewmaByUser(Tables.load(s, dir, "events")),
+      // list_reduce has no explicit zero — prepend it; // on positive
+      // BIGINTs matches Spark's `div` (values are positive micros).
+      Some("""WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(floor(value * 1e6) AS BIGINT) AS v
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         list(v ORDER BY ts, event_id) AS vs
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+        |              (s, x) -> (s + x) // 2) AS ewma_micros
+        |FROM l ORDER BY user_id""".stripMargin),
+      doc = "Per-user EWMA (α=1/2) as a distributed ordered fold — integer recurrence, no window sort, no driver loop")
   )
 }

@@ -267,6 +267,46 @@ object CorpusStats {
       "q74_cms_stopwords",
       (s, dir) => cmsStopwordCounts(Tables.load(s, dir, "documents")),
       None,
-      doc = "Count-Min-Sketch frequency estimates, fixed probe vocab (no shuffle)")
+      doc = "Count-Min-Sketch frequency estimates, fixed probe vocab (no shuffle)"),
+
+    Declared(
+      "q160_dataset_card",
+      (s, dir) => datasetCard(Tables.load(s, dir, "documents")),
+      Some("""SELECT source,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) // count(*) AS avg_chars,
+        |  count(*) - count(DISTINCT text) AS n_exact_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      doc = "Per-source dataset card: docs, languages, tokens, length profile, exact-dup count")
   )
+
+  /** Per-source dataset card — the summary table a corpus release
+    * ships with (docs, language spread, token volume, length profile,
+    * within-source exact-dup count). ONE hash aggregation keyed by
+    * source; tokens are counted row-locally before the agg, the two
+    * distinct aggs expand per-source (Spark plans a single expand +
+    * hash agg). avg_chars is exact integer division; output is
+    * ≤ #sources rows at any corpus size. */
+  def datasetCard(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"), col("text"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"))
+      // exact integer division — `/` on longs would yield a double
+      .withColumn("avg_chars", expr("sum_chars div n_docs"))
+      .drop("sum_chars")
+      .select(col("source"), col("n_docs"), col("n_langs"), col("n_tokens"),
+        col("min_chars"), col("max_chars"), col("avg_chars"), col("n_exact_dups"))
+      .orderBy(col("source"))
 }

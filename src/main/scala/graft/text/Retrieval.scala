@@ -173,6 +173,38 @@ object Retrieval {
        |SELECT prefix, rn, w AS word, n FROM r WHERE rn <= $k
        |ORDER BY prefix, rn""".stripMargin
 
+  /** Inverted-index construction — the search-side artifact itself:
+    * per term, document frequency, total term frequency, and a bounded
+    * postings sample (the 8 smallest doc_ids, comma-joined so the
+    * driver comparator sees a scalar string, the round-1 array-column
+    * lesson).
+    *
+    * Scale shape: ONE token pass feeds the (term, doc) tf aggregation;
+    * the stats agg runs over that table, and the postings sample is a
+    * row_number window IMMEDIATELY filtered to rn ≤ 8 — the
+    * WindowGroupLimit rewrite prunes each map partition to 8 candidate
+    * rows per term before the shuffle sort, so a stop word's posting
+    * list never materializes anywhere. The two branches rejoin
+    * co-partitioned on term. */
+  def invertedIndex(docs: DataFrame, sampleK: Int = 8): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val sample = perDoc
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= sampleK)
+      .groupBy(col("term"))
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+        .as("postings_sample"))
+    stats.join(sample, Seq("term"))
+      .select(col("term"), col("df"), col("tf_total"), col("postings_sample"))
+      .orderBy(col("term"))
+  }
+
   private val QueryTerms = Seq("vector", "join", "scan")
   private val Phrases = Seq("table scan", "hash join", "fast table",
     "slow query", "key agg", "no hits")
@@ -194,6 +226,27 @@ object Retrieval {
       "q146_autocomplete",
       (s, dir) => autocomplete(Tables.load(s, dir, "documents")),
       Some(autocompleteOracle(2, 3)),
-      doc = "Prefix autocompletion: top-3 corpus words per 2-char prefix (vocab-bounded, WindowGroupLimit-pruned)")
+      doc = "Prefix autocompletion: top-3 corpus words per 2-char prefix (vocab-bounded, WindowGroupLimit-pruned)"),
+
+    Declared(
+      "q162_inverted_index",
+      (s, dir) => invertedIndex(Tables.load(s, dir, "documents")),
+      Some("""WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |pd AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+        |s AS (SELECT term, count(*) AS df,
+        |        CAST(sum(tf) AS BIGINT) AS tf_total
+        |      FROM pd GROUP BY 1),
+        |r AS (SELECT term, doc_id,
+        |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |      FROM pd),
+        |ps AS (SELECT term,
+        |         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |           AS postings_sample
+        |       FROM r WHERE rn <= 8 GROUP BY 1)
+        |SELECT s.term, s.df, s.tf_total, ps.postings_sample
+        |FROM s JOIN ps USING (term) ORDER BY term""".stripMargin),
+      doc = "Inverted index: per-term df/tf + bounded postings sample (WindowGroupLimit map-side pruning)")
   )
 }

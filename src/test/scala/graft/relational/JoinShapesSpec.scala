@@ -112,4 +112,37 @@ class JoinShapesSpec extends SparkSpec {
     assert(out.head.getInt(0) == 7 && out.head.getLong(1) == 1L
       && out.head.getDouble(2) == 500.0)
   }
+
+  test("hourlyDivision: only types covering every observed hour qualify") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // observed hours overall: {0, 1, 2}. "full" covers all three;
+    // "partial" misses hour 2; "single" has one hour only.
+    val rows = Seq(
+      ("full", 0), ("full", 1), ("full", 2), ("full", 0),
+      ("partial", 0), ("partial", 1),
+      ("single", 2))
+    val events = rows.zipWithIndex
+      .map { case ((t, h), i) => (i.toLong, t, f"2024-01-01 $h%02d:30:00") }
+      .toDF("event_id", "event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val out = JoinShapes.hourlyDivision(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("full", 3L)))
+  }
+
+  test("hourlyDivision equals the double-NOT-EXISTS form") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.load(spark, sf0001, "events")
+    val hrs = events.select(col("event_type"), hour(col("ts")).as("h")).distinct()
+    val allH = hrs.select(col("h")).distinct()
+    // textbook division: types with NO uncovered hour
+    val uncovered = hrs.select(col("event_type")).distinct().crossJoin(allH)
+      .except(hrs)
+    val expected = hrs.select(col("event_type")).distinct()
+      .join(uncovered.select(col("event_type")).distinct(), Seq("event_type"), "left_anti")
+      .collect().map(_.getString(0)).toSet
+    val got = JoinShapes.hourlyDivision(events).collect().map(_.getString(0)).toSet
+    assert(got == expected)
+  }
 }

@@ -98,4 +98,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.head.getDate(1).toString == "2024-01-01")
     assert(out.head.getLong(2) == 0L)
   }
+
+  /** events frame with explicit user ids and second-offset timestamps. */
+  private def userEvents(rows: Seq[(Long, Int, Double)]) = {
+    import spark.implicits._
+    rows.zipWithIndex
+      .map { case ((u, sec, v), i) => (i.toLong, u, sec, v) }
+      .toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("sec")))
+      .drop("sec")
+  }
+
+  test("ewmaByUser: hand-computed integer fold (s_i = (s_{i-1}+v_i) div 2)") {
+    val out = TimeSeries.ewmaByUser(userEvents(Seq(
+      (1L, 0, 7.0),   // s1 = (0 + 7_000_000) div 2 = 3_500_000
+      (1L, 1, 9.0),   // s2 = (3_500_000 + 9_000_000) div 2 = 6_250_000
+      (2L, 0, 1.0)    // s1 = 500_000
+    ))).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 6250000L), (2L, 1L, 500000L)))
+  }
+
+  test("ewmaByUser: fold order is (ts, event_id), not input row order") {
+    // same user, rows supplied in reverse time order; the result must
+    // equal the time-ordered fold
+    val shuffled = TimeSeries.ewmaByUser(userEvents(Seq(
+      (1L, 2, 4.0), (1L, 0, 7.0), (1L, 1, 9.0)
+    ))).collect().head.getLong(2)
+    // (0+7e6)/2=3.5e6 → (3.5e6+9e6)/2=6.25e6 → (6.25e6+4e6)/2=5_125_000
+    assert(shuffled == 5125000L)
+  }
+
+  test("ewmaByUser: repartition-invariant (deterministic distributed fold)") {
+    val e = graft.Tables.load(spark, sf0001, "events")
+    val a = TimeSeries.ewmaByUser(e).collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val b = TimeSeries.ewmaByUser(e.repartition(7)).collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(a == b)
+  }
 }

@@ -68,4 +68,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.map(_._1) == Seq(1L, 2L))
     got.foreach { case (_, n, avg) => assert(n == 3L && math.abs(avg - expect) < 1e-9) }
   }
+
+  test("datasetCard: hand-computed per-source profile") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b", "en", "s1", 3L),
+      (2L, "a b", "en", "s1", 3L),   // exact dup of doc 1
+      (3L, "c d e", "de", "s1", 5L),
+      (4L, "x", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusStats.datasetCard(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == Seq(
+      // s1: 3 docs, 2 langs, 2+2+3 tokens, chars 3..5, avg (3+3+5) div 3 = 3, 1 dup
+      ("s1", 3L, 2L, 7L, 3L, 5L, 3L, 1L),
+      ("s2", 1L, 1L, 1L, 1L, 1L, 1L, 0L)))
+  }
 }

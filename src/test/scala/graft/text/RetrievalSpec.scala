@@ -84,4 +84,25 @@ class RetrievalSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(TextQueries.incrementalJaccard(docs, 0.1).count() == 0)
   }
+
+  test("invertedIndex: hand-computed df/tf/postings") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Retrieval.invertedIndex(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 2L, "1"),
+      ("b", 2L, 2L, "1,2"),
+      ("c", 1L, 1L, "2")))
+  }
+
+  test("invertedIndex: postings sample capped at the 8 smallest doc ids") {
+    import spark.implicits._
+    val docs = (1L to 12L).map(i => (i, "hot")).toDF("doc_id", "text")
+    val got = Retrieval.invertedIndex(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 12L && r.getLong(2) == 12L)
+    assert(r.getString(3) == (1L to 8L).mkString(","))
+  }
 }

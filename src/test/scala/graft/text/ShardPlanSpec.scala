@@ -32,4 +32,43 @@ class ShardPlanSpec extends SparkSpec {
     val b = ShardPlan.balancedShards(d.repartition(7)).collect().toSeq
     assert(a == b)
   }
+
+  test("epochShuffle: pos is a 1..N bijection per epoch") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val n = d.count()
+    val out = ShardPlan.epochShuffle(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    (0 to 1).foreach { ep =>
+      val poss = out.filter(_._1 == ep).map(_._3).sorted.toSeq
+      assert(poss == (1L to n).toSeq, s"epoch $ep positions not a bijection")
+    }
+  }
+
+  test("epochShuffle: bucket-offset rank equals the serial global rank") {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val serial = d
+      .select(col("doc_id"), explode(sequence(lit(0), lit(1))).as("epoch"))
+      .withColumn("k", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch")).orderBy(col("k"), col("doc_id"))).cast("long"))
+      .select(col("epoch"), col("doc_id"), col("pos"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = ShardPlan.epochShuffle(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == serial)
+  }
+
+  test("epochShuffle: epochs order differently; reruns are identical") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = ShardPlan.epochShuffle(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val byEpoch = out.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(byEpoch(0) != byEpoch(1), "both epochs produced the same order")
+    val rerun = ShardPlan.epochShuffle(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == rerun.toSeq)
+  }
 }
