@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -270,6 +270,16 @@ object CorpusStats {
       doc = "Count-Min-Sketch frequency estimates, fixed probe vocab (no shuffle)"),
 
     Declared(
+      // Heavy-hitter set can vary with partition layout (documented in
+      // SpaceSaving) ⇒ rows-only for the driver; the spec asserts the
+      // estimate law (true ≤ est ≤ true + err), the error bound
+      // (err ≤ N/m), and heavy-word coverage under repartitioning.
+      "q163_heavy_hitters",
+      (s, dir) => spaceSavingTopWords(s, Tables.load(s, dir, "documents")),
+      None,
+      doc = "Space-saving heavy hitters: m-counter mergeable summary, ships m rows per map task (vs one per distinct word)"),
+
+    Declared(
       "q160_dataset_card",
       (s, dir) => datasetCard(Tables.load(s, dir, "documents")),
       Some("""SELECT source,
@@ -283,6 +293,23 @@ object CorpusStats {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
       doc = "Per-source dataset card: docs, languages, tokens, length profile, exact-dup count")
   )
+
+  /** Global top-word summary through the [[graft.agg.SpaceSaving]]
+    * Aggregator: one partial aggregation over the token stream — each
+    * map task reduces to ≤ m (word, est, err) entries before the
+    * shuffle, so the exchange is m rows per task at ANY vocabulary
+    * size. Output: the m entries, est desc. */
+  def spaceSavingTopWords(spark: SparkSession, docs: DataFrame,
+                          m: Int = 16): DataFrame = {
+    import spark.implicits._
+    docs.select(explode(split(col("text"), " ")).as("w")).as[String]
+      .select(new graft.agg.SpaceSaving(m).toColumn.name("s"))
+      // the typed select flattens the single-field product to `items`
+      .select(explode(col("items")).as("it"))
+      .select(col("it.word").as("word"), col("it.est").as("est"),
+        col("it.err").as("err"))
+      .orderBy(col("est").desc, col("word"))
+  }
 
   /** Per-source dataset card — the summary table a corpus release
     * ships with (docs, language spread, token volume, length profile,
