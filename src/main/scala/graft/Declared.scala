@@ -28,6 +28,7 @@ object Registry {
       graft.relational.TimeSeries.declared ++
       graft.relational.MarketBasket.declared ++
       graft.relational.SkewJoin.declared ++
+      graft.relational.RuntimeFilter.declared ++
       graft.relational.ZOrderLayout.declared ++
       graft.relational.ChangeData.declared ++
       graft.relational.DataQuality.declared ++

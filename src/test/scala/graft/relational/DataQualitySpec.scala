@@ -33,4 +33,34 @@ class DataQualitySpec extends SparkSpec {
     assert(got("orders.o_custkey in customer") == 1L)
     assert(got("lineitem.l_quantity > 0") == 0L)
   }
+
+  test("merkleDiff: exactly the buckets touched by corruption/drop drift") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val dirty = ids.filter(id => id % 97 == 0 || id % 101 == 0)
+      .map(_ % 64).toSet
+    val got = DataQuality.merkleDiff(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    got.foreach { case (bucket, inSync) =>
+      assert(inSync == !dirty(bucket),
+        s"bucket $bucket: in_sync=$inSync but dirty=${dirty(bucket)}")
+    }
+    // count bookkeeping: dropped docs shrink n_b only
+    val rows = DataQuality.merkleDiff(docs).collect()
+    val droppedTotal = ids.count(_ % 101 == 0)
+    assert(rows.map(_.getLong(1)).sum - rows.map(_.getLong(2)).sum == droppedTotal)
+  }
+
+  test("merkleDiff: hand case — corrupt and dropped ids flag their buckets") {
+    import spark.implicits._
+    // ids: 97 corrupt (bucket 1), 202 dropped (bucket 2), 5 clean (bucket 1)
+    val docs = Seq((97L, "t97"), (202L, "t202"), (5L, "t5"), (8L, "t8"))
+      .toDF("doc_id", "text")
+    val got = DataQuality.merkleDiff(docs, buckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 1L, true),   // doc 8: untouched
+      (1L, 2L, 2L, false),  // doc 97 corrupted: same counts, digest drift
+      (2L, 1L, 0L, false))) // doc 202 dropped: count drift
+  }
 }
