@@ -39,5 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Range-search comparisons drop their sqrt (see the rule's boundary
     // caveat — extension sessions opt in; harness sessions stay exact).
     ext.injectOptimizerRule(_ => DistanceComparisonRewrite)
+    // Whole-operator tier: the fused broadcast top-k join (TopKJoin).
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKJoinStrategy)
   }
 }

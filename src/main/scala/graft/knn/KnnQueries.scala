@@ -109,6 +109,18 @@ object KnnQueries {
       doc = "Exact k-NN edge table over embeddings (flagship; knn.py:4-26)"),
 
     Declared(
+      // Declared against knn_bruteforce's oracle VERBATIM (q117's
+      // discipline): the fused physical operator must not change one
+      // row of the compositional plan it replaces.
+      "q166_fused_knn",
+      (s, dir) => org.apache.spark.sql.graft.TopKJoin
+        .knn(Tables.load(s, dir, "embeddings"),
+          Tables.load(s, dir, "embeddings"), K)
+        .orderBy(col("id"), col("dist"), col("nbr")),
+      Some(knnOracle),
+      doc = "Fused top-k join (custom LogicalPlan + SparkStrategy + SparkPlan): broadcast KNN without the N·M pair stream"),
+
+    Declared(
       "knn_adjacency",
       // Adjacency list serialized to a "," string — the reference's own
       // text interchange (main.py:46); asAdjacency keeps the array shape.

@@ -1,0 +1,64 @@
+package graft.knn
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{TopKJoin, TopKJoinExec}
+
+import graft.{SparkSpec, Tables}
+
+/** The fused physical operator must be observationally identical to
+  * the compositional plan (broadcast NL join + TopKByWeight) — same
+  * rows, same 6-dp distances, same (dist, nbr) tie-breaks. */
+class TopKJoinSpec extends SparkSpec {
+
+  test("fused TopKJoinExec appears in the physical plan") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+    val df = TopKJoin.knn(vecs, vecs, 10)
+    val hasExec = df.queryExecution.executedPlan.collect {
+      case e: TopKJoinExec => e
+    }.nonEmpty
+    assert(hasExec, "strategy did not plan the fused operator")
+  }
+
+  test("row-identical to knnGraph on the real embeddings") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+    val fused = TopKJoin.knn(vecs, vecs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val composed = BruteForceKnn.knnGraph(vecs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fused == composed)
+  }
+
+  test("k exceeding candidates emits all non-self pairs; ties break by nbr") {
+    import spark.implicits._
+    // three identical vectors: every distance is 0.0 — ties resolved
+    // by ascending nbr, self excluded
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = TopKJoin.knn(vecs, vecs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(got == Seq(
+      (1L, 2L, 0.0), (1L, 3L, 0.0),
+      (2L, 1L, 0.0), (2L, 3L, 0.0),
+      (3L, 1L, 0.0), (3L, 2L, 0.0)))
+  }
+
+  test("early-exit pruning cannot change results near the rounding boundary") {
+    import spark.implicits._
+    // vectors engineered so candidate distances crowd within 1e-6 of
+    // each other: the k-th bound plus rounding slack must not reject a
+    // candidate that rounds equal with a smaller nbr
+    val base = Array.fill(4)(0.5f)
+    val probe = Seq((100L, base)).toDF("vec_id", "embedding")
+    val builds = (1L to 20L).map { i =>
+      val eps = (i * 1e-7).toFloat
+      (i, Array(0.5f + eps, 0.5f, 0.5f, 0.5f))
+    }.toDF("vec_id", "embedding")
+    val fused = TopKJoin.knn(probe, builds, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val composed = BruteForceKnn.knnGraph(
+      probe.unionByName(builds), 5).filter(col("id") === 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fused == composed)
+  }
+}
