@@ -77,6 +77,14 @@ object Profile {
     t("minhashPairs.count") {
       graft.text.Dedup.minhashPairs(docs, 0.5).count()
     }
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    vecs.count()
+    t("knn.composed") {
+      graft.knn.BruteForceKnn.knnGraph(vecs, 10).count()
+    }
+    t("knn.fused") {
+      org.apache.spark.sql.graft.TopKJoin.knn(vecs, vecs, 10).count()
+    }
     spark.stop()
   }
 }

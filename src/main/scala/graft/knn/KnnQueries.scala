@@ -16,7 +16,11 @@ object KnnQueries {
     * process/sf instead of paying the N² scan per consumer. */
   def knn10(s: SparkSession, dir: String): DataFrame =
     Materialized.table(s, dir, "knn10") {
-      BruteForceKnn.knnGraph(Tables.load(s, dir, "embeddings"), K)
+      // the fused physical operator (q166) — proven row-identical to
+      // BruteForceKnn.knnGraph by the shared oracle and TopKJoinSpec,
+      // ~4× faster (no N·M pair stream): 4.3 → 1.05 s at sf0.1
+      val vecs = Tables.load(s, dir, "embeddings")
+      org.apache.spark.sql.graft.TopKJoin.knn(vecs, vecs, K)
     }
 
   /** DuckDB mirror of BruteForceKnn.knnGraph on `embeddings`. */

@@ -48,6 +48,13 @@ case class TopKJoinPlan(left: LogicalPlan, right: LogicalPlan, k: Int,
   // without this CheckAnalysis reports the attrs missing from input
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  // ...and it CONSUMES every child column by position inside doExecute,
+  // invisibly to Catalyst: without declaring the references,
+  // ColumnPruning inserts empty Projects over the children and the
+  // positional reads walk off the rows (JVM-level crash, found by the
+  // count() plan — collect() didn't trigger the pruning)
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): TopKJoinPlan =
     copy(left = newLeft, right = newRight)
