@@ -75,6 +75,41 @@ object StreamingPipelines {
       }
   }
 
+  final case class EwmaOut(user_id: Long, n_events: Long, ewma_micros: Long)
+  final case class EwmaState(n: Long, s: Long)
+
+  /** Streaming per-user EWMA (α = 1/2) — the incremental form of the
+    * batch q158 fold: state is two longs per user ((count, smoothed
+    * micros)), each batch folds its rows in (ts, event_id) order into
+    * the integer recurrence s' = (s + v) div 2 and emits the user's
+    * updated row (Update mode). The recurrence telescopes, so state
+    * never stores history — O(1) per key, bounded at any stream
+    * length; the e2e spec proves the single-source run reproduces the
+    * batch fold exactly. */
+  def ewmaStream(events: Dataset[Event]): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(EwmaState(0L, 0L))
+            sorted.foreach { e =>
+              // floor-micros long then integer halving — identical to
+              // the batch TimeSeries.ewmaByUser arithmetic
+              val v = math.floor(e.value * 1e6).toLong
+              st = EwmaState(st.n + 1, (st.s + v) / 2)
+            }
+            state.update(st)
+            Iterator(EwmaOut(userId, st.n, st.s))
+          }
+      }
+  }
+
   /** Streaming exact dedup: one row per (user_id, event_type). Uses
     * dropDuplicatesWithinWatermark — plain dropDuplicates only evicts
     * state when the event-time column is among the dedup keys, so with

@@ -224,4 +224,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.subsetOf(batch),
       s"streaming sessions must agree with batch; extras: ${(got -- batch).take(3)}")
   }
+
+  test("streaming EWMA state equals the batch ordered fold") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-stream-ewma").toString
+    eventsBatch().write.mode("overwrite").parquet(src)
+    val stream = StreamingPipelines.readEventsStream(spark, src)
+      .as[StreamingPipelines.Event]
+    val q = StreamingPipelines.ewmaStream(stream)
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode("update").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+    // last update per user (the row with that user's max n_events)
+    val got = spark.table("ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+    val batch = graft.relational.TimeSeries.ewmaByUser(eventsBatch()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+  }
 }
