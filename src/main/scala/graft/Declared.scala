@@ -35,6 +35,7 @@ object Registry {
       graft.text.Retrieval.declared ++
       graft.text.Bpe.declared ++
       graft.streaming.TimeWindows.declared ++
+      graft.streaming.StreamingPipelines.declared ++
       graft.text.TextQueries.declared ++
       graft.text.Dedup.declared ++
       graft.text.CorpusPipeline.declared ++

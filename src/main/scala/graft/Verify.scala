@@ -6,7 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to every core on the box: the driver's correctness phase has a
+    // wall-clock budget, and running 155+ queries at local[4] on a 32-CPU
+    // host wastes 8× of it (round-4 lesson: the gate timed out and recorded
+    // an empty scoreboard). Env override kept for constrained environments.
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -109,8 +109,17 @@ final class SpaceSaving(m: Int)
     val kept = union.toSeq
       .sortBy { case (w, (c, _)) => (-c, w) }
       .take(m)
-    SSBuf(kept.map(_._1).toArray, kept.map(_._2._1).toArray,
-      kept.map(_._2._2).toArray, kept.size)
+    // Preserve the buffer invariant capacity == m: reduce() indexes up to
+    // words(n) assuming room for m entries, so a truncated kept.size-length
+    // array would AIOOBE if Spark ever fed reduce() a post-merge buffer.
+    val words = new Array[String](m)
+    val counts = new Array[Long](m)
+    val errs = new Array[Long](m)
+    var p = 0
+    kept.foreach { case (w, (c, e)) =>
+      words(p) = w; counts(p) = c; errs(p) = e; p += 1
+    }
+    SSBuf(words, counts, errs, kept.size)
   }
 
   override def finish(b: SSBuf): SSOut =

@@ -298,25 +298,25 @@ object GraphAnalytics {
   private def ssspOracle(sourceMod: Long, maxHops: Int): String = {
     val d = DuckSql.euclidean("a.embedding", "b.embedding")
     val sb = new StringBuilder
-    sb.append(s"""WITH pairs AS (
+    sb.append(s"""WITH pairs AS MATERIALIZED (
       |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-      |), ranked AS (
+      |), ranked AS MATERIALIZED (
       |  SELECT id, nbr, dist,
       |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
       |  FROM pairs
-      |), edges AS (SELECT id, nbr, CAST(round(dist * 1000000) AS BIGINT) AS w
+      |), edges AS MATERIALIZED (SELECT id, nbr, CAST(round(dist * 1000000) AS BIGINT) AS w
       |             FROM ranked WHERE rn <= 10),
-      |d0 AS (SELECT id, CASE WHEN id % $sourceMod = 0
+      |d0 AS MATERIALIZED (SELECT id, CASE WHEN id % $sourceMod = 0
       |                       THEN CAST(0 AS BIGINT) END AS d
       |       FROM (SELECT id FROM edges UNION SELECT nbr FROM edges))""".stripMargin)
     for (h <- 1 to maxHops) {
       val p = s"d${h - 1}"
       sb.append(s""",
-        |u$h AS (SELECT e.nbr AS id, min(l.d + e.w) AS nd
+        |u$h AS MATERIALIZED (SELECT e.nbr AS id, min(l.d + e.w) AS nd
         |       FROM edges e JOIN $p l ON e.id = l.id AND l.d IS NOT NULL
         |       GROUP BY 1),
-        |d$h AS (SELECT l.id,
+        |d$h AS MATERIALIZED (SELECT l.id,
         |         CASE WHEN l.d IS NULL THEN u.nd
         |              WHEN u.nd IS NULL THEN l.d
         |              ELSE least(l.d, u.nd) END AS d
@@ -329,22 +329,22 @@ object GraphAnalytics {
   private def bfsOracle(sourceMod: Long, maxHops: Int): String = {
     val d = DuckSql.euclidean("a.embedding", "b.embedding")
     val sb = new StringBuilder
-    sb.append(s"""WITH pairs AS (
+    sb.append(s"""WITH pairs AS MATERIALIZED (
       |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-      |), ranked AS (
+      |), ranked AS MATERIALIZED (
       |  SELECT id, nbr, dist,
       |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
       |  FROM pairs
-      |), edges AS (SELECT id, nbr FROM ranked WHERE rn <= 10),
-      |l0 AS (SELECT id, CASE WHEN id % $sourceMod = 0 THEN 0 END AS lvl
+      |), edges AS MATERIALIZED (SELECT id, nbr FROM ranked WHERE rn <= 10),
+      |l0 AS MATERIALIZED (SELECT id, CASE WHEN id % $sourceMod = 0 THEN 0 END AS lvl
       |       FROM (SELECT id FROM edges UNION SELECT nbr FROM edges))""".stripMargin)
     for (h <- 1 to maxHops) {
       val p = s"l${h - 1}"
       sb.append(s""",
-        |n$h AS (SELECT DISTINCT e.nbr AS id
+        |n$h AS MATERIALIZED (SELECT DISTINCT e.nbr AS id
         |       FROM edges e JOIN $p l ON e.id = l.id AND l.lvl = ${h - 1}),
-        |l$h AS (SELECT l.id,
+        |l$h AS MATERIALIZED (SELECT l.id,
         |         CASE WHEN l.lvl IS NOT NULL THEN l.lvl
         |              WHEN n.id IS NOT NULL THEN $h END AS lvl
         |       FROM $p l LEFT JOIN n$h n ON l.id = n.id)""".stripMargin)
@@ -356,28 +356,28 @@ object GraphAnalytics {
   private def lpaOracle(rounds: Int): String = {
     val d = DuckSql.euclidean("a.embedding", "b.embedding")
     val sb = new StringBuilder
-    sb.append(s"""WITH pairs AS (
+    sb.append(s"""WITH pairs AS MATERIALIZED (
       |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-      |), ranked AS (
+      |), ranked AS MATERIALIZED (
       |  SELECT id, nbr, dist,
       |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
       |  FROM pairs
-      |), edges AS (SELECT id, nbr FROM ranked WHERE rn <= 10),
-      |und AS (SELECT e.id, e.nbr FROM edges e
+      |), edges AS MATERIALIZED (SELECT id, nbr FROM ranked WHERE rn <= 10),
+      |und AS MATERIALIZED (SELECT e.id, e.nbr FROM edges e
       |        WHERE EXISTS (SELECT 1 FROM edges r
       |                      WHERE r.id = e.nbr AND r.nbr = e.id)),
-      |l0 AS (SELECT DISTINCT id, id AS lab FROM edges)""".stripMargin)
+      |l0 AS MATERIALIZED (SELECT DISTINCT id, id AS lab FROM edges)""".stripMargin)
     for (r <- 1 to rounds) {
       val p = s"l${r - 1}"
       sb.append(s""",
-        |c$r AS (SELECT u.id, l.lab, count(*) AS c
+        |c$r AS MATERIALIZED (SELECT u.id, l.lab, count(*) AS c
         |       FROM und u JOIN $p l ON u.nbr = l.id GROUP BY 1, 2),
-        |p$r AS (SELECT id, lab FROM (
+        |p$r AS MATERIALIZED (SELECT id, lab FROM (
         |         SELECT id, lab,
         |                row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
         |         FROM c$r) WHERE rn = 1),
-        |l$r AS (SELECT l.id, coalesce(p.lab, l.lab) AS lab
+        |l$r AS MATERIALIZED (SELECT l.id, coalesce(p.lab, l.lab) AS lab
         |       FROM $p l LEFT JOIN p$r p ON p.id = l.id)""".stripMargin)
     }
     sb.append(s"\nSELECT id, lab FROM l$rounds ORDER BY id")
@@ -414,26 +414,26 @@ object GraphAnalytics {
       (s, dir) => triangleCounts(KnnQueries.knn10(s, dir)),
       Some {
         val d = DuckSql.euclidean("a.embedding", "b.embedding")
-        s"""WITH pairs AS (
+        s"""WITH pairs AS MATERIALIZED (
            |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-           |), ranked AS (
+           |), ranked AS MATERIALIZED (
            |  SELECT id, nbr, dist,
            |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
            |  FROM pairs
-           |), edges AS (SELECT id, nbr FROM ranked WHERE rn <= 10),
-           |und AS (
+           |), edges AS MATERIALIZED (SELECT id, nbr FROM ranked WHERE rn <= 10),
+           |und AS MATERIALIZED (
            |  SELECT e.id AS a, e.nbr AS b FROM edges e
            |  WHERE e.id < e.nbr
            |    AND EXISTS (SELECT 1 FROM edges r
            |                WHERE r.id = e.nbr AND r.nbr = e.id)),
-           |tri AS (
+           |tri AS MATERIALIZED (
            |  SELECT u1.a, u1.b, u2.b AS c
            |  FROM und u1 JOIN und u2 ON u1.b = u2.a
            |  WHERE EXISTS (SELECT 1 FROM und u3
            |                WHERE u3.a = u1.a AND u3.b = u2.b)),
-           |x AS (SELECT unnest([a, b, c]) AS id FROM tri),
-           |cnt AS (SELECT id, count(*) AS n_tri FROM x GROUP BY id)
+           |x AS MATERIALIZED (SELECT unnest([a, b, c]) AS id FROM tri),
+           |cnt AS MATERIALIZED (SELECT id, count(*) AS n_tri FROM x GROUP BY id)
            |SELECT n.id, coalesce(c.n_tri, 0) AS n_tri
            |FROM (SELECT DISTINCT id FROM edges) n
            |LEFT JOIN cnt c ON c.id = n.id ORDER BY n.id""".stripMargin
@@ -445,30 +445,30 @@ object GraphAnalytics {
       (s, dir) => clusteringCoefficient(KnnQueries.knn10(s, dir)),
       Some {
         val d = DuckSql.euclidean("a.embedding", "b.embedding")
-        s"""WITH pairs AS (
+        s"""WITH pairs AS MATERIALIZED (
            |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-           |), ranked AS (
+           |), ranked AS MATERIALIZED (
            |  SELECT id, nbr, dist,
            |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
            |  FROM pairs
-           |), edges AS (SELECT id, nbr FROM ranked WHERE rn <= 10),
-           |und AS (
+           |), edges AS MATERIALIZED (SELECT id, nbr FROM ranked WHERE rn <= 10),
+           |und AS MATERIALIZED (
            |  SELECT e.id AS a, e.nbr AS b FROM edges e
            |  WHERE e.id < e.nbr
            |    AND EXISTS (SELECT 1 FROM edges r
            |                WHERE r.id = e.nbr AND r.nbr = e.id)),
-           |deg AS (
+           |deg AS MATERIALIZED (
            |  SELECT id, count(*) AS deg FROM (
            |    SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
            |  GROUP BY 1),
-           |tri AS (
+           |tri AS MATERIALIZED (
            |  SELECT u1.a, u1.b, u2.b AS c
            |  FROM und u1 JOIN und u2 ON u1.b = u2.a
            |  WHERE EXISTS (SELECT 1 FROM und u3
            |                WHERE u3.a = u1.a AND u3.b = u2.b)),
-           |x AS (SELECT unnest([a, b, c]) AS id FROM tri),
-           |cnt AS (SELECT id, count(*) AS n_tri FROM x GROUP BY id)
+           |x AS MATERIALIZED (SELECT unnest([a, b, c]) AS id FROM tri),
+           |cnt AS MATERIALIZED (SELECT id, count(*) AS n_tri FROM x GROUP BY id)
            |SELECT n.id, coalesce(d.deg, 0) AS deg,
            |  coalesce(c.n_tri, 0) AS n_tri,
            |  CASE WHEN coalesce(d.deg, 0) < 2 THEN 0
@@ -486,15 +486,15 @@ object GraphAnalytics {
       (s, dir) => mutualEdges(KnnQueries.knn10(s, dir)),
       Some {
         val d = DuckSql.euclidean("a.embedding", "b.embedding")
-        s"""WITH pairs AS (
+        s"""WITH pairs AS MATERIALIZED (
            |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-           |), ranked AS (
+           |), ranked AS MATERIALIZED (
            |  SELECT id, nbr, dist,
            |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
            |  FROM pairs
-           |), edges AS (SELECT id, nbr FROM ranked WHERE rn <= 10),
-           |m AS (SELECT e.id, count(*) AS n_mutual FROM edges e
+           |), edges AS MATERIALIZED (SELECT id, nbr FROM ranked WHERE rn <= 10),
+           |m AS MATERIALIZED (SELECT e.id, count(*) AS n_mutual FROM edges e
            |      WHERE EXISTS (SELECT 1 FROM edges r
            |                    WHERE r.id = e.nbr AND r.nbr = e.id)
            |      GROUP BY e.id)
@@ -510,16 +510,16 @@ object GraphAnalytics {
       (s, dir) => pageRank(KnnQueries.knn10(s, dir)),
       Some {
         val d = DuckSql.euclidean("a.embedding", "b.embedding")
-        s"""WITH RECURSIVE pairs AS (
+        s"""WITH RECURSIVE pairs AS MATERIALIZED (
            |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-           |), ranked AS (
+           |), ranked AS MATERIALIZED (
            |  SELECT id, nbr, dist,
            |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
            |  FROM pairs
-           |), edges AS (SELECT id, nbr FROM ranked WHERE rn <= 10),
-           |nodes AS (SELECT DISTINCT id FROM edges),
-           |nn AS (SELECT count(*) AS c FROM nodes),
+           |), edges AS MATERIALIZED (SELECT id, nbr FROM ranked WHERE rn <= 10),
+           |nodes AS MATERIALIZED (SELECT DISTINCT id FROM edges),
+           |nn AS MATERIALIZED (SELECT count(*) AS c FROM nodes),
            |pr AS (
            |  SELECT 0 AS iter, id,
            |    CAST(floor(1000000000 / (SELECT c FROM nn)) AS BIGINT) AS r

@@ -48,12 +48,18 @@ object MrdfQueries {
       // hash is a stable single row — the driver's rows-only check gets
       // a value that would change on ANY nondeterminism, and the
       // fixed-seed spec asserts two builds produce this same hash.
-      // Runs at the reference-default params (single-block at test N,
+      // Runs at the reference-default k/ρ/α (single-block at test N,
       // the 100 TB regime); multi-block divide determinism is asserted
-      // by the fixed-seed spec on testParams.
+      // by the fixed-seed spec on testParams. maxIter=2: determinism is
+      // a property of every round (sampling, join order, heap merges),
+      // so two rounds assert it as strongly as ten — the full-
+      // convergence run is the separately-benchmarked Scalability
+      // path, and rebuilding it here per bench run cost 11 s for a
+      // 1-row self-oracle (round-4 verdict #3).
       "mrdf_graph_hash",
       (s, dir) => Mrdf
-        .buildGraph(Tables.load(s, dir, "embeddings"), Mrdf.Params())
+        .buildGraph(Tables.load(s, dir, "embeddings"),
+          Mrdf.Params(maxIter = 2))
         .agg(count(lit(1)).as("n_edges"),
           bit_xor(xxhash64(col("id"), col("nbr"))).as("edge_hash")),
       None,

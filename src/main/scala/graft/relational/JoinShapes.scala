@@ -12,11 +12,10 @@ import graft.{Declared, Tables}
   * "Suppliers who kept orders waiting": a supplier's line shipped late
   * (> 90 days after the order date) in a multi-supplier order where
   * every OTHER supplier shipped on time. Composed Spark-first as one
-  * fact⋈dim join plus a left-semi ("some other supplier exists") and a
-  * left-anti ("no other late supplier exists") against projections of
-  * the same late-lines table — all three joins shuffle on
-  * `l_orderkey`, so at any scale they co-partition into one exchange
-  * lineage; the supplier name join broadcasts.
+  * fact⋈orders join plus ONE `groupBy(l_orderkey)` aggregation that
+  * answers both the EXISTS (≥2 distinct suppliers) and the NOT EXISTS
+  * (exactly 1 distinct late supplier) per order — the fact table is
+  * scanned and shuffled once; the supplier name join broadcasts.
   *
   * The driver's DuckDB mirror states it in the textbook EXISTS /
   * NOT EXISTS form, proving the decorrelated join cascade computes the
@@ -26,23 +25,32 @@ object JoinShapes {
   def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
       supplier: DataFrame, lateDays: Int = 90, topN: Int = 20): DataFrame = {
     val li = lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-    // Late lines: fact ⋈ orders on the shared orderkey shuffle.
-    val late = li
+    // One fact ⋈ orders join tags every line late/on-time; ONE
+    // groupBy(l_orderkey) pass then answers both subqueries per order:
+    //   EXISTS other supplier        ⇔ |distinct suppliers| ≥ 2
+    //   NOT EXISTS other late suppl. ⇔ |distinct late suppliers| = 1
+    // and carries who that sole late supplier is plus how many of their
+    // lines were late — so no join back to the fact table at all. The
+    // round-4 plan probed full lineitem twice more (semi + anti) on the
+    // same key; this is the aggregation those probes were simulating.
+    // collect_set (orders have a handful of suppliers) instead of two
+    // count(DISTINCT)s, which would plan an Expand that doubles the
+    // shuffled fact rows.
+    val isLate = col("l_shipdate") > col("o_orderdate") + expr(s"interval $lateDays days")
+    val perOrder = li
       .join(orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"interval $lateDays days"))
-      .select(col("l_orderkey"), col("l_suppkey"))
-    // EXISTS: another supplier contributed to the same order.
-    val anyOther = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-    val multi = late.join(anyOther,
-      col("k2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"), "left_semi")
-    // NOT EXISTS: no OTHER supplier was late on that order.
-    val lateOther = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
-    val sole = multi.join(lateOther,
-      col("k3") === col("l_orderkey") && col("s3") =!= col("l_suppkey"), "left_anti")
-    sole
-      .groupBy(col("l_suppkey"))
-      .agg(count(lit(1)).as("numwait"))
+      .select(col("l_orderkey"), col("l_suppkey"), isLate.as("late"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        size(collect_set(col("l_suppkey"))).as("n_supp"),
+        size(collect_set(when(col("late"), col("l_suppkey")))).as("n_late_supp"),
+        min(when(col("late"), col("l_suppkey"))).as("late_supp"),
+        count(when(col("late"), lit(1))).as("n_late_lines"))
+    perOrder
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy(col("late_supp").as("l_suppkey"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
         col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))

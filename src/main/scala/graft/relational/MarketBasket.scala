@@ -29,10 +29,17 @@ object MarketBasket {
   /** Top co-purchased part pairs by order support, with lift.
     * Output bounded to the top `k` pairs (support desc, then pair). */
   def coPurchase(lineitem: DataFrame, maxBasket: Int = 32, k: Int = 100): DataFrame = {
+    // The basket table feeds THREE consumers (pair expansion, item
+    // frequencies, the basket count) — persist it so the fact-table
+    // shuffle + collect_set aggregation runs once, not three times.
+    // MEMORY_AND_DISK: baskets are the post-aggregation grain (one row
+    // per order, ≤ maxBasket ints), orders of magnitude smaller than
+    // the fact table, and spillable at cluster scale.
     val baskets = lineitem
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
       .filter(size(col("items")).between(2, maxBasket))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // In-place pair expansion: for sorted items, all (i<j) index pairs.
     val pairs = baskets.select(
       explode(flatten(transform(

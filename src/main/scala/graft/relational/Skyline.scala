@@ -52,13 +52,54 @@ object Skyline {
     out.result().iterator
   }
 
-  /** Two-phase distributed skyline over `(id, price_cents, size)`. */
+  /** Two-phase distributed skyline over `(id, price_cents, size)`.
+    *
+    * Phase 1: shuffle-free local skylines. Phase 2: range-partition the
+    * survivors on price (equal prices co-locate, so every row in range
+    * partition i is strictly cheaper than every row in partition i+1),
+    * then sweep each range LOCALLY and keep only rows whose size
+    * strictly beats the running max size of all cheaper partitions —
+    * that running max is one Int per partition, computed by a
+    * P-row collect and broadcast back. Rows with price strictly lower
+    * dominate iff their size is ≥, so the prefix max is the complete
+    * cross-partition dominance summary in 2-D.
+    *
+    * The previous form merged all survivors through `coalesce(1)` — one
+    * task holding the whole frontier, which for anti-correlated data is
+    * O(n). This shape keeps the output distributed end-to-end; the only
+    * driver traffic is the P-int boundary exchange. */
   def skyline2d(points: Dataset[(Long, Long, Int)]): Dataset[(Long, Long, Int)] = {
     val spark = points.sparkSession
     import spark.implicits._
-    // phase 1: shuffle-free local skylines; phase 2: one sweep over the
-    // (small) survivor union — correctness from the merge law
-    points.mapPartitions(sweep).coalesce(1).mapPartitions(sweep)
+    val locals = points.mapPartitions(sweep)
+    val nRange = spark.sessionState.conf.numShufflePartitions
+    val ranged = locals.repartitionByRange(nRange, $"_2").rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One Int per range partition crosses the driver: its max size.
+    val maxes = ranged.mapPartitionsWithIndex { (i, it) =>
+      var m = Int.MinValue
+      it.foreach(r => if (r._3 > m) m = r._3)
+      Iterator.single((i, m))
+    }.collect().toMap
+    val nParts = ranged.getNumPartitions
+    val prefix = new Array[Int](nParts) // max size over partitions < i
+    var run = Int.MinValue
+    var i = 0
+    while (i < nParts) {
+      prefix(i) = run
+      run = math.max(run, maxes.getOrElse(i, Int.MinValue))
+      i += 1
+    }
+    val bc = spark.sparkContext.broadcast(prefix)
+    // Post-filtering the local sweep on `size > prefix` is equivalent to
+    // seeding the sweep's bestCheaper with the prefix max: the sweep
+    // emits only per-price-group max sizes, so the filter removes
+    // exactly the groups an externally-seeded sweep would skip.
+    val out = ranged.mapPartitionsWithIndex { (pid, it) =>
+      val floor = bc.value(pid)
+      sweep(it).filter(_._3 > floor)
+    }
+    spark.createDataset(out)
   }
 
   /** The cheaper-and-bigger part frontier, as a declared query. */

@@ -140,7 +140,11 @@ object TimeSeries {
     * keys you'd pre-window by recency — the recurrence telescopes, so
     * dropping a prefix only perturbs the result below the kept bits. */
   def ewmaByUser(events: DataFrame): DataFrame = {
-    val vMicros = floor(col("value") * 1e6).cast("long")
+    // Clamp at 0: Spark's `div` truncates toward zero while DuckDB's `//`
+    // floors, and the two agree only on non-negative operands. events.value
+    // is non-negative today; the clamp makes that a checked invariant in
+    // BOTH engines rather than a comment.
+    val vMicros = greatest(floor(col("value") * 1e6).cast("long"), lit(0L))
     events
       .select(col("user_id"),
         struct(col("ts"), col("event_id"), vMicros.as("v")).as("obs"))
@@ -225,11 +229,12 @@ object TimeSeries {
     Declared(
       "q158_ewma",
       (s, dir) => ewmaByUser(Tables.load(s, dir, "events")),
-      // list_reduce has no explicit zero — prepend it; // on positive
-      // BIGINTs matches Spark's `div` (values are positive micros).
+      // list_reduce has no explicit zero — prepend it; the greatest(,0)
+      // clamp (mirrored in the Spark plan) keeps operands non-negative,
+      // where DuckDB's floor-div // and Spark's truncating `div` agree.
       Some("""WITH e AS (
         |  SELECT user_id, ts, event_id,
-        |         CAST(floor(value * 1e6) AS BIGINT) AS v
+        |         greatest(CAST(floor(value * 1e6) AS BIGINT), 0) AS v
         |  FROM events),
         |l AS (
         |  SELECT user_id, count(*) AS n_events,

@@ -22,7 +22,13 @@ object ContrastiveMining {
 
   /** (id, nbr, dist): k nearest different-label neighbors per id.
     * Distances rounded to 6 dp BEFORE ranking, ties by nbr — the
-    * engine-portable determinism convention of the knn family. */
+    * engine-portable determinism convention of the knn family.
+    *
+    * Compositional form (broadcast NL pair stream → TopKByWeight);
+    * kept as the row-for-row equivalence reference for the fused
+    * [[org.apache.spark.sql.graft.TopKJoin.hardNegatives]] operator
+    * that the declared query runs (the fused node never materializes
+    * the label-mismatch pair stream — N·k rows total). */
   def hardNegatives(vecs: DataFrame, k: Int = 3): DataFrame = {
     val a = vecs.select(col("vec_id").as("id"), col("embedding").as("va"),
       col("label").as("la"))
@@ -38,7 +44,8 @@ object ContrastiveMining {
   val declared: Seq[Declared] = Seq(
     Declared(
       "q153_hard_negatives",
-      (s, dir) => hardNegatives(Tables.load(s, dir, "embeddings"))
+      (s, dir) => org.apache.spark.sql.graft.TopKJoin
+        .hardNegatives(Tables.load(s, dir, "embeddings"), k = 3)
         .orderBy(col("id"), col("dist"), col("nbr")),
       Some {
         val d = DuckSql.euclidean("a.embedding", "b.embedding")

@@ -17,7 +17,12 @@ object SimilarityQueries {
     * The candidate side is broadcast; similarity is rounded before
     * ranking with (sim desc, nbr) tie-break for oracle determinism.
     * Selection is the TopKByWeight partial aggregation — the shuffle
-    * carries ≤ k candidates per query, not the full pair stream. */
+    * carries ≤ k candidates per query, not the full pair stream.
+    *
+    * Compositional form; kept as the row-for-row equivalence reference
+    * for the fused [[org.apache.spark.sql.graft.TopKJoin.cosineTopK]]
+    * operator that the declared q30 runs (the fused node never
+    * materializes the pair stream at all). */
   def cosineTopK(emb: DataFrame, k: Int, queryPred: org.apache.spark.sql.Column): DataFrame = {
     val q = emb.filter(queryPred).select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val c = emb.select(col("vec_id").as("nbr"), col("embedding").as("cv"))
@@ -127,8 +132,12 @@ object SimilarityQueries {
 
     Declared(
       "q30_cosine_topk",
-      (s, dir) => cosineTopK(Tables.load(s, dir, "embeddings"), K, col("vec_id") < 20)
-        .orderBy(col("qid"), col("rn")),
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        org.apache.spark.sql.graft.TopKJoin
+          .cosineTopK(emb.filter(col("vec_id") < 20), emb, K)
+          .orderBy(col("qid"), col("rn"))
+      },
       Some {
         val sim = DuckSql.cosineSimilarity("a.embedding", "b.embedding")
         s"""WITH pairs AS (

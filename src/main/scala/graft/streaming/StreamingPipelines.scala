@@ -51,7 +51,12 @@ object StreamingPipelines {
             state.remove()
             out
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // Full-precision order: getTime alone is millisecond-truncated,
+            // so two same-user events within one ms could fold in a
+            // different order than the batch mirror's full-timestamp
+            // sort_array. getNanos carries the sub-ms component.
+            val sorted = rows.toSeq
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
@@ -94,14 +99,19 @@ object StreamingPipelines {
       .flatMapGroupsWithState[EwmaState, EwmaOut](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // Full-precision order: getTime alone is millisecond-truncated,
+            // so two same-user events within one ms could fold in a
+            // different order than the batch mirror's full-timestamp
+            // sort_array. getNanos carries the sub-ms component.
+            val sorted = rows.toSeq
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
             var st = state.getOption.getOrElse(EwmaState(0L, 0L))
             sorted.foreach { e =>
-              // floor-micros long then integer halving — identical to
-              // the batch TimeSeries.ewmaByUser arithmetic
-              val v = math.floor(e.value * 1e6).toLong
+              // floor-micros long, clamped at 0, then integer halving —
+              // identical to the batch TimeSeries.ewmaByUser arithmetic
+              val v = math.max(0L, math.floor(e.value * 1e6).toLong)
               st = EwmaState(st.n + 1, (st.s + v) / 2)
             }
             state.update(st)
@@ -293,4 +303,60 @@ object StreamingPipelines {
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
         "event_type STRING, value DOUBLE")
       .parquet(dir)
+
+  private val declaredRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Per-user EWMA computed THROUGH streaming execution: the events
+    * table replayed as a file-source stream into [[ewmaStream]] under
+    * `Trigger.AvailableNow`, Update-mode memory sink, then the final
+    * update per user (its max-n row — n is strictly monotone per key,
+    * so this is the closed state regardless of micro-batch slicing).
+    * Oracled against the SAME DuckDB SQL as the batch q158 fold — the
+    * driver's oracle table exercises a streaming-executed path, not
+    * only spec-gated mirrors (round-4 verdict #8). */
+  def ewmaAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-declared-ewma").toString
+    graft.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(src)
+    val name = s"ewma_declared_${declaredRuns.incrementAndGet()}"
+    val q = ewmaStream(readEventsStream(spark, src).as[Event])
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(180000) finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("user_id"), col("n_events"), col("ewma_micros"))
+      .orderBy(col("user_id"))
+  }
+
+  val declared: Seq[graft.Declared] = Seq(
+    graft.Declared(
+      "q167_stream_ewma",
+      (s, dir) => ewmaAvailableNow(s, dir),
+      // Identical oracle to q158: streaming execution must converge to
+      // the exact batch fold (the telescoping recurrence is the proof;
+      // the e2e spec asserts it row-for-row too).
+      Some("""WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         greatest(CAST(floor(value * 1e6) AS BIGINT), 0) AS v
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         list(v ORDER BY ts, event_id) AS vs
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+        |              (s, x) -> (s + x) // 2) AS ewma_micros
+        |FROM l ORDER BY user_id""".stripMargin),
+      doc = "Per-user EWMA executed through Structured Streaming (AvailableNow) — same oracle as batch q158")
+  )
 }

@@ -126,23 +126,23 @@ object Bpe {
   private def oracleCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH words AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+      """WITH words AS MATERIALIZED (SELECT unnest(string_split(lower(text), ' ')) AS w
         |        FROM documents),
-        |v0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS t,
+        |v0 AS MATERIALIZED (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS t,
         |         count(*) AS n
         |       FROM words WHERE length(w) >= 2 GROUP BY 1)""".stripMargin)
     for (r <- 1 to rounds) {
       val v = s"v${r - 1}"
       sb.append(s""",
-        |p$r AS (SELECT p, sum(n) AS c FROM (
+        |p$r AS MATERIALIZED (SELECT p, sum(n) AS c FROM (
         |         SELECT n, unnest(list_transform(range(1, len(ws)),
         |                  i -> ws[i] || ' ' || ws[i+1])) AS p
         |         FROM (SELECT string_split(t, ' ') AS ws, n FROM $v))
         |       GROUP BY 1),
-        |b$r AS (SELECT string_split(p, ' ')[1] AS a,
+        |b$r AS MATERIALIZED (SELECT string_split(p, ' ')[1] AS a,
         |         string_split(p, ' ')[2] AS b, c
         |       FROM p$r ORDER BY c DESC, p LIMIT 1),
-        |v$r AS (SELECT trim(regexp_replace(regexp_replace(
+        |v$r AS MATERIALIZED (SELECT trim(regexp_replace(regexp_replace(
         |           ' ' || t || ' ',
         |           (SELECT ' ' || a || ' ' || b || ' ' FROM b$r),
         |           (SELECT ' ' || a || b || ' ' FROM b$r), 'g'),
@@ -168,11 +168,11 @@ object Bpe {
       t = s"regexp_replace(regexp_replace($t,\n      $pat, $rep, 'g'),\n      $pat, $rep, 'g')"
     }
     oracleCtes(rounds) + s""",
-      |enc AS (SELECT doc_id, len(string_split(trim($t), ' ')) AS toks
+      |enc AS MATERIALIZED (SELECT doc_id, len(string_split(trim($t), ' ')) AS toks
       |        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
       |              FROM documents)
       |        WHERE length(w) >= 1),
-      |perdoc AS (SELECT doc_id, count(*) AS n_words, sum(toks) AS n_tokens
+      |perdoc AS MATERIALIZED (SELECT doc_id, count(*) AS n_words, sum(toks) AS n_tokens
       |           FROM enc GROUP BY doc_id)""".stripMargin
   }
 

@@ -10,23 +10,36 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Fused top-k join — the whole-operator Catalyst extension tier
   * (SURVEY.md §4 named this exact operator as the one case where a
-  * custom `SparkStrategy` becomes interesting): exact KNN against a
+  * custom `SparkStrategy` becomes interesting): exact top-k against a
   * broadcastable side WITHOUT materializing the N·M pair stream.
   *
-  * The compositional form (`BruteForceKnn.knnGraph`) is a broadcast
-  * nested-loop join producing one row per (id, nbr) pair, followed by
-  * the TopKByWeight partial aggregation — correct and scalable, but
-  * every candidate pair exists as a row between the two operators.
-  * This node fuses the loop and the heap: each probe row scans the
-  * broadcast side and keeps its k best in a primitive-array buffer;
-  * only N·k rows are ever produced. Same output contract as
-  * `knnGraph` — distances rounded to 6 dp (identical `BigDecimal`
-  * HALF_UP semantics to Spark's `round`), ties and self-pairs handled
-  * identically — which the equivalence spec asserts row-for-row.
+  * The compositional forms (`BruteForceKnn.knnGraph`,
+  * `ContrastiveMining.hardNegatives`, `SimilarityQueries.cosineTopK`)
+  * are a broadcast nested-loop join producing one row per candidate
+  * pair, followed by the TopKByWeight partial aggregation — correct
+  * and scalable, but every candidate pair exists as a row between the
+  * two operators. This node fuses the loop and the heap: each probe
+  * row scans the broadcast side and keeps its k best in a
+  * primitive-array buffer; only N·k rows are ever produced.
+  *
+  * Generalized over the three shapes the query suite actually uses
+  * (round-4 verdict #5):
+  *  - metric: euclidean (asc, with monotone partial-sum early exit) or
+  *    cosine (desc; one-pass dot+norms, bit-identical to the
+  *    `CosineSimilarity` codegen expression via the shared
+  *    `Distances.cosineSimilarityLocal` fold);
+  *  - exclusion: self-pair (build id ≠ probe id) or label-mismatch
+  *    (build label ≠ probe label — hard-negative mining);
+  *  - optional 1-based rank column (the ranked-list output shape of
+  *    the similarity family).
+  * Scores are rounded to 6 dp BEFORE ranking (ties by nbr asc) —
+  * identical `BigDecimal` HALF_UP semantics to Spark's `round` — so
+  * each output is row-identical to its compositional twin, which the
+  * equivalence specs assert.
   *
   * Wiring: [[TopKJoinPlan]] (logical) is planned by
   * [[TopKJoinStrategy]] into [[TopKJoinExec]] (physical); the
@@ -34,15 +47,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * public per-session injection point; `GraftExtensions` injects it
   * too for extension-built sessions).
   *
-  * Scale shape: identical to the compositional form — the probe side
+  * Scale shape: identical to the compositional forms — the probe side
   * streams partition-local (never shuffled), the build side must fit
-  * in one broadcast. For two huge sides, divide first (MRDF) — this
-  * node is the per-block / oracle-baseline engine. */
+  * in one broadcast. For two huge sides, divide first (MRDF / IVF) —
+  * this node is the per-block / oracle-baseline engine. */
 case class TopKJoinPlan(left: LogicalPlan, right: LogicalPlan, k: Int,
+    cosine: Boolean, labelExclude: Boolean, emitRank: Boolean,
     // output lives in the CONSTRUCTOR so tree copies (withNewChildren
     // during analysis/optimization) preserve the exprIds parents have
     // already bound to — a `val` would mint fresh ids on every copy
-    override val output: Seq[Attribute] = TopKJoinPlan.freshOutput())
+    override val output: Seq[Attribute])
     extends BinaryNode {
   // this node PRODUCES its output (it is not projected from children) —
   // without this CheckAnalysis reports the attrs missing from input
@@ -61,25 +75,36 @@ case class TopKJoinPlan(left: LogicalPlan, right: LogicalPlan, k: Int,
 }
 
 object TopKJoinPlan {
-  def freshOutput(): Seq[Attribute] = Seq(
-    AttributeReference("id", LongType, nullable = false)(),
-    AttributeReference("nbr", LongType, nullable = false)(),
-    AttributeReference("dist", DoubleType, nullable = false)())
+  /** (id, nbr, dist) for the distance modes, (qid, nbr, sim, rn) for
+    * the ranked similarity mode. */
+  def freshOutput(cosine: Boolean, emitRank: Boolean): Seq[Attribute] = {
+    val idName = if (cosine) "qid" else "id"
+    val scoreName = if (cosine) "sim" else "dist"
+    val base = Seq(
+      AttributeReference(idName, LongType, nullable = false)(),
+      AttributeReference("nbr", LongType, nullable = false)(),
+      AttributeReference(scoreName, DoubleType, nullable = false)())
+    if (emitRank) base :+ AttributeReference("rn", IntegerType, nullable = false)()
+    else base
+  }
 }
 
 object TopKJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case p @ TopKJoinPlan(l, r, k, _) =>
-      TopKJoinExec(p.output, planLater(l), planLater(r), k) :: Nil
+    case p @ TopKJoinPlan(l, r, k, cos, lbl, rank, _) =>
+      TopKJoinExec(p.output, planLater(l), planLater(r), k, cos, lbl, rank) :: Nil
     case _ => Nil
   }
 }
 
-/** Physical fused broadcast-KNN. Children contracts (enforced by the
-  * [[TopKJoin.knn]] entry point's projections): left = (id LONG,
-  * vec ARRAY<FLOAT>), right = (id LONG, vec ARRAY<FLOAT>). */
+/** Physical fused broadcast top-k. Children contracts (enforced by the
+  * [[TopKJoin]] entry points' projections): both sides =
+  * (id LONG, vec ARRAY<FLOAT>) plus, when `labelExclude`, a trailing
+  * label LONG column. */
 case class TopKJoinExec(output: Seq[Attribute],
-                        left: SparkPlan, right: SparkPlan, k: Int)
+                        left: SparkPlan, right: SparkPlan, k: Int,
+                        cosine: Boolean, labelExclude: Boolean,
+                        emitRank: Boolean)
     extends BinaryExecNode {
 
   override protected def withNewChildrenInternal(
@@ -88,77 +113,97 @@ case class TopKJoinExec(output: Seq[Attribute],
 
   /** Spark's round(x, 6): decimal HALF_UP on the double's shortest
     * decimal representation — byte-identical to the compositional
-    * plan's `round(euclidean_distance(...), 6)`. */
+    * plan's `round(<metric expr>, 6)`. */
   private def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP)
       .doubleValue()
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
+    val cos = cosine
+    val byLabel = labelExclude
+    val withRank = emitRank
     val buildRows = right.executeCollect()
     val n = buildRows.length
     val buildIds = new Array[Long](n)
     val buildVecs = new Array[Array[Float]](n)
+    val buildLabels = if (byLabel) new Array[Long](n) else null
     var i = 0
     while (i < n) {
       buildIds(i) = buildRows(i).getLong(0)
       buildVecs(i) = buildRows(i).getArray(1).toFloatArray()
+      if (byLabel) buildLabels(i) = buildRows(i).getLong(2)
       i += 1
     }
-    val bc = sparkContext.broadcast((buildIds, buildVecs))
+    val bc = sparkContext.broadcast((buildIds, buildVecs, buildLabels))
+
+    val outTypes: Array[org.apache.spark.sql.types.DataType] =
+      if (withRank) Array(LongType, LongType, DoubleType, IntegerType)
+      else Array(LongType, LongType, DoubleType)
 
     left.execute().mapPartitionsInternal { iter =>
-      val (ids, vecs) = bc.value
+      val (ids, vecs, labels) = bc.value
       val m = ids.length
-      val proj = UnsafeProjection.create(
-        Array[org.apache.spark.sql.types.DataType](LongType, LongType, DoubleType))
-      val outRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+      val proj = UnsafeProjection.create(outTypes)
+      val outRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(outTypes.length)
       iter.flatMap { row =>
         val id = row.getLong(0)
         val va = row.getArray(1).toFloatArray()
-        // primitive top-k buffer sorted by (dist, nbr) — TopKBuf's law
+        val la = if (byLabel) row.getLong(2) else 0L
+        // primitive top-k buffer sorted by (score, nbr) asc where
+        // score = dist (euclidean) or −sim (cosine; negation is an
+        // exact involution, so emitted sims round-trip bit-identically)
         val bNbrs = new Array[Long](kLocal)
-        val bDist = new Array[Double](kLocal)
+        val bScore = new Array[Double](kLocal)
         var bn = 0
         var j = 0
         while (j < m) {
-          if (ids(j) != id) {
+          val keep = if (byLabel) labels(j) != la else ids(j) != id
+          if (keep) {
             val vb = vecs(j)
-            val len = math.min(va.length, vb.length)
-            // early-exit against the current k-th distance: the partial
-            // squared sum is monotone, so crossing the bound proves
-            // rejection (NnDescentLocal's pruning argument). The k-th
-            // dist is ROUNDED to 6 dp, so a candidate with true dist in
-            // (w, w + 0.5e-6] can still round EQUAL and win its nbr
-            // tie — the 1e-6 slack keeps every such candidate alive;
-            // s > (w+1e-6)² ⟹ rounded dist > w ⟹ safe reject.
-            val bound =
-              if (bn == kLocal) {
-                val w = bDist(kLocal - 1) + 1e-6; w * w
-              } else Double.MaxValue
-            var s = 0.0
-            var t = 0
-            while (t < len && s <= bound) {
-              val d = va(t).toDouble - vb(t).toDouble
-              s += d * d
-              t += 1
+            var score = Double.NaN
+            var reject = false
+            if (cos) {
+              // one-pass dot+norms — the CosineSimilarity codegen fold
+              score = -round6(graft.linalg.Distances.cosineSimilarityLocal(va, vb))
+            } else {
+              val len = math.min(va.length, vb.length)
+              // early-exit against the current k-th distance: the partial
+              // squared sum is monotone, so crossing the bound proves
+              // rejection (NnDescentLocal's pruning argument). The k-th
+              // dist is ROUNDED to 6 dp, so a candidate with true dist in
+              // (w, w + 0.5e-6] can still round EQUAL and win its nbr
+              // tie — the 1e-6 slack keeps every such candidate alive;
+              // s > (w+1e-6)² ⟹ rounded dist > w ⟹ safe reject.
+              val bound =
+                if (bn == kLocal) {
+                  val w = bScore(kLocal - 1) + 1e-6; w * w
+                } else Double.MaxValue
+              var s = 0.0
+              var t = 0
+              while (t < len && s <= bound) {
+                val d = va(t).toDouble - vb(t).toDouble
+                s += d * d
+                t += 1
+              }
+              if (t == len && s <= bound) score = round6(math.sqrt(s))
+              else reject = true
             }
-            if (t == len && s <= bound) {
-              val dist = round6(math.sqrt(s))
+            if (!reject) {
               val nbr = ids(j)
               if (bn < kLocal ||
-                dist < bDist(bn - 1) ||
-                (dist == bDist(bn - 1) && nbr < bNbrs(bn - 1))) {
-                // insertion point under (dist, nbr)
+                score < bScore(bn - 1) ||
+                (score == bScore(bn - 1) && nbr < bNbrs(bn - 1))) {
+                // insertion point under (score, nbr)
                 var p = 0
-                while (p < bn && (bDist(p) < dist ||
-                  (bDist(p) == dist && bNbrs(p) < nbr))) p += 1
+                while (p < bn && (bScore(p) < score ||
+                  (bScore(p) == score && bNbrs(p) < nbr))) p += 1
                 val newN = math.min(bn + 1, kLocal)
                 var q = newN - 1
                 while (q > p) {
-                  bNbrs(q) = bNbrs(q - 1); bDist(q) = bDist(q - 1); q -= 1
+                  bNbrs(q) = bNbrs(q - 1); bScore(q) = bScore(q - 1); q -= 1
                 }
-                if (p < newN) { bNbrs(p) = nbr; bDist(p) = dist; bn = newN }
+                if (p < newN) { bNbrs(p) = nbr; bScore(p) = score; bn = newN }
               }
             }
           }
@@ -167,7 +212,8 @@ case class TopKJoinExec(output: Seq[Attribute],
         (0 until bn).iterator.map { e =>
           outRow.update(0, id)
           outRow.update(1, bNbrs(e))
-          outRow.update(2, bDist(e))
+          outRow.update(2, if (cos) -bScore(e) else bScore(e))
+          if (withRank) outRow.update(3, e + 1)
           proj(outRow).copy(): InternalRow
         }
       }
@@ -185,6 +231,10 @@ object TopKJoin {
       exp.extraStrategies = exp.extraStrategies :+ TopKJoinStrategy
   }
 
+  private def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Exact KNN of `probe` against `build` through the fused operator.
     * Output (id, nbr, dist): the k nearest build rows per probe row,
     * self-pairs excluded, dist rounded to 6 dp — `knnGraph`'s exact
@@ -197,8 +247,38 @@ object TopKJoin {
       .queryExecution.analyzed
     val r = build.select(col(idCol).cast("long"), col(vecCol))
       .queryExecution.analyzed
-    org.apache.spark.sql.classic.Dataset.ofRows(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      TopKJoinPlan(l, r, k))
+    ofRows(spark, TopKJoinPlan(l, r, k, cosine = false, labelExclude = false,
+      emitRank = false, TopKJoinPlan.freshOutput(cosine = false, emitRank = false)))
+  }
+
+  /** Fused hard-negative mining: the k nearest build rows per probe row
+    * carrying a DIFFERENT label. Output (id, nbr, dist) —
+    * `ContrastiveMining.hardNegatives`' exact contract. */
+  def hardNegatives(vecs: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val spark = vecs.sparkSession
+    install(spark)
+    val pruned = vecs.select(col(idCol).cast("long"), col(vecCol),
+      col(labelCol).cast("long"))
+    val l = pruned.queryExecution.analyzed
+    val r = pruned.queryExecution.analyzed
+    ofRows(spark, TopKJoinPlan(l, r, k, cosine = false, labelExclude = true,
+      emitRank = false, TopKJoinPlan.freshOutput(cosine = false, emitRank = false)))
+  }
+
+  /** Fused ranked cosine top-k of `probe` against `build`. Output
+    * (qid, nbr, sim, rn): sim desc, ties nbr asc, rn 1-based —
+    * `SimilarityQueries.cosineTopK`'s exact contract. */
+  def cosineTopK(probe: DataFrame, build: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = probe.sparkSession
+    install(spark)
+    val l = probe.select(col(idCol).cast("long"), col(vecCol))
+      .queryExecution.analyzed
+    val r = build.select(col(idCol).cast("long"), col(vecCol))
+      .queryExecution.analyzed
+    ofRows(spark, TopKJoinPlan(l, r, k, cosine = true, labelExclude = false,
+      emitRank = true, TopKJoinPlan.freshOutput(cosine = true, emitRank = true)))
   }
 }

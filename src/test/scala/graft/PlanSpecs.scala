@@ -87,6 +87,28 @@ class PlanSpecs extends SparkSpec {
       s"fresh slice must push its cutover into the scan:\n$p")
   }
 
+  test("q127 skyline merge has no single-partition funnel") {
+    // round-4 verdict #2: the survivor merge used coalesce(1) — one
+    // task holding the whole frontier (O(n) for anti-correlated data).
+    // The range-partitioned sweep must keep every exchange partitioned.
+    val p = plan("q127_skyline")
+    assert(!p.contains("SinglePartition"),
+      s"skyline must not funnel survivors through one partition:\n$p")
+    assert(!p.contains("Coalesce 1"),
+      s"skyline must not coalesce(1) the survivor union:\n$p")
+  }
+
+  test("q97 answers both EXISTS subqueries from one fact aggregation") {
+    // round-4 verdict #4: the old plan probed full lineitem with a
+    // left-semi and a left-anti join on top of the late-lines join —
+    // three orderkey shuffles of the fact table. The re-plan derives
+    // supplier multiplicity and the sole-late-supplier test from ONE
+    // groupBy(l_orderkey) pass; no semi/anti probe may reappear.
+    val p = plan("q97_waiting_suppliers")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"q97 must not probe the fact table with semi/anti joins:\n$p")
+  }
+
   test("q69 sentence-dedup window is hash-partitioned, never global") {
     val qe = Registry.byName("q69_line_dedup").run(spark, sf0001).queryExecution
     val global = qe.optimizedPlan.collect {

@@ -43,6 +43,30 @@ class TopKJoinSpec extends SparkSpec {
       (3L, 1L, 0.0), (3L, 2L, 0.0)))
   }
 
+  test("label-mismatch mode is row-identical to compositional hardNegatives") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+    val fused = TopKJoin.hardNegatives(vecs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val composed = graft.similarity.ContrastiveMining.hardNegatives(vecs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fused == composed && fused.nonEmpty)
+    // every fused neighbor really carries a different label
+    val labels = vecs.collect()
+      .map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    assert(fused.forall { case (id, nbr, _) => labels(id) != labels(nbr) })
+  }
+
+  test("cosine ranked mode is row-identical to compositional cosineTopK") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+    val fused = TopKJoin
+      .cosineTopK(vecs.filter(col("vec_id") < 20), vecs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val composed = graft.similarity.SimilarityQueries
+      .cosineTopK(vecs, 10, col("vec_id") < 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(fused == composed && fused.nonEmpty)
+  }
+
   test("early-exit pruning cannot change results near the rounding boundary") {
     import spark.implicits._
     // vectors engineered so candidate distances crowd within 1e-6 of

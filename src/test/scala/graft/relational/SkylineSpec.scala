@@ -39,6 +39,22 @@ class SkylineSpec extends SparkSpec {
     }
   }
 
+  test("anti-correlated planted set: O(n) frontier exact at any partitioning") {
+    // price = i AND size = i: paying more always buys strictly more,
+    // so no point dominates any other — EVERY point is on the
+    // frontier, the adversarial case for the old coalesce(1) merge
+    // (survivors = n in one task).
+    val n = 5000
+    val frontier = (0 until n).map(i => (i.toLong, i.toLong, i))
+    // noise at the same price but strictly smaller size: all dominated
+    val noise = (0 until n).map(i => (100000L + i, i.toLong, i - 3))
+    val pts = new scala.util.Random(7).shuffle(frontier ++ noise)
+    Seq(1, 13, 64).foreach { p =>
+      val out = Skyline.skyline2d(pts.toDS().repartition(p)).collect().toSet
+      assert(out == frontier.toSet, s"frontier wrong at $p partitions")
+    }
+  }
+
   test("partition count does not change the frontier (sf0.001 parts)") {
     val part = Tables.load(spark, sf0001, "part")
     val one = Skyline.partFrontier(part.repartition(1)).collect().toSeq

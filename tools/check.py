@@ -6,17 +6,23 @@ DuckDB over the same parquet tables and diffs against the Spark parquet
 output (columns sorted by name, values compared row-by-row after the
 query's own ORDER BY).
 
-Usage: tools/check.py [sfdir] [--no-run] [--only q01,...]
+Usage: tools/check.py [sfdir] [--no-run] [--only q01,...] [--time]
+
+--time prints per-oracle DuckDB wall seconds and a slowest-10 table so
+oracle-cost regressions (the round-4 driver-timeout killer) are visible.
 """
-import duckdb, json, math, os, subprocess, sys, glob
+import duckdb, json, math, os, subprocess, sys, glob, time
 
 sf_dir = "/root/testdata/sf0.01"
 only = None
 run = True
+timing = False
 args = iter(sys.argv[1:])
 for a in args:
     if a == "--no-run":
         run = False
+    elif a == "--time":
+        timing = True
     elif a == "--only":
         only = set(next(args).split(","))
     elif a.startswith("--only="):
@@ -50,10 +56,12 @@ def norm(v):
     return v
 
 n_pass = n_fail = 0
+oracle_secs = {}
 for name in sorted(oracle):
     if only and name not in only:
         continue
     sql = oracle[name]
+    t0 = time.time()
     res_glob = f"{out}/{name}/*.parquet"
     try:
         got = con.execute(f"SELECT * FROM read_parquet('{res_glob}')").fetchall()
@@ -69,6 +77,9 @@ for name in sorted(oracle):
         print(f"FAIL {name}: oracle sql error: {e}")
         n_fail += 1
         continue
+    oracle_secs[name] = time.time() - t0
+    if timing:
+        print(f"  [oracle {oracle_secs[name]:7.2f}s] {name}")
     gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
     ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
     if sorted(got_cols) != sorted(exp_cols):
@@ -90,6 +101,13 @@ for name in sorted(oracle):
     else:
         print(f"PASS {name} ({len(g)} rows)")
         n_pass += 1
+
+if timing and oracle_secs:
+    worst = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:10]
+    total = sum(oracle_secs.values())
+    print(f"\nDuckDB oracle wall total: {total:.1f}s; slowest 10:")
+    for k, v in worst:
+        print(f"  {v:7.2f}s  {k}")
 
 print(f"\n{n_pass} passed, {n_fail} failed, {len(oracle)} oracles total")
 sys.exit(1 if n_fail else 0)
