@@ -27,8 +27,20 @@ object Scalability {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val counts = (if (args.length > 1) args(1) else "500,1000,2000")
       .split(",").map(_.trim.toInt).toSeq
-    val useDefaults = args.length > 2 && args(2) == "default"
-    val params = if (useDefaults) mrdf.Mrdf.Params() else mrdf.MrdfQueries.testParams
+    // Third arg: "default" = paper parameters (k=30, ρ=15, α=150000);
+    // "default:alpha=N" = paper k/ρ with block-size cap N. The paper α
+    // targets executor memory on a real cluster; on one machine it
+    // leaves every N < α in a single serial NN-Descent block, so the
+    // local scaling sweep caps α near N/cores to exercise the actual
+    // divide-and-parallelize path the cluster would run.
+    val mode = if (args.length > 2) args(2) else ""
+    val useDefaults = mode.startsWith("default")
+    val params = {
+      val base = if (useDefaults) mrdf.Mrdf.Params() else mrdf.MrdfQueries.testParams
+      "alpha=(\\d+)".r.findFirstMatchIn(mode)
+        .map(m => base.copy(alpha = m.group(1).toInt))
+        .getOrElse(base)
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("MRDFScalability")

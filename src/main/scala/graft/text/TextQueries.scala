@@ -142,7 +142,19 @@ object TextQueries {
     * provably < τ and are never generated. The rarest-first order
     * makes prefix postings the SHORTEST lists, compounding the cut.
     * Candidates then verify with an exact intersection count (two
-    * co-partitioned joins against the capped shingle table). */
+    * co-partitioned joins against the capped shingle table).
+    *
+    * Crossover vs [[jaccardPairs]] (measured, sf0.1): the prefix
+    * filter pays 3 extra shuffles (prefix build, candidate distinct,
+    * verify joins) — ~3.3 s vs 0.5 s for the direct posting-list
+    * expansion on 5000 docs. The filter wins when the df-capped
+    * candidate space itself becomes the bottleneck: posting-list pair
+    * fan-out is Σ df² (cap T=500 ⇒ up to T²·|shingles| candidate
+    * rows), while the prefix cut generates only pairs sharing a RARE
+    * shingle — at corpus scale (≥ ~10⁶ docs, where mid-frequency
+    * shingles dominate Σ df²) the candidate reduction dwarfs the fixed
+    * shuffle cost. Declared as the scale variant; q25 is the
+    * small-corpus form and the row-identical oracle. */
   def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
     prefixJaccardFrom(cappedPostingLists(docs).localCheckpoint(), threshold)
 
