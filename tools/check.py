@@ -80,6 +80,12 @@ for name in sorted(oracle):
     oracle_secs[name] = time.time() - t0
     if timing:
         print(f"  [oracle {oracle_secs[name]:7.2f}s] {name}")
+    if oracle_secs[name] > 30:
+        # the round-4 failure class: slow oracles eat the driver's
+        # correctness budget and the whole round records {} — keep every
+        # oracle in seconds (MATERIALIZED CTEs, bounded recursion)
+        print(f"WARNING {name}: oracle took {oracle_secs[name]:.1f}s "
+              f"(>30s risks the driver-side correctness timeout)")
     gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
     ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
     if sorted(got_cols) != sorted(exp_cols):
