@@ -338,7 +338,47 @@ object StreamingPipelines {
       .orderBy(col("user_id"))
   }
 
+  /** Watermarked tumbling counts computed THROUGH streaming execution
+    * (AvailableNow, Append mode): the emitted set is exactly the
+    * windows the final watermark closed — `w_end ≤ max(ts) − 2h` —
+    * which is a deterministic function of the data, so the query
+    * oracles against plain SQL stating that rule. Exercises the
+    * watermark/state-eviction path the way q167 exercises
+    * `flatMapGroupsWithState`. */
+  def tumblingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-declared-tumbling").toString
+    graft.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(src)
+    val name = s"tumbling_declared_${declaredRuns.incrementAndGet()}"
+    val q = tumblingCounts(readEventsStream(spark, src))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(180000) finally q.stop()
+    spark.table(name)
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   val declared: Seq[graft.Declared] = Seq(
+    graft.Declared(
+      "q168_stream_tumbling",
+      (s, dir) => tumblingAvailableNow(s, dir),
+      // The closed-window rule in SQL: a 1h window is emitted iff its
+      // end is at or before the final watermark (max event time − 2h).
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n
+        |FROM events, m
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin),
+      doc = "Tumbling 1h counts executed through Structured Streaming (AvailableNow) — emitted set = watermark-closed windows, stated in SQL"),
+
     graft.Declared(
       "q167_stream_ewma",
       (s, dir) => ewmaAvailableNow(s, dir),
