@@ -108,9 +108,12 @@ object Distances {
   }
 
   def cosineSimilarityLocal(a: Array[Float], b: Array[Float]): Double = {
+    // min-length bound, matching the CosineSimilarity codegen exactly
+    // (a.length alone would AIOOBE on a shorter right-hand vector)
+    val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < a.length) {
+    while (i < n) {
       dot += a(i).toDouble * b(i).toDouble
       na += a(i).toDouble * a(i).toDouble
       nb += b(i).toDouble * b(i).toDouble

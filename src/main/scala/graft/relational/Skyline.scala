@@ -67,7 +67,15 @@ object Skyline {
     * The previous form merged all survivors through `coalesce(1)` — one
     * task holding the whole frontier, which for anti-correlated data is
     * O(n). This shape keeps the output distributed end-to-end; the only
-    * driver traffic is the P-int boundary exchange. */
+    * driver traffic is the P-value boundary exchange.
+    *
+    * Note: the boundary exchange is a cross-partition dependency, so
+    * construction runs two eager jobs (range sampling + the per-
+    * partition max collect) — same eager-builder tier as the kmeans /
+    * BPE-training queries. The survivor RDD stays persisted for the
+    * consumer; Bench/Verify reclaim it in their per-query sweep, and
+    * library callers can `spark.sparkContext.getPersistentRDDs`-sweep
+    * likewise. */
   def skyline2d(points: Dataset[(Long, Long, Int)]): Dataset[(Long, Long, Int)] = {
     val spark = points.sparkSession
     import spark.implicits._
@@ -75,19 +83,23 @@ object Skyline {
     val nRange = spark.sessionState.conf.numShufflePartitions
     val ranged = locals.repartitionByRange(nRange, $"_2").rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // One Int per range partition crosses the driver: its max size.
+    // One value per range partition crosses the driver: its max size.
+    // Long-typed with Long.MinValue as the "no cheaper partition yet"
+    // sentinel — an Int sentinel would collide with rows whose size IS
+    // Int.MinValue (a legal value of the generic entry point) and
+    // silently drop undominated frontier rows.
     val maxes = ranged.mapPartitionsWithIndex { (i, it) =>
-      var m = Int.MinValue
-      it.foreach(r => if (r._3 > m) m = r._3)
+      var m = Long.MinValue
+      it.foreach(r => if (r._3.toLong > m) m = r._3.toLong)
       Iterator.single((i, m))
     }.collect().toMap
     val nParts = ranged.getNumPartitions
-    val prefix = new Array[Int](nParts) // max size over partitions < i
-    var run = Int.MinValue
+    val prefix = new Array[Long](nParts) // max size over partitions < i
+    var run = Long.MinValue
     var i = 0
     while (i < nParts) {
       prefix(i) = run
-      run = math.max(run, maxes.getOrElse(i, Int.MinValue))
+      run = math.max(run, maxes.getOrElse(i, Long.MinValue))
       i += 1
     }
     val bc = spark.sparkContext.broadcast(prefix)
@@ -97,7 +109,7 @@ object Skyline {
     // exactly the groups an externally-seeded sweep would skip.
     val out = ranged.mapPartitionsWithIndex { (pid, it) =>
       val floor = bc.value(pid)
-      sweep(it).filter(_._3 > floor)
+      sweep(it).filter(_._3.toLong > floor)
     }
     spark.createDataset(out)
   }

@@ -165,7 +165,16 @@ case class TopKJoinExec(output: Seq[Attribute],
             var reject = false
             if (cos) {
               // one-pass dot+norms — the CosineSimilarity codegen fold
-              score = -round6(graft.linalg.Distances.cosineSimilarityLocal(va, vb))
+              // (min-length bound). A zero-norm vector yields NaN
+              // similarity; BigDecimal.valueOf(NaN) would throw and NaN
+              // has no position in the (score, nbr) total order, so
+              // degenerate candidates are excluded here — the operator's
+              // documented contract (real embedding corpora have no
+              // zero vectors; the compositional twin is only claimed
+              // row-identical on NaN-free inputs).
+              val c = graft.linalg.Distances.cosineSimilarityLocal(va, vb)
+              if (java.lang.Double.isNaN(c)) reject = true
+              else score = -round6(c)
             } else {
               val len = math.min(va.length, vb.length)
               // early-exit against the current k-th distance: the partial

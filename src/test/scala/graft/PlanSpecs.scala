@@ -90,12 +90,21 @@ class PlanSpecs extends SparkSpec {
   test("q127 skyline merge has no single-partition funnel") {
     // round-4 verdict #2: the survivor merge used coalesce(1) — one
     // task holding the whole frontier (O(n) for anti-correlated data).
-    // The range-partitioned sweep must keep every exchange partitioned.
-    val p = plan("q127_skyline")
-    assert(!p.contains("SinglePartition"),
-      s"skyline must not funnel survivors through one partition:\n$p")
-    assert(!p.contains("Coalesce 1"),
-      s"skyline must not coalesce(1) the survivor union:\n$p")
+    // The sweep runs in RDD space (invisible to the SQL plan string),
+    // so the gate inspects the output RDD directly: the frontier must
+    // come back range-partitioned across the configured partition
+    // count, and for an everyone-survives planted set no single
+    // partition may hold the whole thing.
+    import spark.implicits._
+    val n = 2000
+    val pts = (0 until n).map(i => (i.toLong, i.toLong, i))
+    val outRdd = graft.relational.Skyline.skyline2d(pts.toDS().repartition(8)).rdd
+    assert(outRdd.getNumPartitions ==
+      spark.sessionState.conf.numShufflePartitions,
+      "skyline output must stay range-partitioned, not funneled")
+    val sizes = outRdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sizes.max < n,
+      s"one partition holds the entire frontier (sizes=${sizes.toSeq})")
   }
 
   test("q97 answers both EXISTS subqueries from one fact aggregation") {

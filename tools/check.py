@@ -61,7 +61,6 @@ for name in sorted(oracle):
     if only and name not in only:
         continue
     sql = oracle[name]
-    t0 = time.time()
     res_glob = f"{out}/{name}/*.parquet"
     try:
         got = con.execute(f"SELECT * FROM read_parquet('{res_glob}')").fetchall()
@@ -70,6 +69,7 @@ for name in sorted(oracle):
         print(f"FAIL {name}: spark output unreadable: {e}")
         n_fail += 1
         continue
+    t0 = time.time()  # oracle cost only — result-parquet read is above
     try:
         exp = con.execute(sql).fetchall()
         exp_cols = [d[0] for d in con.description]
