@@ -67,6 +67,21 @@ class TopKJoinSpec extends SparkSpec {
     assert(fused == composed && fused.nonEmpty)
   }
 
+  test("cosine mode survives zero-norm vectors (NaN similarity excluded)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)), // zero vector: NaN similarity to everything
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f)),
+      (4L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = TopKJoin.cosineTopK(vecs.filter(col("vec_id") =!= 99), vecs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no crash; no pair involves a NaN similarity (id 1 as probe finds
+    // nothing, and no probe ranks id 1 as a neighbor)
+    assert(!got.exists { case (q, n) => q == 1L || n == 1L })
+    assert(got.nonEmpty)
+  }
+
   test("early-exit pruning cannot change results near the rounding boundary") {
     import spark.implicits._
     // vectors engineered so candidate distances crowd within 1e-6 of
