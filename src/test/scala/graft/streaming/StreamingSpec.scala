@@ -225,6 +225,39 @@ class StreamingSpec extends SparkSpec {
       s"streaming sessions must agree with batch; extras: ${(got -- batch).take(3)}")
   }
 
+  test("append-mode window closure is exact at the watermark boundary") {
+    import spark.implicits._
+    // Planted boundary: max ts = 12:00:00, watermark delay 2h ⇒ final
+    // watermark 10:00:00. The [09:00,10:00) window's END lands exactly
+    // ON the watermark — q168's oracle rule says w_end ≤ wm is emitted
+    // (closed), and [10:00,11:00) (end 11:00 > wm) is not. This pins
+    // the <= convention the 3-SF oracle runs rely on against Spark
+    // version changes.
+    def ev(id: Long, t: String) =
+      (id, java.sql.Timestamp.valueOf(t), id, "click", 1.0)
+    val rows = Seq(
+      ev(1, "2024-01-01 09:30:00"), // in the boundary window
+      ev(2, "2024-01-01 10:30:00"), // open: end 11:00 > wm
+      ev(3, "2024-01-01 12:00:00")) // the watermark driver
+    val src = Files.createTempDirectory("graft-stream-boundary").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val q = StreamingPipelines.tumblingCounts(
+        StreamingPipelines.readEventsStream(spark, src))
+      .writeStream.format("memory").queryName("boundary")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+    val got = spark.table("boundary")
+      .select(col("w_start").cast("string")).collect().map(_.getString(0)).toSet
+    assert(got.exists(_.startsWith("2024-01-01 09:00")),
+      s"window ending exactly at the watermark must close (got $got)")
+    assert(!got.exists(_.startsWith("2024-01-01 10:00")),
+      s"window ending past the watermark must stay open (got $got)")
+    assert(!got.exists(_.startsWith("2024-01-01 12:00")), s"got $got")
+  }
+
   test("streaming EWMA state equals the batch ordered fold") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft-stream-ewma").toString
