@@ -10,7 +10,12 @@ final case class Declared(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    doc: String = "")
+    doc: String = "",
+    // True for queries whose run() executes a full Structured
+    // Streaming pipeline (AvailableNow replay) and returns a
+    // memory-sink read: there is no lazy batch plan to audit, so
+    // PlanAudit keys off this flag — not a name convention.
+    streamingExecuted: Boolean = false)
 
 object Registry {
   /** Single source of truth wired into SparkEntry. Order = SURVEY.md §2

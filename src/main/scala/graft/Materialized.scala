@@ -28,13 +28,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Materialized {
 
-  private lazy val root: Path = {
-    val d = Files.createTempDirectory("graft-mat-")
-    d.toFile.deleteOnExit()
-    d
+  private var rootDir: Path = null
+  private def root: Path = synchronized {
+    if (rootDir == null) {
+      rootDir = Files.createTempDirectory("graft-mat-")
+      rootDir.toFile.deleteOnExit()
+    }
+    rootDir
   }
 
   private val built = scala.collection.mutable.HashSet.empty[String]
+
+  /** Drop every cached snapshot: the next `table` call rebuilds from
+    * scratch in a fresh temp dir. Used by Bench between measurement
+    * passes so pass 2 re-pays shared-table construction — otherwise a
+    * min-of-passes headline would silently report warm-cache numbers. */
+  def reset(): Unit = synchronized {
+    built.clear()
+    rootDir = null
+  }
 
   /** Return `name`'s materialized table for `sfDir`, building it on
     * first use in this process. */

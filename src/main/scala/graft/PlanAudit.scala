@@ -17,11 +17,11 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Registry.all.foreach { d =>
-      // Streaming-executed declared queries (q167/q168) run a full
-      // AvailableNow pipeline inside run() — there is no lazy plan to
-      // audit, only an executed memory-sink read; skip them here (their
-      // execution path is oracle- and spec-gated instead).
-      if (d.name.contains("_stream")) ()
+      // Streaming-executed declared queries (q167/q168/q169/q170) run a
+      // full AvailableNow pipeline inside run() — there is no lazy plan
+      // to audit, only an executed memory-sink read; skip them here
+      // (their execution path is oracle- and spec-gated instead).
+      if (d.streamingExecuted) ()
       else try {
         val qe = d.run(spark, sfDir).queryExecution
         val plan = qe.executedPlan.toString

@@ -23,18 +23,22 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Optional subset for local iteration: GRAFT_ONLY=q20,q21 tools/check.py
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Exclusive harness lock: a Verify co-running with Bench poisons the
+    // bench numbers (round-5 493 s adjudication) — serialize them.
+    HarnessLock.exclusive {
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+        .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        // Release any RDD blocks the query pinned (checkpoint remnants)
+        // so the shared session stays clean for the remaining queries.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
-      // Release any RDD blocks the query pinned (checkpoint remnants)
-      // so the shared session stays clean for the remaining queries.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

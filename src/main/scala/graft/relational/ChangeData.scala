@@ -167,9 +167,9 @@ object ChangeData {
         |              THEN 1 ELSE 0 END AS changed
         |       FROM events
         |       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |runs AS (SELECT *, sum(changed) OVER (
+        |runs AS (SELECT *, CAST(sum(changed) OVER (
         |           PARTITION BY user_id ORDER BY ts, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
         |         FROM l),
         |g AS (SELECT user_id, run_id, event_type,
         |        min(ts) AS valid_from, count(*) AS n_events

@@ -338,8 +338,9 @@ object EventAnalytics {
         |    CAST(ceil(quantile_cont(CAST(c AS DOUBLE), 0.95)) AS BIGINT) AS hi_cents
         |  FROM c GROUP BY 1)
         |SELECT c.event_type, max(b.lo_cents) AS lo_cents, max(b.hi_cents) AS hi_cents,
-        |  count(*) AS n, sum(c.c) AS raw_sum_cents,
-        |  sum(greatest(b.lo_cents, least(b.hi_cents, c.c))) AS wins_sum_cents
+        |  count(*) AS n, CAST(sum(c.c) AS BIGINT) AS raw_sum_cents,
+        |  CAST(sum(greatest(b.lo_cents, least(b.hi_cents, c.c))) AS BIGINT)
+        |    AS wins_sum_cents
         |FROM c JOIN b USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "Winsorized per-type stats: clamp at [floor(p05), ceil(p95)], exact integer sums"),

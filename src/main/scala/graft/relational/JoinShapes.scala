@@ -36,6 +36,11 @@ object JoinShapes {
     // collect_set (orders have a handful of suppliers) instead of two
     // count(DISTINCT)s, which would plan an Expand that doubles the
     // shuffled fact rows.
+    // FK-integrity assumption (ADVICE r5): n_supp counts suppliers on
+    // lines SURVIVING the inner join to orders, while the classic
+    // EXISTS scans raw lineitem — equivalent iff every l_orderkey has
+    // an orders row (holds for TPC-H-generated data). A dangling
+    // orderkey's lines would be invisible here.
     val isLate = col("l_shipdate") > col("o_orderdate") + expr(s"interval $lateDays days")
     val perOrder = li
       .join(orders.select(col("o_orderkey"), col("o_orderdate")),

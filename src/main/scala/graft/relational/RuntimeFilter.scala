@@ -62,8 +62,9 @@ object RuntimeFilter {
       // The oracle is the PLAIN join — the Bloom prefilter must be
       // invisible in the result.
       Some("""SELECT s_suppkey, s_name, count(*) AS n_items,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_c4
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_nationkey < 5
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin),

@@ -72,17 +72,21 @@ object Skyline {
     * Note: the boundary exchange is a cross-partition dependency, so
     * construction runs two eager jobs (range sampling + the per-
     * partition max collect) — same eager-builder tier as the kmeans /
-    * BPE-training queries. The survivor RDD stays persisted for the
-    * consumer; Bench/Verify reclaim it in their per-query sweep, and
-    * library callers can `spark.sparkContext.getPersistentRDDs`-sweep
-    * likewise. */
+    * BPE-training queries. Nothing stays persisted: the survivor RDD's
+    * range shuffle is re-fetched (not recomputed) when the returned
+    * Dataset is consumed. */
   def skyline2d(points: Dataset[(Long, Long, Int)]): Dataset[(Long, Long, Int)] = {
     val spark = points.sparkSession
     import spark.implicits._
     val locals = points.mapPartitions(sweep)
     val nRange = spark.sessionState.conf.numShufflePartitions
+    // Deliberately NOT persisted (ADVICE r5: a persisted survivor RDD
+    // leaked across library calls): the two consumers below evaluate
+    // the same RDD object, so the second pass re-fetches the range
+    // shuffle's map outputs from disk — Spark retains shuffle files
+    // for live RDDs independently of persist() — rather than
+    // recomputing the scan, and nothing stays pinned after return.
     val ranged = locals.repartitionByRange(nRange, $"_2").rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One value per range partition crosses the driver: its max size.
     // Long-typed with Long.MinValue as the "no cheaper partition yet"
     // sentinel — an Int sentinel would collide with rows whose size IS

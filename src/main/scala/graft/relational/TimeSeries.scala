@@ -173,9 +173,9 @@ object TimeSeries {
         |SELECT c.event_type, c.day,
         |  CAST(coalesce(d.n, 0) AS BIGINT) AS n,
         |  d.total_cents IS NOT NULL AS observed,
-        |  last_value(d.total_cents IGNORE NULLS) OVER (
+        |  CAST(last_value(d.total_cents IGNORE NULLS) OVER (
         |    PARTITION BY c.event_type ORDER BY c.day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_cents
         |FROM cal c LEFT JOIN daily d
         |  ON c.event_type = d.event_type AND c.day = d.day
         |ORDER BY 1, 2""".stripMargin),
@@ -199,7 +199,7 @@ object TimeSeries {
         |  min(cents) AS low_cents,
         |  max(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
         |  count(*) AS n,
-        |  sum(cents) AS volume_cents
+        |  CAST(sum(cents) AS BIGINT) AS volume_cents
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "Daily OHLC bars per event series (single struct-min/max aggregation, no window sort)"),
 
@@ -222,7 +222,8 @@ object TimeSeries {
         |  SELECT *, row_number() OVER (PARTITION BY event_type
         |              ORDER BY abs(s_scaled) DESC, day) AS rn
         |  FROM sc)
-        |SELECT event_type, day AS change_day, s_scaled, days
+        |SELECT event_type, day AS change_day,
+        |  CAST(s_scaled AS BIGINT) AS s_scaled, days
         |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin),
       doc = "CUSUM change-point per event series in exact scaled integers (argmax |days*cum - k*total|)"),
 

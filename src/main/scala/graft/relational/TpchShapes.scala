@@ -242,7 +242,7 @@ object TpchShapes {
         Tables.load(s, dir, "orders"), Tables.load(s, dir, "customer"),
         Tables.load(s, dir, "supplier"), Tables.load(s, dir, "nation")),
       Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |  EXTRACT(year FROM l_shipdate) AS l_year,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
         |  round(CAST(sum($REV) AS DOUBLE) / 100, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -262,11 +262,11 @@ object TpchShapes {
         Tables.load(s, dir, "orders"), Tables.load(s, dir, "customer"),
         Tables.load(s, dir, "supplier"), Tables.load(s, dir, "part"),
         Tables.load(s, dir, "nation"), Tables.load(s, dir, "region")),
-      Some(s"""SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+      Some(s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
         |  CAST(sum(CASE WHEN s_nationkey = 3 THEN $REV ELSE 0 END) AS DOUBLE)
         |    / CAST(sum($REV) AS DOUBLE) AS mkt_share,
-        |  sum(CASE WHEN s_nationkey = 3 THEN $REV ELSE 0 END) AS nation_cents,
-        |  sum($REV) AS total_cents
+        |  CAST(sum(CASE WHEN s_nationkey = 3 THEN $REV ELSE 0 END) AS BIGINT) AS nation_cents,
+        |  CAST(sum($REV) AS BIGINT) AS total_cents
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -330,8 +330,8 @@ object TpchShapes {
       (s, dir) => promoRevenue(Tables.load(s, dir, "lineitem"),
         Tables.load(s, dir, "part")),
       Some(s"""SELECT
-        |  sum(CASE WHEN p_type = 'PROMO' THEN $REV ELSE 0 END) AS promo_cents,
-        |  sum($REV) AS total_cents,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN $REV ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum($REV) AS BIGINT) AS total_cents,
         |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $REV ELSE 0 END) AS DOUBLE)
         |    / CAST(sum($REV) AS DOUBLE) AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey

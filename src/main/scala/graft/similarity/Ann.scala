@@ -23,14 +23,23 @@ import graft.linalg.Distances
   */
 object Ann {
 
+  /** The deterministic ±1 hyperplanes behind [[lshBands]] — exposed so
+    * the ann_quality oracle generator can embed the SAME constants as
+    * SQL literals (the q129 generated-mirror pattern): the planes, not
+    * the RNG, are the shared contract between engines. */
+  def lshPlanes(dim: Int, bands: Int, bitsPerBand: Int,
+                seed: Long): Array[Array[Float]] = {
+    val rnd = new Random(seed)
+    Array.fill(bands * bitsPerBand)(
+      Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+  }
+
   /** Sign-bit LSH signature bands. planes = bands × bitsPerBand
     * hyperplanes with deterministic ±1 components from `seed`. */
   def lshBands(emb: DataFrame, dim: Int, bands: Int, bitsPerBand: Int,
                seed: Long, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
-    val rnd = new Random(seed)
-    val planes = Array.fill(bands * bitsPerBand)(
-      Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val planes = lshPlanes(dim, bands, bitsPerBand, seed)
     // codegen DotProduct, not an interpreted aggregate/zip_with lambda:
     // 32 projections per vector make the signature the LSH hot path
     def bit(p: Int): Column =
@@ -144,6 +153,47 @@ object Ann {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("s"))
       .select(col("label").as("clabel"),
         transform(col("s"), e => e("m").cast("float")).as("cvec"))
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("cd", Distances.euclidean(col("qv"), col("cvec")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cd"), col("clabel"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("clabel"))
+    val cands = probes.join(
+        emb.select(col("vec_id").as("nbr"), col("embedding").as("cv"), col("label")),
+        col("clabel") === col("label"))
+      .filter(col("qid") =!= col("nbr"))
+      .select(col("qid"), col("qv"), col("nbr"), col("cv"))
+    rerank(cands, k)
+  }
+
+  /** [[ivfTopK]] with cross-engine-exact centroids: the per-(label, dim)
+    * mean is computed as a SEQUENTIAL double fold over the values in
+    * vec_id order (`aggregate` over a sorted collect_list) instead of
+    * `avg` — floating-point addition isn't associative, so only a
+    * defined fold order lets DuckDB reproduce the centroid bit-for-bit
+    * (the DuckSql left-fold convention). This is the ORACLE-MIRRORABLE
+    * variant driving the ann_quality scorecard; [[ivfTopK]]'s plain
+    * `avg` (an order-free partial aggregation, the shape you want at
+    * 100 TB where a per-group sorted list is an anti-pattern) remains
+    * the scale path — at scale the two differ by ulps that only matter
+    * to hash equality, not to neighbor quality. */
+  def ivfTopKOracled(emb: DataFrame, k: Int, queryPred: Column,
+                     nprobe: Int = 2): DataFrame = {
+    val cent = emb
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("vec_id"), col("x")))).as("s"))
+      .withColumn("m", expr(
+        "aggregate(s, CAST(0 AS DOUBLE), (acc, e) -> acc + CAST(e.x AS DOUBLE)) / n"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+      .select(col("label").as("clabel"),
+        transform(col("dims"), e => e("m").cast("float")).as("cvec"))
     val q = emb.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val probes = q.join(broadcast(cent))

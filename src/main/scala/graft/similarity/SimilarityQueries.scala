@@ -63,7 +63,125 @@ object SimilarityQueries {
       .select(col("label"), col("d1"), col("d2"), col("sim"))
   }
 
+  /** ANN quality scorecard: recall@k of the LSH and (oracle-mirrorable)
+    * IVF pipelines against the exact cosine top-k, one row per method,
+    * recall quantized to integer ppm (floor((1e6·hits)/exact) — the
+    * multiply-then-divide order is pinned so both engines run the same
+    * double ops). The 'exact' row is the self-check (1 000 000 ppm by
+    * construction). Every branch is deterministic — seeded ±1
+    * hyperplanes, ordered-fold centroids, 6-dp-rounded sims with
+    * (sim desc, nbr) ties — so the DuckDB oracle replays the full
+    * pipelines from the SAME constants (q129's generated-mirror
+    * pattern; the planes are embedded in the SQL as literals). */
+  def annQuality(emb: DataFrame, k: Int = K): DataFrame = {
+    val exact = org.apache.spark.sql.graft.TopKJoin
+      .cosineTopK(emb.filter(col("vec_id") < 20), emb, k)
+      .select(col("qid"), col("nbr")).localCheckpoint()
+    val lsh = Ann.lshTopK(emb, k, dim = 64, queryPred = col("id") < 20)
+      .select(col("qid"), col("nbr"))
+    val ivf = Ann.ivfTopKOracled(emb, k, queryPred = col("vec_id") < 20)
+      .select(col("qid"), col("nbr"))
+    val tagged = lsh.withColumn("method", lit("lsh"))
+      .unionAll(ivf.withColumn("method", lit("ivf_label")))
+      .unionAll(exact.withColumn("method", lit("exact")))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    tagged.join(exact, Seq("qid", "nbr"))
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nExact))
+      .select(col("method"), col("n_exact"), col("n_hits"),
+        floor(lit(1e6) * col("n_hits") / col("n_exact")).cast("long")
+          .as("recall_ppm"))
+      .orderBy(col("method"))
+  }
+
+  /** The generated DuckDB mirror of [[annQuality]]: LSH planes embedded
+    * as literals from the same seeded generator, centroids as the same
+    * ordered fold, identical rounding and tie-breaks. */
+  private def annQualityOracle(k: Int): String = {
+    val planes = Ann.lshPlanes(dim = 64, bands = 4, bitsPerBand = 8, seed = 42L)
+    val planeVals = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString(",\n")
+    val cosAB = DuckSql.cosineSimilarity("a.embedding", "b.embedding")
+    val cosQC = DuckSql.cosineSimilarity("qe.embedding", "ce.embedding")
+    val dotPl = DuckSql.dot("e.embedding", "p.pl")
+    val cd = DuckSql.euclidean("q.embedding", "c.cvec")
+    s"""WITH ex AS MATERIALIZED (
+       |  SELECT qid, nbr FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS nbr,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($cosAB, 6) DESC, b.vec_id) AS rn
+       |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 20) WHERE rn <= $k),
+       |planes(p, pl) AS (VALUES
+       |$planeVals),
+       |sig AS MATERIALIZED (
+       |  SELECT e.vec_id, p.p // 8 AS band, p.p % 8 AS biti,
+       |    CASE WHEN $dotPl >= 0 THEN 1 ELSE 0 END AS b
+       |  FROM embeddings e, planes p),
+       |bnd AS MATERIALIZED (
+       |  SELECT vec_id, band, sum(b * (1 << biti)) AS bv
+       |  FROM sig GROUP BY 1, 2),
+       |lcand AS (
+       |  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS nbr
+       |  FROM bnd qb JOIN bnd cb ON qb.band = cb.band AND qb.bv = cb.bv
+       |  WHERE qb.vec_id < 20 AND cb.vec_id <> qb.vec_id),
+       |lsh AS MATERIALIZED (
+       |  SELECT qid, nbr FROM (
+       |    SELECT lcand.qid, lcand.nbr,
+       |      row_number() OVER (PARTITION BY lcand.qid
+       |        ORDER BY round($cosQC, 6) DESC, lcand.nbr) AS rn
+       |    FROM lcand JOIN embeddings qe ON qe.vec_id = lcand.qid
+       |               JOIN embeddings ce ON ce.vec_id = lcand.nbr)
+       |  WHERE rn <= $k),
+       |ce0 AS (SELECT label, vec_id,
+       |    unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS x
+       |  FROM embeddings),
+       |cm AS (SELECT label, pos,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list(CAST(x AS DOUBLE) ORDER BY vec_id)),
+       |      (acc, v) -> acc + v) / count(*) AS m
+       |  FROM ce0 GROUP BY 1, 2),
+       |centv AS MATERIALIZED (SELECT label AS clabel,
+       |    list_transform(list(m ORDER BY pos), z -> CAST(z AS FLOAT)) AS cvec
+       |  FROM cm GROUP BY 1),
+       |probes AS (
+       |  SELECT qid, clabel FROM (
+       |    SELECT q.vec_id AS qid, c.clabel,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $cd, c.clabel) AS pr
+       |    FROM embeddings q CROSS JOIN centv c WHERE q.vec_id < 20)
+       |  WHERE pr <= 2),
+       |icand AS (
+       |  SELECT p.qid, e.vec_id AS nbr
+       |  FROM probes p JOIN embeddings e ON e.label = p.clabel
+       |  WHERE e.vec_id <> p.qid),
+       |ivf AS MATERIALIZED (
+       |  SELECT qid, nbr FROM (
+       |    SELECT icand.qid, icand.nbr,
+       |      row_number() OVER (PARTITION BY icand.qid
+       |        ORDER BY round($cosQC, 6) DESC, icand.nbr) AS rn
+       |    FROM icand JOIN embeddings qe ON qe.vec_id = icand.qid
+       |               JOIN embeddings ce ON ce.vec_id = icand.nbr)
+       |  WHERE rn <= $k),
+       |m AS (SELECT 'exact' AS method, qid, nbr FROM ex
+       |  UNION ALL SELECT 'ivf_label', qid, nbr FROM ivf
+       |  UNION ALL SELECT 'lsh', qid, nbr FROM lsh),
+       |ne AS (SELECT count(*) AS n_exact FROM ex)
+       |SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(count(*) AS BIGINT) AS n_hits,
+       |  CAST(floor(1e6 * count(*) / n_exact) AS BIGINT) AS recall_ppm
+       |FROM m JOIN ex USING (qid, nbr) CROSS JOIN ne
+       |GROUP BY method, n_exact ORDER BY method""".stripMargin
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q171_ann_quality",
+      (s, dir) => annQuality(Tables.load(s, dir, "embeddings")),
+      Some(annQualityOracle(K)),
+      doc = "ANN recall scorecard: LSH + IVF recall@10 vs exact cosine top-k in integer ppm, full pipelines replayed in the oracle from shared seeded constants. Absolute recall is LOW on this testdata by nature — the driver embeddings are cosine-isotropic (round-1 finding), so bucketed ANN has no structure to exploit; the quality gates on plantable structure live in AnnSpec's planted-cluster tests. This row cross-engine-verifies the pipelines and pins the recall numbers against drift"),
+
     Declared(
       "q102_blocked_neardup",
       (s, dir) => blockedCosinePairs(Tables.load(s, dir, "embeddings"), 0.35)

@@ -306,6 +306,22 @@ object StreamingPipelines {
 
   private val declaredRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Temp dir removed recursively at JVM exit (ADVICE r5: the replay
+    * cache leaked one dir per JVM run). Within-process staleness is
+    * impossible by contract — testdata dirs are immutable for a
+    * process lifetime (driver regenerates them only between rounds). */
+  private def tempDirCleanedOnExit(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
+
   /** One events-replay source dir per (process, sfDir), written as a
     * SINGLE parquet file. Single-file matters for q167: the EWMA fold
     * is ordered, and state folds batch-by-batch in arrival order — one
@@ -318,8 +334,7 @@ object StreamingPipelines {
   private val replaySrc = scala.collection.concurrent.TrieMap.empty[String, String]
   private def eventsReplayDir(spark: SparkSession, dir: String): String =
     replaySrc.getOrElseUpdate(dir, {
-      val src = java.nio.file.Files
-        .createTempDirectory("graft-stream-replay").toString
+      val src = tempDirCleanedOnExit("graft-stream-replay")
       graft.Tables.load(spark, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -390,6 +405,56 @@ object StreamingPipelines {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** Stream-stream interval join computed THROUGH streaming execution:
+    * the events table replayed as a file-source stream, self-joined
+    * purchases × clicks via [[purchaseClickJoin]] under
+    * `Trigger.AvailableNow`. An inner stream-stream join emits every
+    * match found within a micro-batch immediately (watermarks only
+    * bound the retained state), and the single-file replay source
+    * delivers the whole table in ONE micro-batch — so the emitted set
+    * is exactly the batch interval join, stated directly in the
+    * oracle SQL. The delay is emitted in exact integer microseconds
+    * (epoch_us difference) — no boundary-crossing date_diff
+    * semantics to align across engines. */
+  def intervalJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val src = eventsReplayDir(spark, dir)
+    val name = s"ijoin_declared_${declaredRuns.incrementAndGet()}"
+    val q = purchaseClickJoin(readEventsStream(spark, src))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, 180000)
+    spark.table(name)
+      .select(col("p_id"), col("c_id"), col("p_user"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delay_us"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
+  /** The streaming MERGE sink ([[upsertStreamSink]]) executed end to
+    * end: the events table replayed as the change stream into a fresh
+    * state dir, then the final compacted snapshot read back through
+    * [[upsertView]]. One micro-batch (single-file source) against an
+    * empty prior snapshot ⇒ the snapshot is exactly the batch CDC
+    * compaction of the whole table — per-user latest (ts, event_id)
+    * winner, tombstones (value < 0.1) filtered at read — which is the
+    * oracle SQL (q112's shape over the full table with the sink's
+    * tombstone rule). */
+  def upsertSinkAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val src = eventsReplayDir(spark, dir)
+    val stateDir = tempDirCleanedOnExit("graft-upsert-state")
+    val q = upsertStreamSink(readEventsStream(spark, src), stateDir)
+      .queryName(s"upsert_declared_${declaredRuns.incrementAndGet()}")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, 180000)
+    upsertView(spark, stateDir)
+      .getOrElse(sys.error(s"upsert sink wrote no snapshot under $stateDir"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        round(col("value"), 6).as("value"))
+      .orderBy(col("user_id"))
+  }
+
   val declared: Seq[graft.Declared] = Seq(
     graft.Declared(
       "q168_stream_tumbling",
@@ -402,7 +467,8 @@ object StreamingPipelines {
         |FROM events, m
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin),
-      doc = "Tumbling 1h counts executed through Structured Streaming (AvailableNow) — emitted set = watermark-closed windows, stated in SQL"),
+      doc = "Tumbling 1h counts executed through Structured Streaming (AvailableNow) — emitted set = watermark-closed windows, stated in SQL",
+      streamingExecuted = true),
 
     graft.Declared(
       "q167_stream_ewma",
@@ -422,6 +488,39 @@ object StreamingPipelines {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
         |              (s, x) -> (s + x) // 2) AS ewma_micros
         |FROM l ORDER BY user_id""".stripMargin),
-      doc = "Per-user EWMA executed through Structured Streaming (AvailableNow) — same oracle as batch q158")
+      doc = "Per-user EWMA executed through Structured Streaming (AvailableNow) — same oracle as batch q158",
+      streamingExecuted = true),
+
+    graft.Declared(
+      "q169_stream_interval_join",
+      (s, dir) => intervalJoinAvailableNow(s, dir),
+      // Inner stream-stream joins emit matches eagerly; one micro-batch
+      // ⇒ emitted set = the batch interval join, verbatim in SQL.
+      Some("""SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |  p.user_id AS p_user,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |ORDER BY p_id, c_id""".stripMargin),
+      doc = "Stream-stream purchase×click interval join executed through Structured Streaming (AvailableNow)",
+      streamingExecuted = true),
+
+    graft.Declared(
+      "q170_stream_upsert",
+      (s, dir) => upsertSinkAvailableNow(s, dir),
+      // The foreachBatch MERGE over one batch from an empty prior =
+      // batch CDC compaction of the whole table (q112's oracle shape
+      // with the sink's tombstone rule value < 0.1).
+      Some("""WITH r AS (SELECT *, value < 0.1 AS is_delete,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |SELECT user_id, event_id, ts, event_type, round(value, 6) AS value
+        |FROM r WHERE rn = 1 AND NOT is_delete
+        |ORDER BY user_id""".stripMargin),
+      doc = "Streaming MERGE (foreachBatch upsert sink) executed end to end; final snapshot = batch CDC compaction",
+      streamingExecuted = true)
   )
 }

@@ -155,7 +155,7 @@ object Bpe {
 
   private def bpeOracle(rounds: Int): String =
     oracleCtes(rounds) + "\n" + (1 to rounds).map { r =>
-      s"SELECT $r AS round, a AS mleft, b AS mright, c AS pair_count FROM b$r"
+      s"SELECT $r AS round, a AS mleft, b AS mright, CAST(c AS BIGINT) AS pair_count FROM b$r"
     }.mkString("", "\nUNION ALL\n", "\nORDER BY round")
 
   /** Shared encode CTEs: the trained b1..bN rewrites applied to every
@@ -178,7 +178,7 @@ object Bpe {
 
   private def encodeOracle(rounds: Int): String =
     encCtes(rounds) +
-      "\nSELECT doc_id, n_words, n_tokens FROM perdoc ORDER BY doc_id"
+      "\nSELECT doc_id, n_words, CAST(n_tokens AS BIGINT) AS n_tokens FROM perdoc ORDER BY doc_id"
 
   private def fertilityOracle(rounds: Int): String =
     encCtes(rounds) + s"""

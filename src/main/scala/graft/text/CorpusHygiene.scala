@@ -95,7 +95,7 @@ object CorpusHygiene {
         |          ORDER BY d.n_chars DESC, c.doc_id) AS rn
         |      FROM c JOIN documents d USING (doc_id))
         |SELECT cluster, max(CASE WHEN rn = 1 THEN doc_id END) AS canon_doc,
-        |  count(*) AS n_members, sum(n_chars) AS total_chars
+        |  count(*) AS n_members, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM m GROUP BY cluster ORDER BY cluster""".stripMargin),
       doc = "Canonical doc per near-dup cluster (longest text, ties to min id)"),
 

@@ -190,7 +190,8 @@ object CorpusStats {
         |  FROM w WHERE len(ws) >= 3),
         |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
         |SELECT sh.doc_id, count(*) AS n_shingles,
-        |  sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+        |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
         |  CAST(floor(1e6 * CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |       / CAST(count(*) AS DOUBLE)) AS BIGINT) AS novelty_ppm
         |FROM sh JOIN f USING (shingle)

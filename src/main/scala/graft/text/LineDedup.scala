@@ -89,7 +89,7 @@ object LineDedup {
         |        row_number() OVER (PARTITION BY snt ORDER BY doc_id, pos) AS rn
         |      FROM s)
         |SELECT doc_id, count(*) AS n_sents,
-        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 4) AS kept_frac
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),

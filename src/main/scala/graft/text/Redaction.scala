@@ -58,13 +58,13 @@ object Redaction {
       "q140_pii_scrub",
       (s, dir) => scrub(Tables.load(s, dir, "documents")),
       Some(s"""SELECT doc_id,
-        |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
-        |  len(regexp_extract_all(text, '$IpRe')) AS n_ips,
-        |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
-        |  length(regexp_replace(regexp_replace(regexp_replace(text,
+        |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '$IpRe')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+        |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
         |    '$EmailRe', '[EMAIL]', 'g'),
         |    '$IpRe', '[IP]', 'g'),
-        |    '$PhoneRe', '[PHONE]', 'g')) AS scrubbed_chars
+        |    '$PhoneRe', '[PHONE]', 'g')) AS INT) AS scrubbed_chars
         |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "PII redaction audit: email/IP/phone counts + scrubbed length (row-local, codegen)")
   )

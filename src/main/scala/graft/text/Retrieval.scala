@@ -170,7 +170,7 @@ object Retrieval {
        |         row_number() OVER (PARTITION BY substr(w, 1, $prefixLen)
        |                            ORDER BY n DESC, w) AS rn
        |  FROM c)
-       |SELECT prefix, rn, w AS word, n FROM r WHERE rn <= $k
+       |SELECT prefix, CAST(rn AS INT) AS rn, w AS word, n FROM r WHERE rn <= $k
        |ORDER BY prefix, rn""".stripMargin
 
   /** Inverted-index construction — the search-side artifact itself:

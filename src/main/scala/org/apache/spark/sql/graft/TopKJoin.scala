@@ -8,6 +8,7 @@ import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
@@ -111,6 +112,17 @@ case class TopKJoinExec(output: Seq[Attribute],
       newLeft: SparkPlan, newRight: SparkPlan): TopKJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // The build side arrives through Spark's own BroadcastExchange
+  // (EnsureRequirements inserts it to satisfy this distribution):
+  // memory-accounted against the driver's broadcast threshold
+  // machinery, reusable across consumers via ReuseExchange, and
+  // visible in the plan — not a raw executeCollect + sc.broadcast
+  // (round-5 verdict: at a 10⁷-row build side the bare collect kills
+  // the driver before a tracked broadcast would have been rejected).
+  override def requiredChildDistribution: Seq[physical.Distribution] =
+    physical.UnspecifiedDistribution ::
+      physical.BroadcastDistribution(physical.IdentityBroadcastMode) :: Nil
+
   /** Spark's round(x, 6): decimal HALF_UP on the double's shortest
     * decimal representation — byte-identical to the compositional
     * plan's `round(<metric expr>, 6)`. */
@@ -123,27 +135,29 @@ case class TopKJoinExec(output: Seq[Attribute],
     val cos = cosine
     val byLabel = labelExclude
     val withRank = emitRank
-    val buildRows = right.executeCollect()
-    val n = buildRows.length
-    val buildIds = new Array[Long](n)
-    val buildVecs = new Array[Array[Float]](n)
-    val buildLabels = if (byLabel) new Array[Long](n) else null
-    var i = 0
-    while (i < n) {
-      buildIds(i) = buildRows(i).getLong(0)
-      buildVecs(i) = buildRows(i).getArray(1).toFloatArray()
-      if (byLabel) buildLabels(i) = buildRows(i).getLong(2)
-      i += 1
-    }
-    val bc = sparkContext.broadcast((buildIds, buildVecs, buildLabels))
+    val bc = right.executeBroadcast[Array[InternalRow]]()
 
     val outTypes: Array[org.apache.spark.sql.types.DataType] =
       if (withRank) Array(LongType, LongType, DoubleType, IntegerType)
       else Array(LongType, LongType, DoubleType)
 
     left.execute().mapPartitionsInternal { iter =>
-      val (ids, vecs, labels) = bc.value
-      val m = ids.length
+      // Decode the broadcast UnsafeRows into primitive arrays once per
+      // partition — O(build) setup amortized over the O(probe·build)
+      // scan below (same shape as BroadcastNestedLoopJoin's relation
+      // access; the float arrays are what the hot loop reads).
+      val buildRows = bc.value
+      val m = buildRows.length
+      val ids = new Array[Long](m)
+      val vecs = new Array[Array[Float]](m)
+      val labels = if (byLabel) new Array[Long](m) else null
+      var bi = 0
+      while (bi < m) {
+        ids(bi) = buildRows(bi).getLong(0)
+        vecs(bi) = buildRows(bi).getArray(1).toFloatArray()
+        if (byLabel) labels(bi) = buildRows(bi).getLong(2)
+        bi += 1
+      }
       val proj = UnsafeProjection.create(outTypes)
       val outRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(outTypes.length)
       iter.flatMap { row =>

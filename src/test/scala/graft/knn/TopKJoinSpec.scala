@@ -10,13 +10,24 @@ import graft.{SparkSpec, Tables}
   * rows, same 6-dp distances, same (dist, nbr) tie-breaks. */
 class TopKJoinSpec extends SparkSpec {
 
-  test("fused TopKJoinExec appears in the physical plan") {
+  test("fused TopKJoinExec appears in the physical plan, fed by a BroadcastExchange") {
     val vecs = Tables.load(spark, sf0001, "embeddings")
     val df = TopKJoin.knn(vecs, vecs, 10)
-    val hasExec = df.queryExecution.executedPlan.collect {
-      case e: TopKJoinExec => e
-    }.nonEmpty
+    // The build side now arrives via BroadcastExchange (round-5 verdict:
+    // memory-accounted + reusable, not a raw executeCollect), which makes
+    // the plan adaptive — finalize it, then look through the AQE wrapper
+    // (AdaptiveSparkPlanExec is a leaf to collect()).
+    df.count()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val hasExec = finalPlan.collect { case e: TopKJoinExec => e }.nonEmpty
     assert(hasExec, "strategy did not plan the fused operator")
+    val s = finalPlan.toString
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastQueryStage"),
+      s"build side is not a tracked broadcast:\n$s")
   }
 
   test("row-identical to knnGraph on the real embeddings") {

@@ -63,16 +63,16 @@ for name in sorted(oracle):
     sql = oracle[name]
     res_glob = f"{out}/{name}/*.parquet"
     try:
-        got = con.execute(f"SELECT * FROM read_parquet('{res_glob}')").fetchall()
-        got_cols = [d[0] for d in con.description]
+        got_tbl = con.execute(f"SELECT * FROM read_parquet('{res_glob}')").arrow()
+        got_cols = got_tbl.column_names
     except Exception as e:
         print(f"FAIL {name}: spark output unreadable: {e}")
         n_fail += 1
         continue
     t0 = time.time()  # oracle cost only — result-parquet read is above
     try:
-        exp = con.execute(sql).fetchall()
-        exp_cols = [d[0] for d in con.description]
+        exp_tbl = con.execute(sql).arrow()
+        exp_cols = exp_tbl.column_names
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}")
         n_fail += 1
@@ -92,8 +92,26 @@ for name in sorted(oracle):
         print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}")
         n_fail += 1
         continue
-    g = [tuple(norm(r[i]) for i in gi) for r in got]
-    e = [tuple(norm(r[i]) for i in ei) for r in exp]
+    # The driver hashes TYPED values — a DuckDB sum() coming out HUGEINT
+    # (arrow decimal128) against a Spark BIGINT parquet column is a
+    # driver-red hash even when every value compares equal (the round-5
+    # 14-query failure class). Assert arrow schema equality by column.
+    tmis = [(got_cols[i], str(got_tbl.schema.field(i).type),
+             str(exp_tbl.schema.field(j).type))
+            for i, j in zip(gi, ei)
+            if got_tbl.schema.field(i).type != exp_tbl.schema.field(j).type]
+    if tmis:
+        for c, gt, et in tmis:
+            print(f"FAIL {name}: column '{c}' type spark={gt} vs oracle={et}"
+                  " (driver hash compares typed values — CAST in oracleSql)")
+        n_fail += 1
+        continue
+    g = [tuple(norm(v) for v in r)
+         for r in zip(*(got_tbl.column(i).to_pylist() for i in gi))] \
+        if len(got_cols) else []
+    e = [tuple(norm(v) for v in r)
+         for r in zip(*(exp_tbl.column(j).to_pylist() for j in ei))] \
+        if len(exp_cols) else []
     if len(g) != len(e):
         print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
         n_fail += 1
