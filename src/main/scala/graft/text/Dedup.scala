@@ -101,6 +101,88 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Portable-hash MinHash+LSH — the oracle-mirrorable twin of
+    * [[minhashPairs]] (q129's generated-mirror doctrine applied to the
+    * sketch dedup family): the hash family is the repo's portable md5
+    * convention (`conv(substr(md5(i || '|' || shingle), 1, 15), 16,
+    * 10)` — 60 bits, positive in both engines), the band key is the
+    * comma-joined component string (equality is all banding needs — no
+    * second hash to port), and the Jaccard estimate is floor-ppm over
+    * exact integers. 16 hashes × 8 bands × 2 rows: md5 is ~10× xxhash,
+    * so the portable family is half-width — this variant exists to be
+    * driver-verified end-to-end; [[minhashPairs]] (xxhash64, 32-wide)
+    * stays the throughput path.
+    *
+    * Scale shape identical to q33: signature = ONE map-side-combined
+    * min-agg over the exploded (shingle × i) stream (the explode is
+    * row-local; ≤ NumH rows per doc cross the shuffle), candidates
+    * meet only on (band, key) collisions, never N². */
+  def minhashPortable(docs: DataFrame, tauPpm: Long = 500000L,
+                      numH: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    def md5Long(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val sh = TextQueries.wordShingles(docs)
+    val sig = sh
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(numH - 1))).as("i"), col("shingle"))
+      .select(col("doc_id"), col("i"),
+        md5Long(concat(col("i").cast("string"), lit("|"), col("shingle"))).as("h"))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("h"))
+      .localCheckpoint() // feeds the band join AND both estimate joins
+    val bands = sig
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("h")))),
+        e => e("h").cast("string")), ",").as("bh"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cands
+      .join(sig.select(col("doc_id").as("d1"), col("i"), col("h").as("h1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("i"), col("h").as("h2")),
+        Seq("d2", "i"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(when(col("h1") === col("h2"), 1L).otherwise(0L)).as("neq"))
+      .select(col("d1"), col("d2"),
+        floor(lit(1e6) * col("neq") / lit(numH)).cast("long").as("est_ppm"))
+      .filter(col("est_ppm") >= tauPpm)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private def minhashPortableOracle(tauPpm: Long, numH: Int,
+                                    rowsPerBand: Int): String =
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+       |             x -> ws[x] || ' ' || ws[x+1] || ' ' || ws[x+2])) AS shingle
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |    WHERE len(ws) >= 3)),
+       |hi AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    min(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || shingle),
+       |      1, 15)) AS BIGINT)) AS h
+       |  FROM sh, range($numH) t(i) GROUP BY 1, 2),
+       |bnd AS (
+       |  SELECT doc_id, i // $rowsPerBand AS band,
+       |         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bh
+       |  FROM hi GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |eq AS (
+       |  SELECT d1, d2, sum(CASE WHEN h1.h = h2.h THEN 1 ELSE 0 END) AS neq
+       |  FROM cand JOIN hi h1 ON h1.doc_id = cand.d1
+       |            JOIN hi h2 ON h2.doc_id = cand.d2 AND h2.i = h1.i
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, est_ppm FROM (
+       |  SELECT d1, d2,
+       |    CAST(floor(1e6 * neq / $numH) AS BIGINT) AS est_ppm FROM eq)
+       |WHERE est_ppm >= $tauPpm ORDER BY d1, d2""".stripMargin
+
   /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo,
     * SIGMOD'95): sort each language's documents by a cheap blocking key
     * (the normalized text prefix), slide a window of `w`, and verify
@@ -174,6 +256,12 @@ object Dedup {
       (s, dir) => sortedNeighborhoodPairs(graft.Tables.load(s, dir, "documents")),
       Some(snmOracle(3, 500000L, 24)),
       doc = "Sorted-neighborhood near-dup pairs (SIGMOD'95 blocking, window w=3, exact Jaccard verify)"),
+
+    Declared(
+      "q172_minhash_portable",
+      (s, dir) => minhashPortable(graft.Tables.load(s, dir, "documents")),
+      Some(minhashPortableOracle(500000L, 16, 2)),
+      doc = "MinHash+LSH with the portable md5 hash family — the sketch dedup pipeline driver-verified end-to-end (banding, signature mins, ppm estimate); q33's xxhash64 form stays the throughput path"),
 
     Declared(
       "q33_minhash_pairs",

@@ -49,6 +49,31 @@ class PipelineSpecs extends SparkSpec {
     }
   }
 
+  test("portable MinHash: exact dup at 1e6 ppm, estimates track exact Jaccard, deterministic") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base),
+      (1L, base),                                    // exact dup
+      (2L, base.replace("quick", "slow")),           // near dup
+      (3L, "completely different words with zero overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    val est = Dedup.minhashPortable(docs, tauPpm = 500000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(est.exists { case (a, b, p) => a == 0L && b == 1L && p == 1000000L },
+      s"exact dup must estimate 1e6 ppm; got ${est.mkString(", ")}")
+    val exact = TextQueries.jaccardPairs(docs, 0.1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    est.foreach { case (a, b, p) =>
+      val e = exact.getOrElse((a, b), 0.0)
+      // 16 hashes ⇒ ±2-3 components of sampling noise
+      assert(math.abs(p / 1e6 - e) < 0.40, s"pair ($a,$b): est $p ppm vs exact $e")
+    }
+    val again = Dedup.minhashPortable(docs, tauPpm = 500000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(est.sorted.sameElements(again.sorted), "portable family must be deterministic")
+  }
+
   test("pageRank: hub ordering, dangling floor, deterministic, no leaked blocks") {
     import spark.implicits._
     // 2-regular graph: 1↔2↔3 mutually linked, 4 points in but nothing
