@@ -152,9 +152,11 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  private def minhashPortableOracle(tauPpm: Long, numH: Int,
-                                    rowsPerBand: Int): String =
-    s"""WITH sh AS MATERIALIZED (
+  /** The q172 pipeline as reusable CTEs ending in `mp(d1, d2, est_ppm)`
+    * — shared by the pairs oracle and the clusters oracle (q174). */
+  private[text] def minhashPortableCtes(tauPpm: Long, numH: Int,
+                                        rowsPerBand: Int): String =
+    s"""sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
        |             x -> ws[x] || ' ' || ws[x+1] || ' ' || ws[x+2])) AS shingle
@@ -177,11 +179,80 @@ object Dedup {
        |  SELECT d1, d2, sum(CASE WHEN h1.h = h2.h THEN 1 ELSE 0 END) AS neq
        |  FROM cand JOIN hi h1 ON h1.doc_id = cand.d1
        |            JOIN hi h2 ON h2.doc_id = cand.d2 AND h2.i = h1.i
-       |  GROUP BY 1, 2)
-       |SELECT d1, d2, est_ppm FROM (
-       |  SELECT d1, d2,
-       |    CAST(floor(1e6 * neq / $numH) AS BIGINT) AS est_ppm FROM eq)
-       |WHERE est_ppm >= $tauPpm ORDER BY d1, d2""".stripMargin
+       |  GROUP BY 1, 2),
+       |mp AS MATERIALIZED (
+       |  SELECT d1, d2, est_ppm FROM (
+       |    SELECT d1, d2,
+       |      CAST(floor(1e6 * neq / $numH) AS BIGINT) AS est_ppm FROM eq)
+       |  WHERE est_ppm >= $tauPpm)""".stripMargin
+
+  private def minhashPortableOracle(tauPpm: Long, numH: Int,
+                                    rowsPerBand: Int): String =
+    s"""WITH ${minhashPortableCtes(tauPpm, numH, rowsPerBand)}
+       |SELECT d1, d2, est_ppm FROM mp ORDER BY d1, d2""".stripMargin
+
+  /** Portable-hash SimHash near-dup pairs — [[simhashPairs]]' oracle-
+    * mirrorable twin: a 60-bit fingerprint (bit j = sign of Σ_tokens ±1
+    * by bit j of the portable md5 hash — 60 bits keeps every shift and
+    * the packed value positive BIGINT in both engines), 4×15-bit chunk
+    * banding (pigeonhole: hamming ≤ 3 forces ≥ 1 equal chunk, so the
+    * candidate set is EXACT at this threshold), bit_count(xor) verify.
+    * All-integer arithmetic end to end — nothing to drift. The xxhash64
+    * 64-bit form (q34/q34b) stays the throughput path. */
+  def simhashPortablePairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bits = 60
+    val chunkBits = 15
+    val tok = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+    val sig = tok
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("(shiftright(h, j) & 1) = 1"), 1L).otherwise(-1L)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("sh"))
+      .localCheckpoint() // feeds both chunk-join sides
+    val chunks = sig.select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(bits / chunkBits - 1))).as("c"))
+      .select(col("doc_id"), col("sh"), col("c"),
+        expr(s"shiftright(sh, c * $chunkBits) & ${(1 << chunkBits) - 1}").as("v"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private def simhashPortableOracle(maxHamming: Int): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents)),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM tok, range(60) t(j) GROUP BY 1, 2),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+       |      AS BIGINT) AS sh
+       |  FROM bits GROUP BY 1),
+       |chunks AS (
+       |  SELECT doc_id, sh, c, (sh >> (c * 15)) & 32767 AS v
+       |  FROM sig, range(4) t(c)),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |  FROM chunks a JOIN chunks b
+       |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, hamming FROM p
+       |WHERE hamming <= $maxHamming ORDER BY d1, d2""".stripMargin
 
   /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo,
     * SIGMOD'95): sort each language's documents by a cheap blocking key
@@ -262,6 +333,12 @@ object Dedup {
       (s, dir) => minhashPortable(graft.Tables.load(s, dir, "documents")),
       Some(minhashPortableOracle(500000L, 16, 2)),
       doc = "MinHash+LSH with the portable md5 hash family — the sketch dedup pipeline driver-verified end-to-end (banding, signature mins, ppm estimate); q33's xxhash64 form stays the throughput path"),
+
+    Declared(
+      "q173_simhash_portable",
+      (s, dir) => simhashPortablePairs(graft.Tables.load(s, dir, "documents")),
+      Some(simhashPortableOracle(3)),
+      doc = "SimHash near-dup pairs on the portable md5 hash family (60-bit fingerprint, 4x15-bit banding, exact at hamming<=3) — driver-verified end-to-end; q34's xxhash64 form stays the throughput path"),
 
     Declared(
       "q33_minhash_pairs",

@@ -180,6 +180,27 @@ object PipelineOps {
       doc = "Near-dup clusters: pairs → connected components → canonical id"),
 
     Declared(
+      // The 100 TB sketch-dedup path end-to-end AND driver-green:
+      // portable-md5 MinHash+LSH pairs (q172's pipeline) → connected
+      // components → canonical id, oracled by replaying the pair CTEs
+      // plus the q58 recursive-closure mirror.
+      "q174_minhash_clusters_portable",
+      (s, dir) => dupClusters(Tables.load(s, dir, "documents"), 0.5,
+        pairsOverride = Some(
+          Dedup.minhashPortable(Tables.load(s, dir, "documents"))
+            .select(col("d1"), col("d2")))),
+      Some(s"""WITH RECURSIVE ${Dedup.minhashPortableCtes(500000L, 16, 2)},
+        |e AS (SELECT d1 AS a, d2 AS b FROM mp
+        |      UNION ALL SELECT d2, d1 FROM mp),
+        |r AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+        |      UNION
+        |      SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a)
+        |SELECT src AS doc_id, min(dst) AS cluster,
+        |       (src = min(dst)) AS is_canonical
+        |FROM r GROUP BY src ORDER BY doc_id""".stripMargin),
+      doc = "Near-dup clusters over the portable MinHash-LSH pairs — the sketch dedup story (pairs AND clusters) driver-verified end-to-end"),
+
+    Declared(
       // The 100 TB dedup path end-to-end: MinHash+LSH candidate pairs
       // (banded bucket join, never N²) → connected components →
       // canonical id per doc. Sketch-based ⇒ rows-only for the driver;

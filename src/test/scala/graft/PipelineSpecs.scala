@@ -74,6 +74,23 @@ class PipelineSpecs extends SparkSpec {
     assert(est.sorted.sameElements(again.sorted), "portable family must be deterministic")
   }
 
+  test("portable SimHash: exact dups at hamming 0, near dups close, unrelated absent") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base),
+      (1L, base),                          // identical → hamming 0
+      (2L, base.replace("quick", "slow")), // one-token change → small hamming
+      (3L, "completely different words with zero overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashPortablePairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 },
+      s"identical docs must pair at hamming 0; got ${got.mkString(", ")}")
+    assert(!got.exists { case (a, b, _) => b == 3L || a == 3L },
+      s"unrelated doc must not pair within hamming 3; got ${got.mkString(", ")}")
+  }
+
   test("pageRank: hub ordering, dangling floor, deterministic, no leaked blocks") {
     import spark.implicits._
     // 2-regular graph: 1↔2↔3 mutually linked, 4 points in but nothing
