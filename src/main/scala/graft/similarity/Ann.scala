@@ -112,6 +112,78 @@ object Ann {
     cent
   }
 
+  /** Cross-engine-exact distributed Lloyd's — [[kmeansCentroids]]'
+    * oracle-mirrorable twin (the generated-mirror doctrine applied to
+    * an ITERATIVE float algorithm): init is bottom-k by the portable
+    * md5 rank (not xxhash64, which DuckDB lacks), and each round's
+    * centroid mean is a SEQUENTIAL double fold over member values in
+    * id order — `avg`'s partial aggregation is order-free and thus not
+    * bit-reproducible across engines. Every argmin ties on (d, cid).
+    * [[kmeansCentroids]] (xxhash init, plain avg — the order-free
+    * shapes you want at 100 TB) remains the scale path. */
+  def kmeansCentroidsPortable(emb: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pts = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    var cent = pts
+      .withColumn("hk", conv(substring(
+        md5(concat(lit("km|"), col("id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"))
+      .orderBy(col("hk"), col("id")).limit(k)
+      .withColumn("cid", row_number().over(
+        Window.orderBy(col("hk"), col("id"))) - 1)
+      .select(col("cid"), col("vec").as("cvec"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = pts.join(broadcast(cent))
+        .select(col("id"), struct(
+          Distances.euclidean(col("vec"), col("cvec")).as("d"),
+          col("cid").as("cid"), col("vec").as("vec")).as("cand"))
+        .groupBy(col("id")).agg(min(col("cand")).as("m"))
+        .select(col("id"), col("m.cid").as("cid"), col("m.vec").as("vec"))
+      val next = assigned
+        .select(col("id"), col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          array_sort(collect_list(struct(col("id"), col("x")))).as("s"))
+        .withColumn("m", expr(
+          "aggregate(s, CAST(0 AS DOUBLE), (acc, e) -> acc + CAST(e.x AS DOUBLE)) / n"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(col("cid"), transform(col("dims"), e => e("m").cast("float")).as("cvec"))
+        .localCheckpoint()
+      graft.Checkpoints.release(cent)
+      cent = next
+    }
+    cent
+  }
+
+  /** [[ivfKmeansTopK]] over the portable quantizer — the variant the
+    * q175 oracle replays end to end (init, every Lloyd's round, list
+    * assignment, probes, exact re-rank). */
+  def ivfKmeansTopKPortable(emb: DataFrame, k: Int, queryPred: Column,
+      nlist: Int = 8, nprobe: Int = 3, kmeansIters: Int = 5): DataFrame = {
+    val cent = kmeansCentroidsPortable(emb, nlist, kmeansIters)
+    val pts = emb.select(col("vec_id").as("nbr"), col("embedding").as("cv"))
+    val lists = pts.join(broadcast(cent))
+      .select(col("nbr"), struct(
+        Distances.euclidean(col("cv"), col("cvec")).as("d"),
+        col("cid").as("cid"), col("cv").as("cv")).as("cand"))
+      .groupBy(col("nbr")).agg(min(col("cand")).as("m"))
+      .select(col("m.cid").as("cid"), col("nbr"), col("m.cv").as("cv"))
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("cd", Distances.euclidean(col("qv"), col("cvec")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cd"), col("cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val cands = probes.join(lists, Seq("cid"))
+      .filter(col("qid") =!= col("nbr"))
+      .select(col("qid"), col("qv"), col("nbr"), col("cv"))
+    rerank(cands, k)
+  }
+
   /** IVF with the k-means quantizer: build inverted lists by nearest
     * centroid, probe the nprobe nearest lists per query, exact re-rank. */
   def ivfKmeansTopK(emb: DataFrame, k: Int, queryPred: Column,

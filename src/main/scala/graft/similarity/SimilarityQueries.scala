@@ -175,7 +175,84 @@ object SimilarityQueries {
        |GROUP BY method, n_exact ORDER BY method""".stripMargin
   }
 
+  /** Generated mirror of [[Ann.ivfKmeansTopKPortable]]: the md5
+    * bottom-k init, every Lloyd's round (argmin with (d, cid) ties,
+    * ordered-fold centroid means), list assignment, probes, and the
+    * 6-dp-rounded exact re-rank — all replayed as SQL CTEs. The
+    * iterative-float-algorithm analogue of the BPE/PageRank replay
+    * oracles: only the pinned fold order makes the rounds
+    * bit-reproducible across engines. */
+  private def ivfKmeansPortableOracle(k: Int, nlist: Int, nprobe: Int,
+                                      iters: Int): String = {
+    def eucl(a: String, b: String) = DuckSql.euclidean(a, b)
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |k0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY hk, id) - 1 AS cid, vec AS cvec
+         |  FROM (SELECT id, vec,
+         |          CAST(('0x' || substr(md5('km|' || CAST(id AS VARCHAR)),
+         |            1, 15)) AS BIGINT) AS hk
+         |        FROM pts ORDER BY hk, id LIMIT $nlist) t)""".stripMargin)
+    for (r <- 1 to iters) {
+      sb.append(s""",
+        |a$r AS MATERIALIZED (
+        |  SELECT id, vec, cid FROM (
+        |    SELECT p.id, p.vec, c.cid,
+        |      row_number() OVER (PARTITION BY p.id
+        |        ORDER BY ${eucl("p.vec", "c.cvec")}, c.cid) AS rn
+        |    FROM pts p CROSS JOIN k${r - 1} c) WHERE rn = 1),
+        |k$r AS MATERIALIZED (
+        |  SELECT cid, list_transform(list(m ORDER BY pos),
+        |           z -> CAST(z AS FLOAT)) AS cvec
+        |  FROM (SELECT cid, pos,
+        |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |              list(CAST(x AS DOUBLE) ORDER BY id)),
+        |            (acc, v) -> acc + v) / count(*) AS m
+        |        FROM (SELECT id, cid, unnest(range(0, len(vec))) AS pos,
+        |                unnest(vec) AS x
+        |              FROM a$r)
+        |        GROUP BY cid, pos)
+        |  GROUP BY cid)""".stripMargin)
+    }
+    sb.append(s""",
+      |lists AS MATERIALIZED (
+      |  SELECT cid, id AS nbr, vec AS cv FROM (
+      |    SELECT p.id, p.vec, c.cid,
+      |      row_number() OVER (PARTITION BY p.id
+      |        ORDER BY ${eucl("p.vec", "c.cvec")}, c.cid) AS rn
+      |    FROM pts p CROSS JOIN k$iters c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT q.id AS qid, c.cid,
+      |      row_number() OVER (PARTITION BY q.id
+      |        ORDER BY ${eucl("q.vec", "c.cvec")}, c.cid) AS pr
+      |    FROM pts q CROSS JOIN k$iters c WHERE q.id < 20) WHERE pr <= $nprobe),
+      |icand AS (
+      |  SELECT p.qid, l.nbr FROM probes p JOIN lists l ON l.cid = p.cid
+      |  WHERE l.nbr <> p.qid)
+      |SELECT qid, nbr, sim, CAST(rn AS INT) AS rn FROM (
+      |  SELECT icand.qid, icand.nbr,
+      |    round(${DuckSql.cosineSimilarity("qe.embedding", "ce.embedding")}, 6) AS sim,
+      |    row_number() OVER (PARTITION BY icand.qid
+      |      ORDER BY round(${DuckSql.cosineSimilarity("qe.embedding", "ce.embedding")}, 6) DESC,
+      |        icand.nbr) AS rn
+      |  FROM icand JOIN embeddings qe ON qe.vec_id = icand.qid
+      |             JOIN embeddings ce ON ce.vec_id = icand.nbr)
+      |WHERE rn <= $k ORDER BY qid, rn""".stripMargin)
+    sb.toString
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q175_ann_ivf_kmeans_portable",
+      (s, dir) => Ann.ivfKmeansTopKPortable(Tables.load(s, dir, "embeddings"),
+        K, queryPred = col("vec_id") < 20)
+        .orderBy(col("qid"), col("rn")),
+      Some(ivfKmeansPortableOracle(K, nlist = 8, nprobe = 3, iters = 5)),
+      doc = "IVF over the portable distributed k-means quantizer — the full iterative Lloyd's loop (md5 init, ordered-fold means, argmin rounds) replayed in the oracle; q36b's avg/xxhash form stays the scale path"),
+
     Declared(
       "q171_ann_quality",
       (s, dir) => annQuality(Tables.load(s, dir, "embeddings")),

@@ -47,6 +47,35 @@ object LineDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Boilerplate-line audit (CCNet-style): a sentence appearing in
+    * ≥ `minDf` DISTINCT documents of the same source is boilerplate
+    * (navigation chrome, footers, legal text — the web-pipeline class
+    * repeated-content detector ABOVE the single-first-occurrence grain
+    * of [[lineDedup]]). Reported per document as boilerplate counts +
+    * floor-ppm share.
+    *
+    * Scale shape: the df table is one distinct + one hash-agg on the
+    * (source, line-hash) key — map-side combined, never a self-join;
+    * the join back is co-partitioned on the same key. Spark groups by
+    * the 64-bit line hash; the oracle groups by the line STRING, so a
+    * hash collision would be caught, not hidden (q69's convention). */
+  def boilerplateAudit(docs: DataFrame, minDf: Int = 3): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), "\\. ")).as("line"))
+      .select(col("doc_id"), col("source"), xxhash64(col("line")).as("h"))
+    val df = lines.select(col("source"), col("h"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("df"))
+    lines.join(df, Seq("source", "h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+        floor(lit(1e6) * col("n_boiler") / col("n_lines")).cast("long")
+          .as("boiler_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark-slice membership filter: Bloom over the held-out slice's
     * distinct hashed `n`-gram shingles (q55's slice convention,
     * doc_id ≡ 0 mod 10). `expectedItems`/`fpp` size the bitset; the
@@ -94,6 +123,23 @@ object LineDedup {
         |    / count(*), 4) AS kept_frac
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "Repeated-sentence removal: keep first global occurrence (CCNet line dedup)"),
+
+    Declared(
+      "q176_boilerplate",
+      (s, dir) => boilerplateAudit(Tables.load(s, dir, "documents")),
+      Some("""WITH l AS (
+        |  SELECT doc_id, source, unnest(string_split(text, '. ')) AS line
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, line, count(DISTINCT doc_id) AS df
+        |  FROM l GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(floor(1e6 * sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END)
+        |    / count(*)) AS BIGINT) AS boiler_ppm
+        |FROM l JOIN d USING (source, line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "Boilerplate-line audit: sentences in >=3 distinct docs of the same source flagged per doc (CCNet-style repeated-content detector)"),
 
     Declared(
       // Deterministic (bit-OR sketch merge) but not ANSI-expressible ⇒

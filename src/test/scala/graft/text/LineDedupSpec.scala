@@ -18,6 +18,25 @@ class LineDedupSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 3L), (2L, 2L, 1L), (3L, 2L, 1L)))
   }
 
+  test("boilerplateAudit: cross-source repeats don't count, within-source df>=3 does") {
+    import spark.implicits._
+    val docs = Seq(
+      // "footer text" in 3 distinct docs of source A → boilerplate there
+      (1L, "alpha body. footer text", "A"),
+      (2L, "beta body. footer text", "A"),
+      (3L, "gamma body. footer text", "A"),
+      // same sentence in source B only once → NOT boilerplate in B
+      (4L, "delta body. footer text", "B"),
+      // in-doc repetition is occurrences, not distinct docs: df stays 1
+      (5L, "echo same. echo same. echo same", "B")
+    ).toDF("doc_id", "text", "source")
+    val got = LineDedup.boilerplateAudit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L), (3L, 2L, 1L, 500000L),
+      (4L, 2L, 0L, 0L), (5L, 3L, 0L, 0L)), got.mkString(", "))
+  }
+
   test("bloomDecontaminate: zero false negatives vs exact semi-join, fp bounded") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val bloom = LineDedup.bloomDecontaminate(docs)
