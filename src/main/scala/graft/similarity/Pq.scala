@@ -140,6 +140,70 @@ object Pq {
       rerank: Int = 3): DataFrame = {
     val subDim = dim / m
     val books = trainCodebooks(emb, m, ks, dim, iters, seed)
+    adcFromBooks(emb, books, k, queryPred, subDim, rerank)
+  }
+
+  /** Cross-engine-exact grouped Lloyd's — [[groupedKmeans]]' oracle-
+    * mirrorable twin (the q175 doctrine, per subspace): md5 bottom-k
+    * init (shared ids across groups, as the seeded init also picks),
+    * ordered-fold means, argmin ties on (d, cid), empty-cluster carry
+    * via the same left-outer coalesce. [[groupedKmeans]] (xxhash init,
+    * plain avg) stays the scale path. */
+  def groupedKmeansPortable(pts: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    val sel = pts.select(col("id")).distinct()
+      .withColumn("hk", conv(substring(
+        md5(concat(lit("km|"), col("id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"))
+      .orderBy(col("hk"), col("id")).limit(k)
+    var cent = pts.join(broadcast(sel), Seq("id"))
+      .withColumn("cid", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("hk"), col("id"))) - 1)
+      .select(col("grp"), col("cid"), col("vec").as("cvec"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = pts.join(broadcast(cent), Seq("grp"))
+        .select(col("grp"), col("id"), struct(
+          Distances.euclidean(col("vec"), col("cvec")).as("d"),
+          col("cid").as("cid"), col("vec").as("vec")).as("cand"))
+        .groupBy(col("grp"), col("id")).agg(min(col("cand")).as("m"))
+        .select(col("grp"), col("id"), col("m.cid").as("cid"), col("m.vec").as("vec"))
+      val moved = assigned
+        .select(col("grp"), col("cid"), col("id"),
+          posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("grp"), col("cid"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          array_sort(collect_list(struct(col("id"), col("x")))).as("s"))
+        .withColumn("mn", expr(
+          "aggregate(s, CAST(0 AS DOUBLE), (acc, e) -> acc + CAST(e.x AS DOUBLE)) / n"))
+        .groupBy(col("grp"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("dims"))
+        .select(col("grp"), col("cid"),
+          transform(col("dims"), e => e("mn").cast("float")).as("cvec"))
+      val next = cent.select(col("grp"), col("cid"), col("cvec").as("prev"))
+        .join(moved, Seq("grp", "cid"), "left_outer")
+        .select(col("grp"), col("cid"),
+          coalesce(col("cvec"), col("prev")).as("cvec"))
+        .localCheckpoint()
+      graft.Checkpoints.release(cent)
+      cent = next
+    }
+    cent
+  }
+
+  /** [[adcTopK]] over the portable codebooks — the variant the q177
+    * oracle replays end to end. */
+  def adcTopKPortable(emb: DataFrame, k: Int, queryPred: Column, m: Int = 4,
+      ks: Int = 16, dim: Int = 64, iters: Int = 3, rerank: Int = 3): DataFrame = {
+    val subDim = dim / m
+    val cent = groupedKmeansPortable(subspacePoints(emb, m, dim), ks, iters)
+      .collect()
+    val books = Array.ofDim[Array[Float]](m, ks)
+    cent.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
+    adcFromBooks(emb, books, k, queryPred, subDim, rerank)
+  }
+
+  private def adcFromBooks(emb: DataFrame, books: Array[Array[Array[Float]]],
+      k: Int, queryPred: Column, subDim: Int, rerank: Int): DataFrame = {
     // one row-local pass: corpus → (id, codes)
     val codes = emb.select(col("vec_id").as("nbr"),
       encodeExpr(col("embedding"), books, subDim).as("codes"))

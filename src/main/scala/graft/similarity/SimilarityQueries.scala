@@ -244,7 +244,106 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** Generated mirror of [[Pq.adcTopKPortable]]: subspace slicing, the
+    * grouped Lloyd's loop (md5 init shared across subspaces, ordered-
+    * fold means, empty-cluster carry), literal-free encode as the same
+    * argmin, the ADC sum in PINNED j-order (Spark's reduce is a left
+    * fold; an SQL sum() aggregates in arbitrary order, so the mirror
+    * pivots the m terms and adds them explicitly), shortlist by
+    * (adist, nbr), exact 6-dp cosine re-rank. */
+  private def pqPortableOracle(k: Int, m: Int, ks: Int, dim: Int,
+                               iters: Int, rerank: Int): String = {
+    val subDim = dim / m
+    def eucl(a: String, b: String) = DuckSql.euclidean(a, b)
+    def sq(a: String, b: String) = DuckSql.squaredL2(a, b)
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT t.grp, vec_id AS id,
+         |    embedding[t.grp * $subDim + 1 : t.grp * $subDim + $subDim] AS vec
+         |  FROM embeddings, range($m) t(grp)),
+         |sel AS (
+         |  SELECT vec_id AS id, hk FROM (
+         |    SELECT vec_id,
+         |      CAST(('0x' || substr(md5('km|' || CAST(vec_id AS VARCHAR)),
+         |        1, 15)) AS BIGINT) AS hk
+         |    FROM embeddings) ORDER BY hk, vec_id LIMIT $ks),
+         |k0 AS MATERIALIZED (
+         |  SELECT p.grp,
+         |    row_number() OVER (PARTITION BY p.grp ORDER BY s.hk, p.id) - 1 AS cid,
+         |    p.vec AS cvec
+         |  FROM pts p JOIN sel s ON p.id = s.id)""".stripMargin)
+    for (r <- 1 to iters) {
+      sb.append(s""",
+        |a$r AS MATERIALIZED (
+        |  SELECT grp, id, vec, cid FROM (
+        |    SELECT p.grp, p.id, p.vec, c.cid,
+        |      row_number() OVER (PARTITION BY p.grp, p.id
+        |        ORDER BY ${eucl("p.vec", "c.cvec")}, c.cid) AS rn
+        |    FROM pts p JOIN k${r - 1} c ON c.grp = p.grp) WHERE rn = 1),
+        |mv$r AS (
+        |  SELECT grp, cid, list_transform(list(mn ORDER BY pos),
+        |           z -> CAST(z AS FLOAT)) AS cvec
+        |  FROM (SELECT grp, cid, pos,
+        |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |              list(CAST(x AS DOUBLE) ORDER BY id)),
+        |            (acc, v) -> acc + v) / count(*) AS mn
+        |        FROM (SELECT grp, cid, id, unnest(range(0, len(vec))) AS pos,
+        |                unnest(vec) AS x
+        |              FROM a$r)
+        |        GROUP BY grp, cid, pos)
+        |  GROUP BY grp, cid),
+        |k$r AS MATERIALIZED (
+        |  SELECT p.grp, p.cid, coalesce(m.cvec, p.cvec) AS cvec
+        |  FROM k${r - 1} p LEFT JOIN mv$r m
+        |    ON m.grp = p.grp AND m.cid = p.cid)""".stripMargin)
+    }
+    val adSum = (0 until m)
+      .map(j => s"max(CASE WHEN l.grp = $j THEN l.d END)")
+      .mkString(" + ")
+    sb.append(s""",
+      |codes AS MATERIALIZED (
+      |  SELECT id AS nbr, grp, cid AS code FROM (
+      |    SELECT p.id, p.grp, c.cid,
+      |      row_number() OVER (PARTITION BY p.grp, p.id
+      |        ORDER BY ${sq("p.vec", "c.cvec")}, c.cid) AS rn
+      |    FROM pts p JOIN k$iters c ON c.grp = p.grp) WHERE rn = 1),
+      |lut AS MATERIALIZED (
+      |  SELECT q.vec_id AS qid, c.grp, c.cid,
+      |    ${sq(s"q.embedding[c.grp * $subDim + 1 : c.grp * $subDim + $subDim]",
+              "c.cvec")} AS d
+      |  FROM embeddings q CROSS JOIN k$iters c WHERE q.vec_id < 20),
+      |ad AS (
+      |  SELECT l.qid, c.nbr, $adSum AS adist
+      |  FROM codes c JOIN lut l ON l.grp = c.grp AND l.cid = c.code
+      |  WHERE l.qid <> c.nbr
+      |  GROUP BY l.qid, c.nbr),
+      |short AS (
+      |  SELECT qid, nbr FROM (
+      |    SELECT qid, nbr, row_number() OVER (PARTITION BY qid
+      |      ORDER BY adist, nbr) AS rn FROM ad)
+      |  WHERE rn <= ${rerank * k})
+      |SELECT qid, nbr, sim, CAST(rn AS INT) AS rn FROM (
+      |  SELECT short.qid, short.nbr,
+      |    round(${DuckSql.cosineSimilarity("qe.embedding", "ce.embedding")}, 6) AS sim,
+      |    row_number() OVER (PARTITION BY short.qid
+      |      ORDER BY round(${DuckSql.cosineSimilarity("qe.embedding", "ce.embedding")}, 6) DESC,
+      |        short.nbr) AS rn
+      |  FROM short JOIN embeddings qe ON qe.vec_id = short.qid
+      |             JOIN embeddings ce ON ce.vec_id = short.nbr)
+      |WHERE rn <= $k ORDER BY qid, rn""".stripMargin)
+    sb.toString
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q177_ann_pq_portable",
+      (s, dir) => Pq.adcTopKPortable(Tables.load(s, dir, "embeddings"),
+        K, queryPred = col("vec_id") < 20)
+        .orderBy(col("qid"), col("rn")),
+      Some(pqPortableOracle(K, m = 4, ks = 16, dim = 64, iters = 3, rerank = 3)),
+      doc = "Product-quantization ANN on portable codebooks — grouped Lloyd's training, PQ encode, pinned-order ADC scan and exact re-rank all replayed in the oracle; q126's seeded form stays the scale path"),
+
     Declared(
       "q175_ann_ivf_kmeans_portable",
       (s, dir) => Ann.ivfKmeansTopKPortable(Tables.load(s, dir, "embeddings"),
