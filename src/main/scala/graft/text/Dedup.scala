@@ -186,6 +186,15 @@ object Dedup {
        |      CAST(floor(1e6 * neq / $numH) AS BIGINT) AS est_ppm FROM eq)
        |  WHERE est_ppm >= $tauPpm)""".stripMargin
 
+  /** The portable pairs, materialized once per (process, sfDir):
+    * q172 declares them and q174's clustering consumes them — one md5
+    * signature build per process, not per consumer. */
+  def sharedPortablePairs(s: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame =
+    graft.Materialized.table(s, dir, "minhash_portable") {
+      minhashPortable(graft.Tables.load(s, dir, "documents"))
+    }
+
   private def minhashPortableOracle(tauPpm: Long, numH: Int,
                                     rowsPerBand: Int): String =
     s"""WITH ${minhashPortableCtes(tauPpm, numH, rowsPerBand)}
@@ -330,7 +339,7 @@ object Dedup {
 
     Declared(
       "q172_minhash_portable",
-      (s, dir) => minhashPortable(graft.Tables.load(s, dir, "documents")),
+      (s, dir) => sharedPortablePairs(s, dir).orderBy(col("d1"), col("d2")),
       Some(minhashPortableOracle(500000L, 16, 2)),
       doc = "MinHash+LSH with the portable md5 hash family — the sketch dedup pipeline driver-verified end-to-end (banding, signature mins, ppm estimate); q33's xxhash64 form stays the throughput path"),
 

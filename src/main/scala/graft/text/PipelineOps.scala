@@ -187,8 +187,7 @@ object PipelineOps {
       "q174_minhash_clusters_portable",
       (s, dir) => dupClusters(Tables.load(s, dir, "documents"), 0.5,
         pairsOverride = Some(
-          Dedup.minhashPortable(Tables.load(s, dir, "documents"))
-            .select(col("d1"), col("d2")))),
+          Dedup.sharedPortablePairs(s, dir).select(col("d1"), col("d2")))),
       Some(s"""WITH RECURSIVE ${Dedup.minhashPortableCtes(500000L, 16, 2)},
         |e AS (SELECT d1 AS a, d2 AS b FROM mp
         |      UNION ALL SELECT d2, d1 FROM mp),
