@@ -94,47 +94,26 @@ object SimilarityQueries {
       .orderBy(col("method"))
   }
 
-  /** The generated DuckDB mirror of [[annQuality]]: LSH planes embedded
-    * as literals from the same seeded generator, centroids as the same
-    * ordered fold, identical rounding and tie-breaks. */
-  private def annQualityOracle(k: Int): String = {
-    val planes = Ann.lshPlanes(dim = 64, bands = 4, bitsPerBand = 8, seed = 42L)
-    val planeVals = planes.zipWithIndex.map { case (p, i) =>
-      s"($i, [${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
-    }.mkString(",\n")
+  /** Shared CTE fragment: `ex(qid, nbr)` — exact cosine top-k for the
+    * qid < 20 query subset (the q30 oracle pattern). */
+  private def exCte(k: Int): String = {
     val cosAB = DuckSql.cosineSimilarity("a.embedding", "b.embedding")
-    val cosQC = DuckSql.cosineSimilarity("qe.embedding", "ce.embedding")
-    val dotPl = DuckSql.dot("e.embedding", "p.pl")
-    val cd = DuckSql.euclidean("q.embedding", "c.cvec")
-    s"""WITH ex AS MATERIALIZED (
+    s"""ex AS MATERIALIZED (
        |  SELECT qid, nbr FROM (
        |    SELECT a.vec_id AS qid, b.vec_id AS nbr,
        |      row_number() OVER (PARTITION BY a.vec_id
        |        ORDER BY round($cosAB, 6) DESC, b.vec_id) AS rn
        |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-       |    WHERE a.vec_id < 20) WHERE rn <= $k),
-       |planes(p, pl) AS (VALUES
-       |$planeVals),
-       |sig AS MATERIALIZED (
-       |  SELECT e.vec_id, p.p // 8 AS band, p.p % 8 AS biti,
-       |    CASE WHEN $dotPl >= 0 THEN 1 ELSE 0 END AS b
-       |  FROM embeddings e, planes p),
-       |bnd AS MATERIALIZED (
-       |  SELECT vec_id, band, sum(b * (1 << biti)) AS bv
-       |  FROM sig GROUP BY 1, 2),
-       |lcand AS (
-       |  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS nbr
-       |  FROM bnd qb JOIN bnd cb ON qb.band = cb.band AND qb.bv = cb.bv
-       |  WHERE qb.vec_id < 20 AND cb.vec_id <> qb.vec_id),
-       |lsh AS MATERIALIZED (
-       |  SELECT qid, nbr FROM (
-       |    SELECT lcand.qid, lcand.nbr,
-       |      row_number() OVER (PARTITION BY lcand.qid
-       |        ORDER BY round($cosQC, 6) DESC, lcand.nbr) AS rn
-       |    FROM lcand JOIN embeddings qe ON qe.vec_id = lcand.qid
-       |               JOIN embeddings ce ON ce.vec_id = lcand.nbr)
-       |  WHERE rn <= $k),
-       |ce0 AS (SELECT label, vec_id,
+       |    WHERE a.vec_id < 20) WHERE rn <= $k)""".stripMargin
+  }
+
+  /** Shared CTE fragment: `ivf(qid, nbr)` — [[Ann.ivfTopKOracled]]'s
+    * label-centroid IVF (ordered-fold means, (cd, clabel) probe ties,
+    * 6-dp re-rank). */
+  private def ivfLabelCtes(k: Int): String = {
+    val cosQC = DuckSql.cosineSimilarity("qe.embedding", "ce.embedding")
+    val cd = DuckSql.euclidean("q.embedding", "c.cvec")
+    s"""ce0 AS (SELECT label, vec_id,
        |    unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS x
        |  FROM embeddings),
        |cm AS (SELECT label, pos,
@@ -163,7 +142,42 @@ object SimilarityQueries {
        |        ORDER BY round($cosQC, 6) DESC, icand.nbr) AS rn
        |    FROM icand JOIN embeddings qe ON qe.vec_id = icand.qid
        |               JOIN embeddings ce ON ce.vec_id = icand.nbr)
+       |  WHERE rn <= $k)""".stripMargin
+  }
+
+  /** The generated DuckDB mirror of [[annQuality]]: LSH planes embedded
+    * as literals from the same seeded generator, centroids as the same
+    * ordered fold, identical rounding and tie-breaks. */
+  private def annQualityOracle(k: Int): String = {
+    val planes = Ann.lshPlanes(dim = 64, bands = 4, bitsPerBand = 8, seed = 42L)
+    val planeVals = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString(",\n")
+    val cosQC = DuckSql.cosineSimilarity("qe.embedding", "ce.embedding")
+    val dotPl = DuckSql.dot("e.embedding", "p.pl")
+    s"""WITH ${exCte(k)},
+       |planes(p, pl) AS (VALUES
+       |$planeVals),
+       |sig AS MATERIALIZED (
+       |  SELECT e.vec_id, p.p // 8 AS band, p.p % 8 AS biti,
+       |    CASE WHEN $dotPl >= 0 THEN 1 ELSE 0 END AS b
+       |  FROM embeddings e, planes p),
+       |bnd AS MATERIALIZED (
+       |  SELECT vec_id, band, sum(b * (1 << biti)) AS bv
+       |  FROM sig GROUP BY 1, 2),
+       |lcand AS (
+       |  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS nbr
+       |  FROM bnd qb JOIN bnd cb ON qb.band = cb.band AND qb.bv = cb.bv
+       |  WHERE qb.vec_id < 20 AND cb.vec_id <> qb.vec_id),
+       |lsh AS MATERIALIZED (
+       |  SELECT qid, nbr FROM (
+       |    SELECT lcand.qid, lcand.nbr,
+       |      row_number() OVER (PARTITION BY lcand.qid
+       |        ORDER BY round($cosQC, 6) DESC, lcand.nbr) AS rn
+       |    FROM lcand JOIN embeddings qe ON qe.vec_id = lcand.qid
+       |               JOIN embeddings ce ON ce.vec_id = lcand.nbr)
        |  WHERE rn <= $k),
+       |${ivfLabelCtes(k)},
        |m AS (SELECT 'exact' AS method, qid, nbr FROM ex
        |  UNION ALL SELECT 'ivf_label', qid, nbr FROM ivf
        |  UNION ALL SELECT 'lsh', qid, nbr FROM lsh),
@@ -335,7 +349,40 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** The reference's recall evaluator (§2.9, getrecall.py) run over two
+    * oracle-mirrorable graphs — exact cosine top-k as truth, the
+    * ordered-fold IVF as approx — so the OPERATOR itself (adjacency
+    * join + array_intersect ratio) gets a driver-green row, not only
+    * seeded-MRDF rows-only coverage. One double division of two exact
+    * integer sums ⇒ bit-identical across engines. */
+  def recallOracled(emb: DataFrame, k: Int = K): DataFrame = {
+    def adj(df: DataFrame) =
+      df.groupBy(col("qid")).agg(collect_list(col("nbr")).as("nbrs"))
+        .withColumnRenamed("qid", "id")
+    val exact = adj(org.apache.spark.sql.graft.TopKJoin
+      .cosineTopK(emb.filter(col("vec_id") < 20), emb, k)
+      .select(col("qid"), col("nbr")))
+    val approx = adj(Ann.ivfTopKOracled(emb, k, queryPred = col("vec_id") < 20)
+      .select(col("qid"), col("nbr")))
+    graft.knn.Recall.recall(exact, approx)
+  }
+
+  private def recallOracle(k: Int): String =
+    s"""WITH ${exCte(k)},
+       |${ivfLabelCtes(k)},
+       |j AS (SELECT e.qid, count(i.nbr) AS m, count(*) AS kk
+       |      FROM ex e LEFT JOIN ivf i ON i.qid = e.qid AND i.nbr = e.nbr
+       |      GROUP BY e.qid)
+       |SELECT CAST(sum(m) AS DOUBLE) / CAST(sum(kk) AS DOUBLE) AS recall
+       |FROM j""".stripMargin
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q178_recall_oracled",
+      (s, dir) => recallOracled(Tables.load(s, dir, "embeddings")),
+      Some(recallOracle(K)),
+      doc = "The reference's graph-recall evaluator driver-verified: exact top-k truth vs the oracle-mirrorable IVF graph, |truth ∩ approx| / (k·N) as one exact-integer division"),
+
     Declared(
       "q177_ann_pq_portable",
       (s, dir) => Pq.adcTopKPortable(Tables.load(s, dir, "embeddings"),
