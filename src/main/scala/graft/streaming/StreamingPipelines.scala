@@ -343,6 +343,22 @@ object StreamingPipelines {
       src
     })
 
+  /** Run `f` with a reduced shuffle-partition count, restoring after.
+    * The declared replays process one bounded micro-batch; each
+    * stateful operator instantiates one state store PER shuffle
+    * partition, and at the harness's 32 partitions the store
+    * setup/commit overhead dominates the actual work (a stream-stream
+    * join keeps four stores per partition). 8 partitions is plenty for
+    * the testdata batch; the setting is scoped to the eager replay and
+    * restored before the memory-sink read. At production scale this is
+    * the same knob a real deployment tunes per stateful query. */
+  private def withReplayPartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try f finally spark.conf.set(key, prev)
+  }
+
   private def awaitOrFail(q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutMs: Long): Unit = {
     // A timed-out replay would hand a TRUNCATED memory table to the
@@ -368,12 +384,14 @@ object StreamingPipelines {
     import spark.implicits._
     val src = eventsReplayDir(spark, dir)
     val name = s"ewma_declared_${declaredRuns.incrementAndGet()}"
-    val q = ewmaStream(readEventsStream(spark, src).as[Event])
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    awaitOrFail(q, 180000)
+    withReplayPartitions(spark) {
+      val q = ewmaStream(readEventsStream(spark, src).as[Event])
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
     spark.table(name)
@@ -393,12 +411,14 @@ object StreamingPipelines {
   def tumblingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     val src = eventsReplayDir(spark, dir)
     val name = s"tumbling_declared_${declaredRuns.incrementAndGet()}"
-    val q = tumblingCounts(readEventsStream(spark, src))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    awaitOrFail(q, 180000)
+    withReplayPartitions(spark) {
+      val q = tumblingCounts(readEventsStream(spark, src))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
     spark.table(name)
       .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"))
@@ -419,12 +439,14 @@ object StreamingPipelines {
   def intervalJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     val src = eventsReplayDir(spark, dir)
     val name = s"ijoin_declared_${declaredRuns.incrementAndGet()}"
-    val q = purchaseClickJoin(readEventsStream(spark, src))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    awaitOrFail(q, 180000)
+    withReplayPartitions(spark) {
+      val q = purchaseClickJoin(readEventsStream(spark, src))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
     spark.table(name)
       .select(col("p_id"), col("c_id"), col("p_user"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delay_us"))
@@ -443,11 +465,13 @@ object StreamingPipelines {
   def upsertSinkAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     val src = eventsReplayDir(spark, dir)
     val stateDir = tempDirCleanedOnExit("graft-upsert-state")
-    val q = upsertStreamSink(readEventsStream(spark, src), stateDir)
-      .queryName(s"upsert_declared_${declaredRuns.incrementAndGet()}")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    awaitOrFail(q, 180000)
+    withReplayPartitions(spark) {
+      val q = upsertStreamSink(readEventsStream(spark, src), stateDir)
+        .queryName(s"upsert_declared_${declaredRuns.incrementAndGet()}")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
     upsertView(spark, stateDir)
       .getOrElse(sys.error(s"upsert sink wrote no snapshot under $stateDir"))
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
