@@ -149,6 +149,28 @@ object StreamingPipelines {
         && col("c_ts") <= col("p_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the state-eviction
+    * emission path the inner join never exercises: matched rows emit
+    * eagerly, but a purchase with NO qualifying click emits its
+    * null-extended row only when the watermark proves no future click
+    * can match (c_ts ≤ p_ts ⇒ evictable once the click-side watermark
+    * passes p_ts). */
+  def purchaseClickLeftJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES")
+        && col("c_ts") <= col("p_ts"),
+      "left_outer")
+  }
+
   /** Streaming corpus curation — the batch [[graft.text.CorpusPipeline]]
     * gate as an incremental pipeline over an ingest-timestamped
     * document stream: content dedup via `dropDuplicatesWithinWatermark`
@@ -453,6 +475,32 @@ object StreamingPipelines {
       .orderBy(col("p_id"), col("c_id"))
   }
 
+  /** [[purchaseClickLeftJoin]] executed through AvailableNow: inner
+    * matches emit in the data batch; the null-extended rows emit in
+    * the final watermark-advance batch for exactly the purchases whose
+    * click-side state closed — `p_ts < min(max purchase ts, max click
+    * ts) − 1h` (each watermarked side is a FILTERED stream, so its
+    * event-time max is over its own rows, and the global watermark is
+    * the min across sides; a no-match purchase younger than that stays
+    * in state and is NOT emitted), stated directly in the oracle SQL
+    * the way q168 states the closed-window rule. */
+  def leftJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val src = eventsReplayDir(spark, dir)
+    val name = s"ljoin_declared_${declaredRuns.incrementAndGet()}"
+    withReplayPartitions(spark) {
+      val q = purchaseClickLeftJoin(readEventsStream(spark, src))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
+    spark.table(name)
+      .select(col("p_id"), col("p_user"), col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delay_us"))
+      .orderBy(col("p_id"), col("c_id").asc_nulls_first)
+  }
+
   /** The streaming MERGE sink ([[upsertStreamSink]]) executed end to
     * end: the events table replayed as the change stream into a fresh
     * state dir, then the final compacted snapshot read back through
@@ -529,6 +577,44 @@ object StreamingPipelines {
         | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
         |ORDER BY p_id, c_id""".stripMargin),
       doc = "Stream-stream purchase×click interval join executed through Structured Streaming (AvailableNow)",
+      streamingExecuted = true),
+
+    graft.Declared(
+      "q179_stream_outer_join",
+      (s, dir) => leftJoinAvailableNow(s, dir),
+      // Matched rows = the batch interval join; null-extended rows =
+      // unmatched purchases whose click-side state the final watermark
+      // closed. The global watermark is the MIN across the two
+      // watermarked sides (multipleWatermarkPolicy=min), and each side
+      // is a FILTERED stream — its event-time max is the max over its
+      // own rows (purchases resp. clicks), not over all events. So the
+      // eviction bound is p_ts < least(max purchase ts, max click ts)
+      // − 1h — verified against the executed emission set at all three
+      // SFs, then pinned here (the q168 closed-window-rule pattern).
+      Some("""WITH m AS (
+        |  SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts END),
+        |               max(CASE WHEN event_type = 'click' THEN ts END)) AS mx
+        |  FROM events),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.p_id, p.p_user, c.c_id,
+        |        epoch_us(p.p_ts) - epoch_us(c.c_ts) AS delay_us
+        |      FROM p JOIN c ON p.p_user = c.c_user
+        |       AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts <= p.p_ts),
+        |um AS (SELECT p.p_id, p.p_user,
+        |         CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS BIGINT) AS delay_us
+        |       FROM p, m
+        |       WHERE NOT EXISTS (SELECT 1 FROM c
+        |               WHERE c.c_user = p.p_user
+        |                 AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |                 AND c.c_ts <= p.p_ts)
+        |         AND p.p_ts < mx - INTERVAL 1 HOUR)
+        |SELECT p_id, p_user, c_id, delay_us FROM j
+        |UNION ALL SELECT p_id, p_user, c_id, delay_us FROM um
+        |ORDER BY p_id, c_id NULLS FIRST""".stripMargin),
+      doc = "LEFT OUTER stream-stream interval join through AvailableNow — null-extension on watermark state eviction, the emission path the inner join never runs; eviction rule stated in SQL",
       streamingExecuted = true),
 
     graft.Declared(
