@@ -2,7 +2,7 @@ package graft.agg
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
-import org.apache.spark.sql.functions.{col, row_number}
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
 /** One weighted edge candidate (neighbor id, weight). */
 final case class WEdge(nbr: Long, w: Double)
@@ -79,6 +79,79 @@ final class TopKByWeight(k: Int) extends Aggregator[WEdge, TopKBuf, EdgeList] {
   override def outputEncoder: Encoder[EdgeList] = Encoders.product[EdgeList]
 }
 
+/** One weighted edge candidate with provenance: `old` marks an edge
+  * already present in the running graph (vs freshly proposed this
+  * round). */
+final case class TaggedEdge(nbr: Long, w: Double, old: Boolean)
+
+/** [[TopKBuf]] plus the set of neighbor ids seen with the old tag.
+  * `oldNbrs` is independent of the top-k entries: an old edge evicted
+  * by the k-limit must still mark its neighbor as previously-known, or
+  * the provenance would depend on arrival order. The old graph holds
+  * ≤ k edges per id, so the set is bounded by k (the array still grows
+  * defensively if a caller feeds more). */
+final case class TaggedTopKBuf(nbrs: Array[Long], ws: Array[Double],
+                               var n: Int,
+                               var oldNbrs: Array[Long], var on: Int)
+
+/** Edge-list output with per-edge provenance. */
+final case class TaggedEdgeList(edges: Seq[TaggedEdge])
+
+/** [[TopKByWeight]] with a provenance bit per output edge: `old` is
+  * true iff that (id, nbr) appeared among the old-tagged inputs at
+  * all — exactly the membership test a `left_anti` join against the
+  * previous graph would compute. This fuses the MRDF convergence
+  * Δ-count into the merge itself — `changed = count of !old` over the
+  * merged table — replacing a per-round anti-join of the merged graph
+  * against the previous one (two |E|-sized shuffles per iteration at
+  * cluster scale) with a column scan of the already-checkpointed merge
+  * output. Same (w, nbr) order and smaller-weight dedup as the
+  * untagged aggregator; the property spec asserts edge-set equality
+  * with [[TopKByWeight]], the membership semantics of the tag, and the
+  * merge law under random splits. */
+final class TaggedTopKByWeight(k: Int)
+    extends Aggregator[TaggedEdge, TaggedTopKBuf, TaggedEdgeList] {
+
+  private val inner = new TopKByWeight(k)
+
+  private def addOld(b: TaggedTopKBuf, nbr: Long): Unit = {
+    var i = 0
+    while (i < b.on && b.oldNbrs(i) != nbr) i += 1
+    if (i == b.on) {
+      if (b.on == b.oldNbrs.length) {
+        val g = new Array[Long](b.oldNbrs.length * 2 + 1)
+        System.arraycopy(b.oldNbrs, 0, g, 0, b.on)
+        b.oldNbrs = g
+      }
+      b.oldNbrs(b.on) = nbr
+      b.on += 1
+    }
+  }
+
+  private def asTopK(b: TaggedTopKBuf): TopKBuf = TopKBuf(b.nbrs, b.ws, b.n)
+
+  override def zero: TaggedTopKBuf =
+    TaggedTopKBuf(new Array[Long](k), new Array[Double](k), 0, new Array[Long](k), 0)
+  override def reduce(b: TaggedTopKBuf, a: TaggedEdge): TaggedTopKBuf = {
+    if (a.old) addOld(b, a.nbr)
+    b.n = inner.reduce(asTopK(b), WEdge(a.nbr, a.w)).n
+    b
+  }
+  override def merge(x: TaggedTopKBuf, y: TaggedTopKBuf): TaggedTopKBuf = {
+    var i = 0
+    while (i < y.on) { addOld(x, y.oldNbrs(i)); i += 1 }
+    x.n = inner.merge(asTopK(x), asTopK(y)).n
+    x
+  }
+  override def finish(r: TaggedTopKBuf): TaggedEdgeList = {
+    val oldSet = (0 until r.on).map(r.oldNbrs).toSet
+    TaggedEdgeList((0 until r.n).map(i =>
+      TaggedEdge(r.nbrs(i), r.ws(i), oldSet(r.nbrs(i)))))
+  }
+  override def bufferEncoder: Encoder[TaggedTopKBuf] = Encoders.product[TaggedTopKBuf]
+  override def outputEncoder: Encoder[TaggedEdgeList] = Encoders.product[TaggedEdgeList]
+}
+
 object TopKByWeight {
 
   /** Per-id k-min over an `(id, nbr, dist)` edge table — the shared
@@ -94,6 +167,25 @@ object TopKByWeight {
       .agg(new TopKByWeight(k).toColumn.name("top"))
       .flatMap { case (id, el) => el.edges.map(e => (id, e.nbr, e.w)) }
       .toDF("id", "nbr", "dist")
+  }
+
+  /** Per-id k-min over an old ∪ fresh edge union, with per-edge
+    * provenance: output columns (id, nbr, dist, is_old) where `is_old`
+    * is true iff that (id, nbr) existed in `old`. The MRDF merge uses
+    * this to read its convergence Δ (count of !is_old) off the merged
+    * table directly instead of re-joining it against the previous
+    * graph. */
+  def perIdTagged(old: DataFrame, fresh: DataFrame, k: Int): DataFrame = {
+    val spark = old.sparkSession
+    import spark.implicits._
+    val tagged = old.select(col("id"), col("nbr"), col("dist"), lit(true).as("old"))
+      .unionByName(fresh.select(col("id"), col("nbr"), col("dist"), lit(false).as("old")))
+    tagged.as[(Long, Long, Double, Boolean)]
+      .groupByKey(_._1)
+      .mapValues(t => TaggedEdge(t._2, t._3, t._4))
+      .agg(new TaggedTopKByWeight(k).toColumn.name("top"))
+      .flatMap { case (id, el) => el.edges.map(e => (id, e.nbr, e.w, e.old)) }
+      .toDF("id", "nbr", "dist", "is_old")
   }
 
   /** Per-qid top-k by similarity DESC (ties by nbr asc), with a 1-based

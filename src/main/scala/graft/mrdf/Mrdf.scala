@@ -98,16 +98,23 @@ object Mrdf {
       val t0 = System.nanoTime()
       val (assigned, pinned) = divide(pts, p, iter)
       val t1 = System.nanoTime()
-      // merge materialization also runs the lazy block NN-Descent
+      // merge materialization also runs the lazy block NN-Descent.
+      // The merge carries per-edge provenance (is_old = the (id, nbr)
+      // existed in the previous graph), so the convergence Δ is a
+      // column scan of the checkpointed merge output — the former
+      // left_anti join against the previous graph re-shuffled both
+      // |E|-sized tables once per iteration.
       val blockEdges = localGraphs(assigned, p, iter)
-      val merged = mergeGraphs(g, blockEdges, p.k).localCheckpoint()
+      val mergedTagged = mergeGraphs(g, blockEdges, p.k).localCheckpoint()
       val t2 = System.nanoTime()
-      // merged is eagerly materialized, so the division caches are
-      // no longer needed; the old graph is released after the Δ-count.
+      // mergedTagged is eagerly materialized, so the division caches
+      // are no longer needed; the old graph's checkpoint is dead too.
       pinned.foreach(_.unpersist(blocking = false))
-      val changedEdges = merged.join(g, Seq("id", "nbr"), "left_anti").count()
+      val changedEdges =
+        mergedTagged.filter(!col("is_old")).count()
       val t3 = System.nanoTime()
       graft.Checkpoints.release(g)
+      val merged = mergedTagged.select(col("id"), col("nbr"), col("dist"))
       ratio = changedEdges.toDouble / (n.toDouble * p.k)
       val rt = Runtime.getRuntime
       val stat = IterStat(iter, changedEdges, ratio,
@@ -265,11 +272,13 @@ object Mrdf {
 
   /** Per-id k-min merge of the running graph with new block edges
     * (reference graph_update, mrdf.py:155-170, with (w, nbr) tie-break).
-    * Uses the typed TopKByWeight Aggregator so each map task pre-merges
-    * to ≤ k edges per id before the shuffle (partial aggregation) —
-    * a window top-k would shuffle every candidate edge instead. */
+    * Uses the typed TaggedTopKByWeight Aggregator so each map task
+    * pre-merges to ≤ k edges per id before the shuffle (partial
+    * aggregation) — a window top-k would shuffle every candidate edge
+    * instead — and so the output carries is_old provenance for the
+    * Δ-count (see the loop above). */
   private def mergeGraphs(g: DataFrame, fresh: DataFrame, k: Int): DataFrame =
-    graft.agg.TopKByWeight.perId(g.unionByName(fresh), k)
+    graft.agg.TopKByWeight.perIdTagged(g, fresh, k)
 
   /** G2 output shape (id, sorted [nbr...]) — mrdf.py:199-215. One
     * shared implementation with the brute-force path so the adjacency

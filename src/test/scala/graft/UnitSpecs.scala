@@ -52,6 +52,31 @@ class UnitSpecs extends AnyFunSuite {
     }
   }
 
+  test("TaggedTopKByWeight: edges equal untagged, is_old = OR over (id,nbr) sightings (property, 500 cases)") {
+    import graft.agg.{TaggedEdge, TaggedTopKByWeight}
+    val agg = new TaggedTopKByWeight(5)
+    def tagged(xs: Seq[TaggedEdge]) =
+      agg.finish(xs.foldLeft(agg.zero)(agg.reduce)).edges
+    val rnd = new scala.util.Random(43)
+    (1 to 500).foreach { _ =>
+      def gen(old: Boolean) = List.fill(rnd.nextInt(20))(
+        TaggedEdge(rnd.nextInt(30).toLong, rnd.nextInt(10).toDouble, old))
+      val (ea, eb) = (gen(true), gen(false))
+      val all = ea ++ eb
+      val out = tagged(all)
+      // kept edge set + order identical to the untagged aggregator
+      assert(out.map(e => WEdge(e.nbr, e.w)) == topk(5, all.map(e => WEdge(e.nbr, e.w))))
+      // provenance: old ⇔ the neighbor appeared among the old-tagged inputs
+      val oldNbrs = ea.map(_.nbr).toSet
+      out.foreach(e => assert(e.old == oldNbrs.contains(e.nbr), s"a=$ea b=$eb e=$e"))
+      // merge law with split-at-random partial buffers
+      val (xs, ys) = rnd.shuffle(all).splitAt(rnd.nextInt(all.length + 1))
+      val merged = agg.finish(agg.merge(
+        xs.foldLeft(agg.zero)(agg.reduce), ys.foldLeft(agg.zero)(agg.reduce))).edges
+      assert(merged == out, s"a=$ea b=$eb")
+    }
+  }
+
   // --- ReservoirSample (utilities.py:15-30 corrected; order-free) ---
   test("ReservoirSample: size, subset, order-independence") {
     val agg = new ReservoirSample(5, seed = 42L)
