@@ -149,6 +149,11 @@ object Dedup {
       .select(col("d1"), col("d2"),
         floor(lit(1e6) * col("neq") / lit(numH)).cast("long").as("est_ppm"))
       .filter(col("est_ppm") >= tauPpm)
+      // checkpoint BEFORE the global sort: the range partitioner's
+      // boundary-sampling pass re-evaluates its child, and here the
+      // child is the whole band-join + estimate chain while the
+      // surviving pair set is tiny (measured: halves the pipeline)
+      .localCheckpoint()
       .orderBy(col("d1"), col("d2"))
   }
 
