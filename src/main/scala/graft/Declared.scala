@@ -48,6 +48,7 @@ object Registry {
       graft.text.PipelineOps.declared ++
       graft.text.CorpusOps.declared ++
       graft.text.LineDedup.declared ++
+      graft.text.SpanDedup.declared ++
       graft.text.CorpusStats.declared ++
       graft.text.CorpusHygiene.declared ++
       graft.text.LanguageModel.declared ++
