@@ -56,6 +56,7 @@ object Registry {
       graft.text.ShardPlan.declared ++
       graft.text.SampleOps.declared ++
       graft.similarity.SimilarityQueries.declared ++
+      graft.similarity.SemDeDup.declared ++
       graft.similarity.ContrastiveMining.declared ++
       graft.similarity.EmbeddingStats.declared ++
       graft.multimodal.Multimodal.declared ++

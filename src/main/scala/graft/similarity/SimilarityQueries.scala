@@ -196,12 +196,15 @@ object SimilarityQueries {
     * iterative-float-algorithm analogue of the BPE/PageRank replay
     * oracles: only the pinned fold order makes the rounds
     * bit-reproducible across engines. */
-  private def ivfKmeansPortableOracle(k: Int, nlist: Int, nprobe: Int,
-                                      iters: Int): String = {
+  /** The portable distributed-Lloyd's CTE chain (`pts`, `k0`,
+    * `a1..aN`, `k1..kN` — final centroids in `k<iters>`), shared by
+    * the q175 oracle and the SemDeDup oracle. Returned WITHOUT the
+    * leading `WITH`. */
+  private[similarity] def kmeansPortableCtes(nlist: Int, iters: Int): String = {
     def eucl(a: String, b: String) = DuckSql.euclidean(a, b)
     val sb = new StringBuilder
     sb.append(
-      s"""WITH pts AS MATERIALIZED (
+      s"""pts AS MATERIALIZED (
          |  SELECT vec_id AS id, embedding AS vec FROM embeddings),
          |k0 AS MATERIALIZED (
          |  SELECT row_number() OVER (ORDER BY hk, id) - 1 AS cid, vec AS cvec
@@ -230,6 +233,15 @@ object SimilarityQueries {
         |        GROUP BY cid, pos)
         |  GROUP BY cid)""".stripMargin)
     }
+    sb.toString
+  }
+
+  private def ivfKmeansPortableOracle(k: Int, nlist: Int, nprobe: Int,
+                                      iters: Int): String = {
+    def eucl(a: String, b: String) = DuckSql.euclidean(a, b)
+    val sb = new StringBuilder
+    sb.append("WITH ")
+    sb.append(kmeansPortableCtes(nlist, iters))
     sb.append(s""",
       |lists AS MATERIALIZED (
       |  SELECT cid, id AS nbr, vec AS cv FROM (
