@@ -259,6 +259,70 @@ object StreamingPipelines {
       .select(col("doc_id"), col("d_old"), col("jaccard"))
   }
 
+  /** Hour-grain streaming exact dedup — [[dedupStream]]'s
+    * deterministically-replayable form: every row of a dedup key
+    * (user, type, hour) carries the SAME event-time value (the
+    * truncated hour is both a key column and the watermark column), so
+    * the state content — and with it the multi-batch emission set — is
+    * independent of intra-batch processing order. One row per key
+    * crosses the sink per horizon; duplicates arriving in a LATER
+    * batch are suppressed by state carried across the batch boundary
+    * as long as the watermark has not passed their hour. */
+  def hourlyKeyDedupStream(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("ts_h"))
+      .withWatermark("ts_h", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts_h")
+
+  final case class GapState(n: Long, lastUs: Long, maxGapUs: Long)
+  final case class GapOut(user_id: Long, n_events: Long, max_gap_us: Long)
+
+  /** Per-user largest inter-event gap via `transformWithState` — the
+    * Spark 4 arbitrary-state API (typed ValueState handles, RocksDB
+    * state store): the evolution of [[ewmaStream]]'s
+    * flatMapGroupsWithState tier. State is three longs per user
+    * (count, last event micros, max gap); each batch folds its rows in
+    * (ts, event_id) order and emits the user's running row (Update
+    * semantics). The fold telescopes, so any batching that preserves
+    * per-key time order — which the time-boundary replay source
+    * guarantees — produces the batch-SQL answer. */
+  class MaxGapProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, GapOut] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[GapState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      state = getHandle.getValueState[GapState]("gap",
+        org.apache.spark.sql.Encoders.product[GapState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[GapOut] = {
+      // same full-precision order as the ewma fold (ms + sub-ms + id)
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var st = if (state.exists()) state.get() else GapState(0L, 0L, 0L)
+        sorted.foreach { e =>
+          val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          st =
+            if (st.n == 0L) GapState(1L, us, 0L)
+            else GapState(st.n + 1, us, math.max(st.maxGapUs, us - st.lastUs))
+        }
+        state.update(st)
+        Iterator(GapOut(key, st.n, st.maxGapUs))
+      }
+    }
+  }
+
+  def maxGapStream(events: Dataset[Event]): Dataset[GapOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new MaxGapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming MERGE: maintain a keyed last-write-wins snapshot from a
     * change stream via `foreachBatch` — the streaming half of q112's
     * CDC compaction, and the pattern every streaming warehouse sink
@@ -364,6 +428,51 @@ object StreamingPipelines {
         .write.mode("overwrite").parquet(src)
       src
     })
+
+  /** TWO-batch replay source per (process, sfDir): the events table
+    * split at its event-time midpoint into two single-file parquet
+    * "arrivals" with strictly increasing modification times, read with
+    * `maxFilesPerTrigger = 1` — so an AvailableNow run executes TWO
+    * real micro-batches with a watermark advance between them (the
+    * single-file source can only ever exercise the one-batch path).
+    * Splitting on a TIME boundary keeps multi-batch runs
+    * deterministic: per-key processing order = batch-1 rows (sorted)
+    * then batch-2 rows (sorted) = the global (ts, event_id) order, and
+    * no batch-2 row is ever behind the batch-1 watermark. */
+  private val replaySrc2 = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def eventsReplayTwoBatchDir(spark: SparkSession, dir: String): String =
+    replaySrc2.getOrElseUpdate(dir, {
+      val src = tempDirCleanedOnExit("graft-stream-replay2b")
+      val ev = graft.Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      def writeBatch(part: DataFrame, n: Int): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-replay2-stage")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = tmp.toFile.listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part file under $tmp"))
+        val dest = java.nio.file.Paths.get(src, s"batch$n.parquet")
+        java.nio.file.Files.move(f.toPath, dest)
+        // the file source orders arrivals by modification time
+        dest.toFile.setLastModified(n * 1000000000L)
+        ()
+      }
+      writeBatch(ev.filter(unix_micros(col("ts")) < mid), 1)
+      writeBatch(ev.filter(unix_micros(col("ts")) >= mid), 2)
+      src
+    })
+
+  /** [[readEventsStream]] over the two-batch dir, one file per
+    * micro-batch. */
+  private def readEventsTwoBatches(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsReplayTwoBatchDir(spark, dir))
 
   /** Run `f` with a reduced shuffle-partition count, restoring after.
     * The declared replays process one bounded micro-batch; each
@@ -527,7 +636,106 @@ object StreamingPipelines {
       .orderBy(col("user_id"))
   }
 
+  /** Run `f` with the RocksDB state store provider (required by
+    * `transformWithState`), restoring the previous provider after. */
+  private def withRocksDbStateStore[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /** [[hourlyKeyDedupStream]] executed through TWO micro-batches
+    * (time-split replay source): batch 1 emits its distinct keys,
+    * the watermark advances, batch 2 emits only keys not already in
+    * carried state. Because the source splits on a time boundary, a
+    * later batch never contains an hour the watermark already closed,
+    * so every (user, type, hour) key emits EXACTLY once and the
+    * emitted set equals the batch distinct — stated directly in the
+    * oracle SQL. The cross-batch suppression is real: batch 2's copies
+    * of the straddle hour meet batch 1's state and are dropped. */
+  def dedupAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"dedup_declared_${declaredRuns.incrementAndGet()}"
+    withReplayPartitions(spark) {
+      val q = hourlyKeyDedupStream(readEventsTwoBatches(spark, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
+    spark.table(name)
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts_h"), "yyyy-MM-dd HH:mm:ss").as("ts_h"))
+      .orderBy(col("user_id"), col("event_type"), col("ts_h"))
+  }
+
+  /** [[maxGapStream]] (transformWithState) executed through TWO
+    * micro-batches: per-user state (count, last-event micros, max gap)
+    * persists in the RocksDB store across the batch boundary, so the
+    * gap that SPANS the boundary — last event of batch 1 to first
+    * event of batch 2 — is computed from carried state, the path a
+    * single-batch replay never runs. Final row per user = its max-n
+    * update (n is strictly monotone per key, q167's convention). */
+  def maxGapAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"gap_declared_${declaredRuns.incrementAndGet()}"
+    withReplayPartitions(spark) {
+      withRocksDbStateStore(spark) {
+        val q = maxGapStream(readEventsTwoBatches(spark, dir).as[Event])
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Update())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        awaitOrFail(q, 180000)
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("user_id"), col("n_events"), col("max_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
   val declared: Seq[graft.Declared] = Seq(
+    graft.Declared(
+      "q183_stream_dedup",
+      (s, dir) => dedupAvailableNow(s, dir),
+      // Emission rule under the two-batch time-split replay: every
+      // (user, type, hour) key emits exactly once (see
+      // dedupAvailableNow) — the batch distinct, verbatim in SQL.
+      Some("""SELECT user_id, event_type,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ts_h
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, ts_h""".stripMargin),
+      doc = "Streaming exact dedup (dropDuplicatesWithinWatermark) executed through TWO micro-batches with cross-batch state suppression; emitted set stated in SQL",
+      streamingExecuted = true),
+
+    graft.Declared(
+      "q184_stream_max_gap",
+      (s, dir) => maxGapAvailableNow(s, dir),
+      // The telescoping fold over per-user (ts, event_id) order equals
+      // the batch lag-window maximum; single-event users report 0.
+      Some("""WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us
+        |             FROM events),
+        |g AS (SELECT user_id,
+        |        us - lag(us) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS gap
+        |      FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  coalesce(max(gap), 0) AS max_gap_us
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin),
+      doc = "Per-user max inter-event gap via transformWithState (Spark 4 arbitrary-state API, RocksDB store) through TWO micro-batches - the boundary-spanning gap comes from carried state",
+      streamingExecuted = true),
+
     graft.Declared(
       "q168_stream_tumbling",
       (s, dir) => tumblingAvailableNow(s, dir),

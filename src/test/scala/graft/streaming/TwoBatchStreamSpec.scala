@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Drives the multi-batch streaming paths with a hand-built two-file
+  * source: state carried ACROSS a micro-batch boundary is what the
+  * single-file replays can never exercise. */
+class TwoBatchStreamSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Write `rows` as two single-file parquet arrivals split at `mid`,
+    * modification times forcing batch order (the declared replay
+    * source's construction). */
+  private def twoFileSource(rows: Seq[(Long, Timestamp, Long, String, Double)],
+                            mid: Timestamp): String = {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-2batch-src").toString
+    def writeBatch(part: DataFrame, n: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-2batch-stage")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = Paths.get(src, s"batch$n.parquet")
+      Files.move(f.toPath, dest)
+      dest.toFile.setLastModified(n * 1000000000L)
+      ()
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    writeBatch(df.filter(col("ts") < lit(mid)), 1)
+    writeBatch(df.filter(col("ts") >= lit(mid)), 2)
+    src
+  }
+
+  private def readTwoBatches(src: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+
+  test("transformWithState max-gap: boundary-spanning gap comes from carried state, two data batches run") {
+    import spark.implicits._
+    val src = twoFileSource(Seq(
+      // user 1: gaps 600s (in batch 1) and 6600s (ACROSS the boundary)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", 1.0),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0),
+      // user 2: single event in batch 1 → gap 0
+      (4L, ts("2024-01-01 10:05:00"), 2L, "view", 1.0),
+      // user 3: both events in batch 2 → plain in-batch gap 300s
+      (5L, ts("2024-01-01 11:00:00"), 3L, "click", 1.0),
+      (6L, ts("2024-01-01 11:05:00"), 3L, "click", 1.0)),
+      mid = ts("2024-01-01 10:30:00"))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingPipelines.maxGapStream(
+          readTwoBatches(src).as[StreamingPipelines.Event])
+        .writeStream.format("memory").queryName("gap2b")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+      assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+        "source must deliver exactly two data micro-batches")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    // final update per user (max n)
+    val fin = spark.table("gap2b")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("max_gap_us"))).as("w"))
+      .select(col("user_id"), col("w.n_events"), col("w.max_gap_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fin == Set(
+      (1L, 3L, 6600L * 1000000L),
+      (2L, 1L, 0L),
+      (3L, 2L, 300L * 1000000L)), fin.mkString(", "))
+    // user 1's max gap spans the file boundary: only carried state can
+    // produce it, and its batch-1 update must NOT already have it
+    val u1 = spark.table("gap2b").filter(col("user_id") === 1)
+      .select(col("n_events"), col("max_gap_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(u1 == Set((2L, 600L * 1000000L), (3L, 6600L * 1000000L)),
+      u1.mkString(", "))
+  }
+
+  test("two-batch dropDuplicatesWithinWatermark: cross-batch copies suppressed, each key emits once") {
+    val src = twoFileSource(Seq(
+      // (1, click, hour 10): twice in batch 1, once more in batch 2
+      // (10:45 ≥ mid) — the batch-2 copy meets batch-1 state
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:20:00"), 1L, "click", 1.0),
+      (3L, ts("2024-01-01 10:45:00"), 1L, "click", 1.0),
+      // (2, view, hour 11): batch 2 only
+      (4L, ts("2024-01-01 11:10:00"), 2L, "view", 1.0),
+      // (1, click, hour 11): same user+type, NEW hour → new key
+      (5L, ts("2024-01-01 11:30:00"), 1L, "click", 1.0)),
+      mid = ts("2024-01-01 10:30:00"))
+    val q = StreamingPipelines.hourlyKeyDedupStream(readTwoBatches(src))
+      .writeStream.format("memory").queryName("dedup2b")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2)
+    val got = spark.table("dedup2b")
+      .select(col("user_id"), col("event_type"), col("ts_h").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got.length == got.distinct.length, "a key emitted twice")
+    assert(got.toSet == Set(
+      (1L, "click", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"),
+      (2L, "view", "2024-01-01 11:00:00")), got.mkString(", "))
+  }
+}
