@@ -135,7 +135,103 @@ object Multimodal {
         round(col("total_bytes").cast("double") / col("unique_bytes"), 4)
           .as("dedup_ratio"))
 
+  /** Perceptual-hash near-duplicate pairs over binary payloads — the
+    * image/audio near-dup member of the dedup family with the decode
+    * stubbed (q31's convention: payload bytes stand in for the decoded
+    * sample stream). The fingerprint is the classic blockhash shape:
+    * split the sample stream into 60 equal-position buckets, bit j = 1
+    * iff bucket j's mean sample exceeds the payload mean — all-integer
+    * (`60·s_j > S` avoids the division), so the bit vector cannot
+    * drift across engines. Candidates then meet ONLY on an equal
+    * 15-bit fingerprint chunk (pigeonhole: hamming ≤ 3 forces ≥ 1 of 4
+    * chunks equal — the q173 banding), verified by bit_count(xor).
+    *
+    * Scale shape: fingerprinting is row-local (one pass over each
+    * payload in a typed map, the realistic decode tier); the band join
+    * is bucketed on (chunk, value) — never all-pairs; the verify is
+    * row-local integer xor. */
+  def phashFingerprints(media: Dataset[Media], bits: Int = 60): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val p = m.payload
+      val L = p.length
+      if (L < bits) Iterator.empty
+      else {
+        val sums = new Array[Long](bits)
+        var total = 0L
+        var i = 0
+        while (i < L) {
+          val v = (p(i) & 0xff).toLong
+          sums(((i.toLong * bits) / L).toInt) += v
+          total += v
+          i += 1
+        }
+        var ph = 0L
+        var j = 0
+        while (j < bits) {
+          if (sums(j) * bits > total) ph |= 1L << j
+          j += 1
+        }
+        Iterator((m.doc_id, ph))
+      }
+    }.toDF("doc_id", "ph")
+  }
+
+  /** Banded near-dup pairs over [[phashFingerprints]] (exact at
+    * `maxHamming` ≤ 3 for 4×15-bit chunks by pigeonhole). */
+  def phashPairs(media: Dataset[Media], maxHamming: Int = 3): DataFrame = {
+    val bits = 60
+    val chunkBits = 15
+    val sig = phashFingerprints(media, bits).localCheckpoint()
+    val chunks = sig.select(col("doc_id"), col("ph"),
+        explode(sequence(lit(0), lit(bits / chunkBits - 1))).as("c"))
+      .select(col("doc_id"), col("ph"), col("c"),
+        expr(s"shiftright(ph, c * $chunkBits) & ${(1 << chunkBits) - 1}").as("v"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.ph ^ b.ph)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private def phashOracle(maxHamming: Int): String =
+    s"""WITH ch AS MATERIALIZED (
+       |  SELECT doc_id, len, (CAST(i AS BIGINT) * 60) // len AS j,
+       |         ord(substr(text, CAST(i + 1 AS INTEGER), 1)) AS c
+       |  FROM (SELECT doc_id, text, strlen(text) AS len,
+       |          unnest(range(0, strlen(text))) AS i
+       |        FROM documents WHERE strlen(text) >= 60)),
+       |bs AS (SELECT doc_id, j, sum(c) AS sj FROM ch GROUP BY 1, 2),
+       |wt AS (SELECT doc_id, j, sj,
+       |         sum(sj) OVER (PARTITION BY doc_id) AS s FROM bs),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN sj * 60 > s
+       |         THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END)
+       |      AS BIGINT) AS ph
+       |  FROM wt GROUP BY 1),
+       |chunks AS (
+       |  SELECT doc_id, ph, c, (ph >> (c * 15)) & 32767 AS v
+       |  FROM sig, range(4) t(c)),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+       |  FROM chunks a JOIN chunks b
+       |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, hamming FROM p
+       |WHERE hamming <= $maxHamming ORDER BY d1, d2""".stripMargin
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q185_phash_neardup",
+      (s, dir) => phashPairs(asMedia(Tables.load(s, dir, "documents"))),
+      Some(phashOracle(3)),
+      doc = "Perceptual-hash near-dup pairs over binary payloads: blockhash fingerprint (row-local typed decode tier), 4x15-bit chunk banding, bit_count verify - the image near-dup pipeline with the decode stubbed"),
+
     Declared(
       "q115_cdc_chunks",
       (s, dir) => chunkSharing(cdcChunks(asMedia(Tables.load(s, dir, "documents")))),
