@@ -148,6 +148,71 @@ object SampleOps {
       "q77_compression_ratio",
       (s, dir) => compressionRatio(Tables.load(s, dir, "documents")),
       None,
-      doc = "Deflate-ratio quality signal (redundancy detector, row-local)")
+      doc = "Deflate-ratio quality signal (redundancy detector, row-local)"),
+
+    Declared(
+      "q186_temperature_mixture",
+      (s, dir) => temperatureMixture(Tables.load(s, dir, "documents")),
+      Some(temperatureMixtureOracle(1000L)),
+      doc = "Temperature-rebalanced source mixture (alpha = 0.5): per-source targets proportional to sqrt(count), capped at availability, drawn as the deterministic per-source bottom-k by portable hash")
   )
+
+  /** Temperature-based source rebalancing — the training-mixture
+    * sampler of multilingual/multi-source corpora (mT5 / UniMax
+    * shape): draw from source s proportionally to n_s^α with α = 1/2,
+    * flattening the head without starving the tail. The per-source
+    * target is `min(n_s, floor(N · √n_s / Σ √n_s))`; the draw itself
+    * is the q78 deterministic bottom-k by portable md5 rank.
+    *
+    * Cross-engine exactness: √ and ÷ are correctly-rounded IEEE ops,
+    * and Σ √n_s is a source-ORDERED left fold (float addition is not
+    * associative; the pinned order makes both engines run the same op
+    * sequence). The per-source count table is bounded by the source
+    * cardinality — a driver-scalar fold, same class as the BPE round
+    * constants. At 100 TB the only corpus-sized work is one count
+    * aggregation and the per-source rank window (q78's accepted
+    * shape; a production variant replaces the window with a rank
+    * threshold probe). */
+  def temperatureMixture(docs: DataFrame, nTarget: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val weights = counts.map { case (_, n) => math.sqrt(n.toDouble) }
+    val totalW = weights.foldLeft(0.0)(_ + _)
+    val targets = counts.zip(weights).map { case ((src, n), wi) =>
+      (src, math.min(n, math.floor(nTarget * wi / totalW).toLong))
+    }.toSeq.toDF("source", "target")
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    docs.select(col("source"), col("doc_id"),
+        substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 8)
+          .as("hk"))
+      .withColumn("rk", row_number().over(win))
+      .join(broadcast(targets), Seq("source"))
+      .filter(col("rk") <= col("target"))
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private def temperatureMixtureOracle(nTarget: Long): String =
+    s"""WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+       |w AS (SELECT source, n_s, sqrt(CAST(n_s AS DOUBLE)) AS w FROM c),
+       |tw AS (SELECT list_reduce(
+       |         list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY source)),
+       |         (a, b) -> a + b) AS tw FROM w),
+       |t AS (SELECT source,
+       |        least(n_s, CAST(floor($nTarget * w / tw) AS BIGINT)) AS target
+       |      FROM w, tw),
+       |r AS (SELECT source, doc_id,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8),
+       |                   doc_id) AS rk
+       |      FROM documents)
+       |SELECT r.source, r.doc_id, CAST(rk AS INTEGER) AS rk
+       |FROM r JOIN t ON t.source = r.source
+       |WHERE rk <= target
+       |ORDER BY r.source, rk""".stripMargin
 }
