@@ -225,6 +225,67 @@ object Multimodal {
        |SELECT d1, d2, hamming FROM p
        |WHERE hamming <= $maxHamming ORDER BY d1, d2""".stripMargin
 
+  /** DuckDB mirror of [[cdcChunks]] + [[chunkSharing]] — the
+    * imperative per-byte mapPartitions tier replayed exactly:
+    *
+    *  - the sliding-window hash is POSITION-LOCAL (it depends only on
+    *    the trailing `window` bytes), so it needs no fold: h(i) =
+    *    Σ_p b[i−p]·131^p with the 16 powers of 131 mod 2⁶⁴ embedded as
+    *    literals, Java's signed-long wrap replayed as HUGEINT mod 2⁶⁴
+    *    (and the `& Long.MaxValue` mask as mod 2⁶³);
+    *  - the data-dependent cut CHAIN (each cut depends on the previous
+    *    one through the min/max bounds) is a recursive CTE: next cut =
+    *    least(doc end, start+maxLen−1, first boundary ≥ start+minLen−1);
+    *  - chunk content hashes fold per chunk in HUGEINT mod 2⁶⁴; the
+    *    output groups on (hash, len), where signed-vs-unsigned
+    *    representation cannot matter (only equality does). */
+  private def cdcOracle: String = {
+    val pows = (0 until 16).map(p =>
+      java.math.BigInteger.valueOf(131).pow(p)
+        .mod(java.math.BigInteger.ONE.shiftLeft(64)))
+    val terms = pows.zipWithIndex.map { case (pw, p) =>
+      s"(CAST(coalesce(b[i-$p], 0) AS HUGEINT) * $pw)" }.mkString(" + ")
+    s"""WITH RECURSIVE d AS MATERIALIZED (
+       |  SELECT doc_id, strlen(text) AS L,
+       |         list_transform(range(1, strlen(text)+1),
+       |           i -> ord(substr(text, CAST(i AS INT), 1))) AS b
+       |  FROM documents WHERE strlen(text) > 0),
+       |wh AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    (($terms) % 18446744073709551616) % 9223372036854775808 AS hm
+       |  FROM (SELECT doc_id, L, b, unnest(range(1, L+1)) AS i FROM d)),
+       |bd AS MATERIALIZED (SELECT doc_id, i AS c FROM wh WHERE hm % 64 = 0),
+       |lens AS MATERIALIZED (SELECT doc_id, L FROM d),
+       |cuts AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS s,
+       |    least(L, least(CAST(256 AS BIGINT),
+       |      coalesce((SELECT min(c) FROM bd
+       |                WHERE bd.doc_id = lens.doc_id AND c >= 16),
+       |        9223372036854775807))) AS e, L
+       |  FROM lens
+       |  UNION ALL
+       |  SELECT doc_id, e + 1,
+       |    least(L, least(e + 256,
+       |      coalesce((SELECT min(c) FROM bd
+       |                WHERE bd.doc_id = cuts.doc_id AND c >= e + 16),
+       |        9223372036854775807))), L
+       |  FROM cuts WHERE e < L),
+       |ch AS MATERIALIZED (
+       |  SELECT c.doc_id, e - s + 1 AS chunk_len,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS HUGEINT), d.b[CAST(s AS INT):CAST(e AS INT)]),
+       |      (a, x) -> (a * 1099511628211 + x) % 18446744073709551616) AS chash
+       |  FROM cuts c JOIN d USING (doc_id)),
+       |g AS (SELECT chash, chunk_len, count(*) AS n_refs FROM ch GROUP BY 1, 2)
+       |SELECT CAST(count(*) AS BIGINT) AS n_unique_chunks,
+       |  CAST(sum(n_refs) AS BIGINT) AS n_total_refs,
+       |  CAST(sum(chunk_len) AS BIGINT) AS unique_bytes,
+       |  CAST(sum(chunk_len * n_refs) AS BIGINT) AS total_bytes,
+       |  round(CAST(sum(chunk_len * n_refs) AS DOUBLE) / sum(chunk_len), 4)
+       |    AS dedup_ratio
+       |FROM g""".stripMargin
+  }
+
   val declared: Seq[Declared] = Seq(
     Declared(
       "q185_phash_neardup",
@@ -235,8 +296,8 @@ object Multimodal {
     Declared(
       "q115_cdc_chunks",
       (s, dir) => chunkSharing(cdcChunks(asMedia(Tables.load(s, dir, "documents")))),
-      None,
-      doc = "Content-defined chunking dedup stats (per-byte rolling hash ⇒ rows-only)"),
+      Some(cdcOracle),
+      doc = "Content-defined chunking dedup stats - the per-byte rolling-hash mapPartitions tier, replayed exactly in the oracle (position-local window hash with mod-2^64 literals, recursive-CTE cut chain)"),
 
     Declared(
       "q31_media_meta",
