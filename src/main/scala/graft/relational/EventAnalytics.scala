@@ -211,6 +211,106 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** [[rollingDistinctUsers]]' oracle-mirrorable twin — an HLL built
+    * from first principles on the portable md5 hash (p = 6, m = 64
+    * registers; bucket = top 6 hash bits, rho = leading-zero count of
+    * the remaining 54 bits + 1 — computed EXACTLY via the binary-string
+    * length, no log2), so every stage the library sketch performs is
+    * replayed: per-day registers are a (day, bucket) max aggregation
+    * (order-free ⇒ deterministic), the 7-day union is a register-wise
+    * max over the window days, and the raw estimate α·m²/Σ2^(−reg) is
+    * IEEE-exact (each 2^(−reg) is an exact double, the Σ a pinned
+    * bucket-ordered fold). Raw estimate only — the small/large-range
+    * bias corrections add a transcendental and are a display concern,
+    * not a sketch-machinery one (documented; q111's library form
+    * applies them). */
+  def rollingDistinctPortable(events: DataFrame): DataFrame = {
+    val m = 64
+    val twoP54 = 1L << 54
+    val h = events.select(to_date(col("ts")).as("day"),
+      conv(substring(md5(concat(lit("hll|"), col("user_id").cast("string"))),
+        1, 15), 16, 10).cast("long").as("h"))
+    val regs = h.select(col("day"), expr(s"h div $twoP54").as("b"),
+        when(col("h") % twoP54 === 0L, lit(55L))
+          .otherwise(lit(54L) - (length(bin(col("h") % twoP54)) - 1)).as("rho"))
+      .groupBy(col("day"), col("b")).agg(max(col("rho")).as("rho"))
+      .localCheckpoint() // feeds the day-range join twice below
+    val days = regs.select(col("day")).distinct()
+    val roll = days.as("d").join(regs.as("r"),
+        col("r.day").between(date_sub(col("d.day"), 6), col("d.day")))
+      .groupBy(col("d.day").as("day"), col("r.b").as("b"))
+      .agg(max(col("r.rho")).as("rho"))
+    val full = days.select(col("day"),
+        explode(sequence(lit(0L), lit(m - 1L))).as("b"))
+      .join(roll, Seq("day", "b"), "left")
+      .select(col("day"), col("b"), coalesce(col("rho"), lit(0L)).as("rho"))
+    // Small-range (linear-counting) correction, exactly as Flajolet et
+    // al. prescribe: with V > 0 empty registers and a raw estimate
+    // ≤ 2.5m, estimate m·ln(m/V) instead. The ln is the one
+    // transcendental in the pipeline; V ranges over the finite set
+    // 1..63, and the closest m·ln(m/V) comes to an integer boundary is
+    // 0.0079 (checked exhaustively) — ten orders of magnitude beyond
+    // any libm-vs-JVM last-ulp disagreement, so the floor is stable.
+    val est = full.groupBy(col("day"))
+      .agg(sort_array(collect_list(struct(col("b"), col("rho")))).as("rs"),
+        sum(when(col("rho") === 0L, 1L).otherwise(0L)).as("v"))
+      .select(col("day"), expr(
+        s"0.709D * $m * $m / aggregate(rs, CAST(0 AS DOUBLE), " +
+          "(acc, s) -> acc + 1.0D / CAST(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(s.rho AS INT)) AS DOUBLE))").as("raw"), col("v"))
+      .select(col("day"),
+        when(col("raw") <= lit(2.5 * m) && col("v") > 0L,
+          floor(lit(m.toDouble) * log(lit(m.toDouble) / col("v"))))
+          .otherwise(floor(col("raw")))
+          .cast("long").as("users_7d_est"))
+    val dau = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+    est.join(dau, Seq("day"))
+      .select(col("day"), col("dau"), col("users_7d_est"))
+      .orderBy(col("day"))
+  }
+
+  private val hllPortableOracle: String =
+    """WITH h AS MATERIALIZED (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),
+      |      1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |r AS MATERIALIZED (
+      |  SELECT day, h // 18014398509481984 AS b,
+      |    max(CASE WHEN h % 18014398509481984 = 0 THEN 55
+      |         ELSE 54 - (length(bin(h % 18014398509481984)) - 1) END) AS rho
+      |  FROM h GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM h),
+      |roll AS (
+      |  SELECT d.day, r.b, max(r.rho) AS rho
+      |  FROM days d JOIN r ON r.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT d.day, t.b, coalesce(roll.rho, 0) AS rho
+      |  FROM days d CROSS JOIN range(64) t(b)
+      |  LEFT JOIN roll ON roll.day = d.day AND roll.b = t.b),
+      |est0 AS (
+      |  SELECT day,
+      |    CAST(0.709 AS DOUBLE) * 64 * 64 / list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list(CAST(1 AS DOUBLE) /
+      |             CAST(CAST(1 AS BIGINT) << CAST(rho AS INT) AS DOUBLE)
+      |             ORDER BY b)),
+      |      (a, x) -> a + x) AS raw,
+      |    sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+      |  FROM f GROUP BY day),
+      |est AS (
+      |  SELECT day,
+      |    CAST(CASE WHEN raw <= CAST(160 AS DOUBLE) AND v > 0
+      |         THEN floor(CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v))
+      |         ELSE floor(raw) END AS BIGINT) AS users_7d_est
+      |  FROM est0),
+      |dau AS (SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+      |        FROM events GROUP BY 1)
+      |SELECT est.day, dau.dau, est.users_7d_est
+      |FROM est JOIN dau USING (day) ORDER BY est.day""".stripMargin
+
   /** A/B-test readout — the experimentation query a product pipeline
     * runs daily: FIRST-TOUCH variant assignment (the k prop of each
     * user's earliest event, by (ts, event_id) — one `min(struct(...))`
@@ -393,6 +493,12 @@ object EventAnalytics {
       (s, dir) => rollingDistinctUsers(Tables.load(s, dir, "events")),
       None,
       doc = "7-day rolling distinct users via mergeable HLL sketch union (rows-only)"),
+
+    Declared(
+      "q188_hll_portable",
+      (s, dir) => rollingDistinctPortable(Tables.load(s, dir, "events")),
+      Some(hllPortableOracle),
+      doc = "7-day rolling distinct users via a portable-hash HLL built from first principles - registers, sketch union (register max) and the raw estimate all replayed in the oracle; q111's library-sketch form stays the throughput path"),
 
     Declared(
       "q79_daily_active",

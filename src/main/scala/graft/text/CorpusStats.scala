@@ -121,6 +121,54 @@ object CorpusStats {
       .orderBy(col("word"))
   }
 
+  /** [[cmsStopwordCounts]]' oracle-mirrorable twin (the portable-twin
+    * doctrine applied to the counter sketch): the SAME
+    * depth×width counter array and min-over-rows estimate, with the
+    * hash family the portable md5 convention instead of the JVM
+    * sketch's internal hashing. Counters are exact integer sums over a
+    * BOUNDED key space (depth × width), so the whole sketch — build,
+    * merge, probe — is one map-side-combined aggregation plus a probe
+    * join, and nothing can drift cross-engine. The built-in-sketch
+    * form (q74) stays the throughput path. */
+  def cmsPortable(docs: DataFrame, probes: Seq[String],
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def bucket(wCol: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(r.cast("string"), lit("|"), wCol)),
+        1, 15), 16, 10).cast("long"), lit(width.toLong))
+    val counters = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("w"))
+      .select(col("r"), bucket(col("w"), col("r")).as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+    val probeRows = probes.toDF("word")
+      .select(col("word"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("word"), col("r"), bucket(col("word"), col("r")).as("b"))
+    probeRows.join(counters, Seq("r", "b"), "left")
+      .groupBy(col("word"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+      .orderBy(col("word"))
+  }
+
+  private def cmsPortableOracle(probes: Seq[String],
+                                depth: Int, width: Int): String = {
+    val vals = probes.map(w => s"('$w')").mkString(", ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+       |cnts AS MATERIALIZED (
+       |  SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || w),
+       |           1, 15)) AS BIGINT) % $width AS b, count(*) AS cnt
+       |  FROM toks, range($depth) t(r) GROUP BY 1, 2),
+       |p AS (
+       |  SELECT word, r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' ||
+       |           word), 1, 15)) AS BIGINT) % $width AS b
+       |  FROM (VALUES $vals) v(word), range($depth) t(r))
+       |SELECT word, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+       |FROM p LEFT JOIN cnts USING (r, b)
+       |GROUP BY word ORDER BY word""".stripMargin
+  }
+
   /** Per-document n-gram novelty: the fraction of a doc's distinct
     * trigrams whose globally FIRST occurrence (by doc_id order) is this
     * doc — the curve dataset builders plot to see where a corpus stops
@@ -269,6 +317,13 @@ object CorpusStats {
       (s, dir) => cmsStopwordCounts(Tables.load(s, dir, "documents")),
       None,
       doc = "Count-Min-Sketch frequency estimates, fixed probe vocab (no shuffle)"),
+
+    Declared(
+      "q187_cms_portable",
+      (s, dir) => cmsPortable(Tables.load(s, dir, "documents"),
+        TextQueries.Stopwords),
+      Some(cmsPortableOracle(TextQueries.Stopwords, depth = 4, width = 1024)),
+      doc = "Count-Min sketch on the portable md5 hash family - build, merge and min-probe all replayed in the oracle (exact integer counters over a bounded depth x width key space); q74's JVM-sketch form stays the throughput path"),
 
     Declared(
       // Heavy-hitter set can vary with partition layout (documented in

@@ -177,6 +177,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("rollingDistinctPortable: raw m=64 estimate tracks exact within 3 sigma, repartition-stable") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.load(spark, sf0001, "events")
+    val got = EventAnalytics.rollingDistinctPortable(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    val daily = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = daily.select(col("day")).distinct()
+    val exact = days.as("d")
+      .join(daily.as("u"),
+        col("u.day") >= date_sub(col("d.day"), 6) && col("u.day") <= col("d.day"))
+      .groupBy(col("d.day")).agg(count_distinct(col("u.user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // raw HLL at m = 64: relative error sigma ~ 1.04/sqrt(64) = 13%
+    got.foreach { case (day, _, est) =>
+      val ex = exact(day)
+      assert(math.abs(est - ex).toDouble / ex <= 0.39,
+        s"$day: portable est $est vs exact $ex")
+    }
+    val again = EventAnalytics.rollingDistinctPortable(events.repartition(13))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == again)
+  }
+
   test("eventPaths: consecutive triples per user, counted across users") {
     import spark.implicits._
     val events = Seq(

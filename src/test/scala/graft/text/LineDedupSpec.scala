@@ -115,6 +115,26 @@ class LineDedupSpec extends SparkSpec {
     assert(again == est, "seeded sketch rerun must be bit-identical")
   }
 
+  test("cmsPortable: overestimate law vs exact, exact when the sketch is wide enough") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val est = CorpusStats.cmsPortable(docs, TextQueries.Stopwords).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.select(explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (w, e) =>
+      assert(e >= exact.getOrElse(w, 0L), s"CMS undercounted '$w'")
+    }
+    // a width far above the corpus vocabulary makes every probe
+    // collision-free in at least one row ⇒ estimates collapse to exact
+    val wide = CorpusStats.cmsPortable(docs, TextQueries.Stopwords,
+      depth = 4, width = 1 << 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    wide.foreach { case (w, e) =>
+      assert(e == exact.getOrElse(w, 0L), s"wide CMS off for '$w'")
+    }
+  }
+
   test("labelCentroids: hand centroid of two vectors per label") {
     import spark.implicits._
     val emb = Seq(
