@@ -33,6 +33,20 @@ class SpanDedupSpec extends SparkSpec {
       (3L, 5L, 7L, 1L, 3L)), got.mkString(", "))
   }
 
+  test("contaminationSpans: only train positions sharing a benchmark gram flag; benchmark docs never emit") {
+    import spark.implicits._
+    // doc 10 is the benchmark (doc_id % 10 == 0); doc 11 contains its
+    // phrase at positions 3..5; doc 12 shares nothing
+    val got = SpanDedup.contaminationSpans(Seq(
+      (10L, "secret eval answer x y"),
+      (11L, "a b secret eval answer"),
+      (12L, "p q r s t")).toDF("doc_id", "text"), n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq((11L, 3L, 5L, 1L, 3L)), got.mkString(", "))
+  }
+
   test("dupSpans: fully-duplicated docs collapse to one whole-doc span; unique docs emit nothing") {
     // doc 10/11 are identical: every 3-gram (positions 1..4) occurs
     // twice, consecutive positions merge into ONE span covering the
