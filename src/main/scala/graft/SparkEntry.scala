@@ -14,9 +14,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Registry.byName("knn_bruteforce").run(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. ListMap:
+    * iteration preserves Registry order, so (a) per-query bench
+    * timings are comparable across rounds (a hash-ordered Map
+    * reshuffled execution whenever a query was added), and (b) shared
+    * Materialized tables are paid by the query family that declares
+    * them, not an arbitrary hash neighbor. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Registry.all.map(d => d.name -> d.run).toMap
+    scala.collection.immutable.ListMap(
+      Registry.all.map(d => d.name -> d.run): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for seeded/approximate ops →
