@@ -99,6 +99,110 @@ object LanguageModel {
         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
         |  CAST(floor(CAST(-sum(t) AS DOUBLE) / sum(n)) AS BIGINT) AS nll_nano_tok
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      doc = "Bigram-LM perplexity quality score per document (add-one smoothing, nano-nat quantized)")
+      doc = "Bigram-LM perplexity quality score per document (add-one smoothing, nano-nat quantized)"),
+
+    Declared(
+      "q190_dsir_importance",
+      (s, dir) => dsirScores(Tables.load(s, dir, "documents")),
+      Some(dsirOracle),
+      doc = "DSIR importance weights: per-doc log-ratio of target-slice vs raw-slice bigram LMs (add-one smoothing, nano-nat terms summed as integers) - the data-selection score of Xie et al. 2023 over the q137 LM substrate")
   )
+
+  /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    * reduced to its verifiable core: score every RAW-pool document by
+    * the log-likelihood ratio of a TARGET-domain bigram LM (trained on
+    * the held-out slice, doc_id ≡ 0 mod 10 — q55's benchmark
+    * convention) against a RAW-pool bigram LM; high scores mark the
+    * raw documents most target-like, i.e. the ones importance
+    * resampling would keep. Both LMs are q137's add-one-smoothed
+    * bigram model; each per-bigram term n·(ln p_t − ln p_r) is
+    * quantized to integer nano-nats BEFORE the per-doc sum (the
+    * repo-wide "longs add order-free, floats don't" idiom), so the
+    * only float op chain per term is fixed-length and 1e-9-quantized.
+    *
+    * Scale shape: two slice-local hash aggregations build the models;
+    * scoring is two co-partitioned joins on the bigram key (target
+    * side LEFT — an unseen bigram backs off to the 1/(c1+V) smoothing
+    * mass); the vocab sizes are 1-row broadcast scalars. */
+  def dsirScores(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+    val bg = ws.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val docBg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds both model builds and the probe
+    val isTarget = col("doc_id") % 10 === 0
+    def lm(slice: DataFrame, suffix: String) = {
+      val c12 = slice.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("n")).as(s"c12$suffix"))
+      val c1 = c12.groupBy(col("w1"))
+        .agg(sum(col(s"c12$suffix")).as(s"c1$suffix"))
+      (c12, c1)
+    }
+    val (c12t, c1t) = lm(docBg.filter(isTarget), "t")
+    val (c12r, c1r) = lm(docBg.filter(!isTarget), "r")
+    def vocab(pred: org.apache.spark.sql.Column) = ws.filter(pred)
+      .select(explode(col("ws")).as("tok"))
+    val vt = vocab(isTarget).agg(countDistinct(col("tok")).as("vt"))
+    val vr = vocab(!isTarget).agg(countDistinct(col("tok")).as("vr"))
+    val term = round(col("n") *
+      (log((coalesce(col("c12t"), lit(0L)) + 1).cast("double")
+        / (coalesce(col("c1t"), lit(0L)) + col("vt")))
+        - log((col("c12r") + 1).cast("double") / (col("c1r") + col("vr"))))
+      * 1e9).cast("long")
+    docBg.filter(!isTarget)
+      .join(c12t, Seq("w1", "w2"), "left")
+      .join(c1t, Seq("w1"), "left")
+      .join(c12r, Seq("w1", "w2"))
+      .join(c1r, Seq("w1"))
+      .crossJoin(broadcast(vt)).crossJoin(broadcast(vr))
+      .select(col("doc_id"), col("n"), term.as("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), sum(col("t")).as("score_nano"))
+      .orderBy(col("doc_id"))
+  }
+
+  // def, not val: `declared` above captures it during object init,
+  // before a later val would have been assigned
+  private def dsirOracle: String =
+    """WITH ws AS MATERIALIZED (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      |       FROM (SELECT doc_id, w,
+      |               unnest(generate_series(1, len(w) - 1)) AS i
+      |             FROM ws)),
+      |docbg AS MATERIALIZED (
+      |  SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+      |c12t AS MATERIALIZED (
+      |  SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12t
+      |  FROM docbg WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+      |c1t AS (SELECT w1, CAST(sum(c12t) AS BIGINT) AS c1t FROM c12t GROUP BY 1),
+      |c12r AS MATERIALIZED (
+      |  SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12r
+      |  FROM docbg WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+      |c1r AS (SELECT w1, CAST(sum(c12r) AS BIGINT) AS c1r FROM c12r GROUP BY 1),
+      |vt AS (SELECT count(DISTINCT tok) AS vt
+      |       FROM (SELECT unnest(w) AS tok FROM ws WHERE doc_id % 10 = 0)),
+      |vr AS (SELECT count(DISTINCT tok) AS vr
+      |       FROM (SELECT unnest(w) AS tok FROM ws WHERE doc_id % 10 <> 0)),
+      |terms AS (
+      |  SELECT d.doc_id, d.n,
+      |    CAST(round(d.n *
+      |      (ln(CAST(coalesce(c12t.c12t, 0) + 1 AS DOUBLE)
+      |         / (coalesce(c1t.c1t, 0) + vt))
+      |       - ln(CAST(c12r.c12r + 1 AS DOUBLE) / (c1r.c1r + vr)))
+      |      * 1000000000) AS BIGINT) AS t
+      |  FROM docbg d
+      |  LEFT JOIN c12t ON c12t.w1 = d.w1 AND c12t.w2 = d.w2
+      |  LEFT JOIN c1t ON c1t.w1 = d.w1
+      |  JOIN c12r ON c12r.w1 = d.w1 AND c12r.w2 = d.w2
+      |  JOIN c1r ON c1r.w1 = d.w1
+      |  CROSS JOIN vt CROSS JOIN vr
+      |  WHERE d.doc_id % 10 <> 0)
+      |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(t) AS BIGINT) AS score_nano
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

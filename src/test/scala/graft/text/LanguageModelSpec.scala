@@ -59,4 +59,25 @@ class LanguageModelSpec extends SparkSpec {
     val b = LanguageModel.bigramNll(d.repartition(7)).collect().toSeq
     assert(a == b)
   }
+
+  test("dsirScores: target-like raw docs outscore target-unlike ones; target slice never scored") {
+    import spark.implicits._
+    // target slice (doc_id % 10 == 0) speaks "alpha beta gamma";
+    // raw doc 1 repeats the target phrasing, raw doc 2 shares nothing
+    val docs = Seq(
+      (10L, "alpha beta gamma alpha beta"),
+      (20L, "beta gamma alpha beta gamma"),
+      (1L, "alpha beta gamma alpha beta gamma"),
+      (2L, "delta epsilon zeta delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.dsirScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet == Set(1L, 2L), got)
+    assert(got(1L) > got(2L),
+      s"target-like doc must outscore target-unlike: $got")
+    // repartition-invariant (nano-nat terms sum as longs)
+    val again = LanguageModel.dsirScores(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got)
+  }
 }
