@@ -126,4 +126,39 @@ class PlanSpecs extends SparkSpec {
     }
     assert(global.isEmpty, "sentence-frequency window must partition by the hash")
   }
+
+  test("q180/q189 span detection: count-only gram aggregation, no posting lists, per-doc windows only") {
+    Seq("q180_dup_spans", "q189_decontam_spans").foreach { name =>
+      val qe = Registry.byName(name).run(spark, sf0001).queryExecution
+      val p = qe.executedPlan.toString
+      // the duplicated/benchmark gram set joins back as an equi-join on
+      // the gram key — no nested loop, no shingle self-join explosion
+      assert(!p.contains("NestedLoop"), s"$name must join on the gram key")
+      // no collect_list postings ship — the occurrence filter is a
+      // COUNT aggregate (partial-agg'd map-side)
+      assert(!p.contains("collect_list"), s"$name must not build posting lists")
+      val global = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.forall(_.foldable) => w
+      }
+      assert(global.isEmpty, s"$name island windows must partition by doc")
+    }
+  }
+
+  test("q182 classifier: model probe is an equi-join on the token key, class table broadcasts") {
+    val p = plan("q182_token_classifier")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the per-class totals/langs tables must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "the only cross join is the broadcast class expansion")
+  }
+
+  test("q181 semdedup: within-cluster pairs come from an equi-join on cid, never all-pairs") {
+    val p = plan("q181_semdedup")
+    // pair generation must key on the learned cluster id — the cosine
+    // and id< predicates ride as join conditions on an equi-join, not
+    // as filters over an unblocked pair stream
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pair generation must be blocked on the learned cluster id")
+  }
 }
