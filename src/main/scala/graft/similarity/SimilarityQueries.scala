@@ -200,12 +200,13 @@ object SimilarityQueries {
     * `a1..aN`, `k1..kN` — final centroids in `k<iters>`), shared by
     * the q175 oracle and the SemDeDup oracle. Returned WITHOUT the
     * leading `WITH`. */
-  private[similarity] def kmeansPortableCtes(nlist: Int, iters: Int): String = {
+  private[graft] def kmeansPortableCtes(nlist: Int, iters: Int,
+      ptsWhere: String = ""): String = {
     def eucl(a: String, b: String) = DuckSql.euclidean(a, b)
     val sb = new StringBuilder
     sb.append(
       s"""pts AS MATERIALIZED (
-         |  SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |  SELECT vec_id AS id, embedding AS vec FROM embeddings$ptsWhere),
          |k0 AS MATERIALIZED (
          |  SELECT row_number() OVER (ORDER BY hk, id) - 1 AS cid, vec AS cvec
          |  FROM (SELECT id, vec,

@@ -636,6 +636,87 @@ object StreamingPipelines {
       .orderBy(col("user_id"))
   }
 
+  /** One embeddings-replay source dir per (process, sfDir) — single
+    * parquet file, same contract as [[eventsReplayDir]]. */
+  private val replayEmb = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def embeddingsReplayDir(spark: SparkSession, dir: String): String =
+    replayEmb.getOrElseUpdate(dir, {
+      val src = tempDirCleanedOnExit("graft-emb-replay")
+      graft.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(src)
+      src
+    })
+
+  /** Streaming ANN ingest — the online half of the IVF retrieval
+    * index: vectors ARRIVE as a stream (the vec_id ≡ 0 mod 10 slice),
+    * the INDEX is static (portable-k-means centroids + inverted lists
+    * over the rest of the corpus), and each arrival is routed and
+    * matched entirely without streaming state:
+    *
+    *  - nearest-centroid routing is a MAP-SIDE fold over the centroid
+    *    table embedded as an array literal (nlist × dim floats — the
+    *    broadcast-dimension scale, collected once from the seeded
+    *    quantizer build), so no aggregation or window touches the
+    *    stream — append mode needs no watermark;
+    *  - candidates come from ONE stream-static equi-join on the list
+    *    id; similarity is rounded row-locally before the sink.
+    *
+    * The per-query top-k runs on the memory-sink read (the q167
+    * post-sink convention): a per-key top-k over an unwatermarked
+    * stream would need stateful aggregation, and the bounded replay
+    * makes the batch top-k over the emitted candidate set exactly the
+    * per-arrival answer. */
+  def annIngestAvailableNow(spark: SparkSession, dir: String,
+      nlist: Int = 8, kmeansIters: Int = 3, k: Int = 5): DataFrame = {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val static = emb.filter(col("vec_id") % 10 =!= 0)
+    val cent = graft.similarity.Ann
+      .kmeansCentroidsPortable(static, nlist, kmeansIters)
+    val centRows = cent.orderBy(col("cid")).collect()
+    val centArr = array(centRows.map { r =>
+      struct(lit(r.getInt(0)).as("cid"),
+        array(r.getSeq[Float](1).map(lit(_)): _*).as("cvec"))
+    }: _*)
+    val lists = static.select(col("vec_id").as("nbr"), col("embedding").as("cv"))
+      .join(broadcast(cent))
+      .select(col("nbr"), struct(
+        graft.linalg.Distances.euclidean(col("cv"), col("cvec")).as("d"),
+        col("cid").as("cid"), col("cv").as("cv")).as("cand"))
+      .groupBy(col("nbr")).agg(min(col("cand")).as("m"))
+      .select(col("m.cid").as("cid"), col("nbr"), col("m.cv").as("cv"))
+      .localCheckpoint() // the static index the stream probes
+    val name = s"ann_ingest_${declaredRuns.incrementAndGet()}"
+    withReplayPartitions(spark) {
+      val src = embeddingsReplayDir(spark, dir)
+      val arrivals = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(src)
+        .filter(col("vec_id") % 10 === 0)
+      val zero = struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid"))
+      val routed = arrivals.withColumn("route",
+          aggregate(centArr, zero, (acc, c) => {
+            val d = graft.linalg.Distances.euclidean(col("embedding"), c("cvec"))
+            when(d < acc("d"), struct(d.as("d"), c("cid").as("cid")))
+              .otherwise(acc) // centroids iterate cid-ascending: ties keep the smaller cid
+          }))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("route.cid").as("cid"))
+      val cands = routed.join(lists, Seq("cid"))
+        .select(col("qid"), col("nbr"),
+          round(graft.linalg.Distances.cosineSimilarity(col("qv"), col("cv")), 6)
+            .as("sim"))
+      val q = cands.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
+    graft.agg.TopKByWeight.topKBySimilarity(spark.table(name), k)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Run `f` with the RocksDB state store provider (required by
     * `transformWithState`), restoring the previous provider after. */
   private def withRocksDbStateStore[T](spark: SparkSession)(f: => T): T = {
@@ -823,6 +904,43 @@ object StreamingPipelines {
         |UNION ALL SELECT p_id, p_user, c_id, delay_us FROM um
         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin),
       doc = "LEFT OUTER stream-stream interval join through AvailableNow — null-extension on watermark state eviction, the emission path the inner join never runs; eviction rule stated in SQL",
+      streamingExecuted = true),
+
+    graft.Declared(
+      "q191_stream_ann_ingest",
+      (s, dir) => annIngestAvailableNow(s, dir),
+      // Batch mirror: the q175 Lloyd's CTEs over the STATIC slice,
+      // top-1 centroid routing for the arrival slice, candidates from
+      // the routed list, 6-dp cosine top-5.
+      Some {
+        val eucl = graft.DuckSql.euclidean("p.qv", "c.cvec")
+        s"""WITH ${graft.similarity.SimilarityQueries.kmeansPortableCtes(
+              8, 3, " WHERE vec_id % 10 <> 0")},
+          |lists AS MATERIALIZED (
+          |  SELECT cid, id AS nbr, vec AS cv FROM (
+          |    SELECT p.id, p.vec, c.cid,
+          |      row_number() OVER (PARTITION BY p.id
+          |        ORDER BY ${graft.DuckSql.euclidean("p.vec", "c.cvec")}, c.cid) AS rn
+          |    FROM pts p CROSS JOIN k3 c) WHERE rn = 1),
+          |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          |      WHERE vec_id % 10 = 0),
+          |probe AS (
+          |  SELECT qid, qv, cid FROM (
+          |    SELECT p.qid, p.qv, c.cid,
+          |      row_number() OVER (PARTITION BY p.qid
+          |        ORDER BY $eucl, c.cid) AS rn
+          |    FROM q p CROSS JOIN k3 c) WHERE rn = 1),
+          |cand AS (
+          |  SELECT p.qid, l.nbr,
+          |    round(${graft.DuckSql.cosineSimilarity("p.qv", "l.cv")}, 6) AS sim
+          |  FROM probe p JOIN lists l ON l.cid = p.cid)
+          |SELECT qid, nbr, sim, CAST(rn AS INT) AS rn FROM (
+          |  SELECT qid, nbr, sim,
+          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS rn
+          |  FROM cand)
+          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+      },
+      doc = "Streaming ANN ingest: arriving vectors routed to the static portable-IVF index by a map-side literal-centroid fold, matched through one stream-static list join - no streaming state, append mode; routing, index build and top-5 all replayed in the oracle",
       streamingExecuted = true),
 
     graft.Declared(

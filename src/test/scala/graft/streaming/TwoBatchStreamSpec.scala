@@ -93,6 +93,36 @@ class TwoBatchStreamSpec extends SparkSpec {
       u1.mkString(", "))
   }
 
+  test("streaming ANN ingest equals the batch IVF probe (routing, list join, top-5)") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingPipelines.annIngestAvailableNow(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got.nonEmpty)
+    // independent batch composition of the same index + routing
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val static = emb.filter(col("vec_id") % 10 =!= 0)
+    val cent = graft.similarity.Ann.kmeansCentroidsPortable(static, 8, 3)
+    def assign(df: org.apache.spark.sql.DataFrame, idc: String, vc: String) =
+      df.select(col(idc).as("id"), col(vc).as("v"))
+        .join(broadcast(cent))
+        .select(col("id"), col("v"), org.apache.spark.sql.functions.struct(
+          graft.linalg.Distances.euclidean(col("v"), col("cvec")).as("d"),
+          col("cid").as("cid")).as("cand"))
+        .groupBy(col("id"), col("v")).agg(min(col("cand")).as("m"))
+        .select(col("id"), col("v"), col("m.cid").as("cid"))
+    val lists = assign(static, "vec_id", "embedding")
+      .select(col("cid"), col("id").as("nbr"), col("v").as("cv"))
+    val routed = assign(emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
+      .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
+    val cands = routed.join(lists, Seq("cid"))
+      .select(col("qid"), col("nbr"),
+        round(graft.linalg.Distances.cosineSimilarity(col("qv"), col("cv")), 6).as("sim"))
+    val batch = graft.agg.TopKByWeight.topKBySimilarity(cands, 5)
+      .orderBy(col("qid"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == batch)
+  }
+
   test("two-batch dropDuplicatesWithinWatermark: cross-batch copies suppressed, each key emits once") {
     val src = twoFileSource(Seq(
       // (1, click, hour 10): twice in batch 1, once more in batch 2
