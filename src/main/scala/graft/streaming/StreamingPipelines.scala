@@ -717,6 +717,47 @@ object StreamingPipelines {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Streaming distribution-drift monitor — per-closed-window KL
+    * divergence of the event-type mix against the corpus-global
+    * reference distribution (the data-quality tripwire an ingest
+    * pipeline alarms on; q72's KL over a STREAM instead of sources).
+    * The streaming surface is exactly q168's watermarked tumbling
+    * aggregation (closed 1h windows of per-type counts); the KL itself
+    * computes on the memory-sink read: per window, Σ p·ln(p/q) over
+    * the ≤ |event types| terms in a pinned type-ordered fold, every
+    * ratio an exact IEEE division of exact integer counts and the sum
+    * quantized to nano-nats (the q137 idiom — the single ln is the
+    * only transcendental). */
+  def klDriftAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val src = eventsReplayDir(spark, dir)
+    val name = s"kl_declared_${declaredRuns.incrementAndGet()}"
+    withReplayPartitions(spark) {
+      val q = tumblingCounts(readEventsStream(spark, src))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
+    val global = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("g"))
+    val bigG = global.agg(sum(col("g")).as("big_g"))
+    spark.table(name)
+      .join(broadcast(global), Seq("event_type"))
+      .groupBy(col("w_start"))
+      .agg(sum(col("n")).as("nw"),
+        sort_array(collect_list(struct(col("event_type"), col("n"), col("g"))))
+          .as("ts"))
+      .crossJoin(broadcast(bigG))
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("nw").as("n_events"),
+        expr("CAST(floor(1e9 * aggregate(ts, CAST(0 AS DOUBLE), (acc, s) -> " +
+          "acc + (CAST(s.n AS DOUBLE) / nw) * " +
+          "ln((CAST(s.n AS DOUBLE) / nw) / (CAST(s.g AS DOUBLE) / big_g)))) " +
+          "AS BIGINT)").as("kl_nano"))
+      .orderBy(col("w_start"))
+  }
+
   /** Run `f` with the RocksDB state store provider (required by
     * `transformWithState`), restoring the previous provider after. */
   private def withRocksDbStateStore[T](spark: SparkSession)(f: => T): T = {
@@ -904,6 +945,35 @@ object StreamingPipelines {
         |UNION ALL SELECT p_id, p_user, c_id, delay_us FROM um
         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin),
       doc = "LEFT OUTER stream-stream interval join through AvailableNow — null-extension on watermark state eviction, the emission path the inner join never runs; eviction rule stated in SQL",
+      streamingExecuted = true),
+
+    graft.Declared(
+      "q192_stream_kl_drift",
+      (s, dir) => klDriftAvailableNow(s, dir),
+      // Closed-window rule (q168) + the pinned type-ordered KL fold.
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events),
+        |g AS MATERIALIZED (SELECT event_type, count(*) AS g
+        |                   FROM events GROUP BY 1),
+        |gt AS (SELECT CAST(sum(g) AS BIGINT) AS big_g FROM g),
+        |w AS (SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+        |      FROM events, m
+        |      WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |              <= mx - INTERVAL 2 HOUR
+        |      GROUP BY 1, 2),
+        |t AS (SELECT w.ws, sum(w.n) AS nw,
+        |        list(struct_pack(et := w.event_type, n := w.n, g := g.g)
+        |             ORDER BY w.event_type) AS ts
+        |      FROM w JOIN g USING (event_type) GROUP BY w.ws)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  CAST(nw AS BIGINT) AS n_events,
+        |  CAST(floor(1e9 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(ts, s ->
+        |      (CAST(s.n AS DOUBLE) / nw) *
+        |      ln((CAST(s.n AS DOUBLE) / nw) / (CAST(s.g AS DOUBLE) / big_g)))),
+        |    (a, x) -> a + x)) AS BIGINT) AS kl_nano
+        |FROM t CROSS JOIN gt
+        |ORDER BY w_start""".stripMargin),
+      doc = "Streaming KL drift: per-closed-window event-type distribution vs the global reference, through the watermarked tumbling aggregation; nano-nat-quantized type-ordered fold",
       streamingExecuted = true),
 
     graft.Declared(
