@@ -123,6 +123,26 @@ class TwoBatchStreamSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming KL drift: zero for windows matching the global mix, positive for skewed ones") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingPipelines.klDriftAvailableNow(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    // KL is Gibbs-nonnegative up to the nano floor
+    got.foreach { case (w, _, kl) => assert(kl >= -1L, s"$w: kl $kl") }
+    // windows whose mix deviates from global must register positive
+    // divergence somewhere in the stream
+    assert(got.exists(_._3 > 0L), "no window diverged — vacuous monitor")
+    // emitted set = the closed windows of the q168 tumbling query
+    val closed = StreamingPipelines.tumblingCounts(
+        graft.Tables.load(spark, sf0001, "events"))
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss"))
+      .distinct().collect().map(_.getString(0)).toSet
+    // batch plan has no watermark cut; streaming emits the prefix the
+    // final watermark closed
+    assert(got.map(_._1).toSet.subsetOf(closed))
+  }
+
   test("two-batch dropDuplicatesWithinWatermark: cross-batch copies suppressed, each key emits once") {
     val src = twoFileSource(Seq(
       // (1, click, hour 10): twice in batch 1, once more in batch 2
