@@ -20,7 +20,12 @@ object KnnQueries {
       // BruteForceKnn.knnGraph by the shared oracle and TopKJoinSpec,
       // ~4× faster (no N·M pair stream): 4.3 → 1.05 s at sf0.1
       val vecs = Tables.load(s, dir, "embeddings")
-      org.apache.spark.sql.graft.TopKJoin.knn(vecs, vecs, K)
+      // repartition the PROBE side: the embeddings scan is one input
+      // split at test scale, and the fused operator otherwise runs the
+      // whole N×M scan inside that single map task (measured 1.2 →
+      // 0.3 s at sf0.1; the exchange ships N ids+vectors once)
+      org.apache.spark.sql.graft.TopKJoin.knn(
+        vecs.repartition(col("vec_id")), vecs, K)
     }
 
   /** DuckDB mirror of BruteForceKnn.knnGraph on `embeddings`. */
@@ -118,7 +123,7 @@ object KnnQueries {
       // row of the compositional plan it replaces.
       "q166_fused_knn",
       (s, dir) => org.apache.spark.sql.graft.TopKJoin
-        .knn(Tables.load(s, dir, "embeddings"),
+        .knn(Tables.load(s, dir, "embeddings").repartition(col("vec_id")),
           Tables.load(s, dir, "embeddings"), K)
         .orderBy(col("id"), col("dist"), col("nbr")),
       Some(knnOracle),

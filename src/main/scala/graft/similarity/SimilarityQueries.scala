@@ -37,7 +37,11 @@ object SimilarityQueries {
     * of the dedup family (exact all-pairs form; the LSH/IVF buckets in
     * [[Ann]] are the 100 TB path, this is their oracle). */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    // spread the N×N cosine scan: the embeddings scan is a single
+    // input split at test scale, and the broadcast join would
+    // otherwise evaluate every pair inside that one map task
     val a = emb.select(col("vec_id").as("d1"), col("embedding").as("va"))
+      .repartition(col("d1"))
     val b = emb.select(col("vec_id").as("d2"), col("embedding").as("vb"))
     a.join(broadcast(b), col("d1") < col("d2"))
       .withColumn("sim", round(Distances.cosineSimilarity(col("va"), col("vb")), 6))

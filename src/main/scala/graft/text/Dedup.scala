@@ -121,7 +121,16 @@ object Dedup {
                       numH: Int = 16, rowsPerBand: Int = 2): DataFrame = {
     def md5Long(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // Spread the md5 family across the cluster BEFORE the ×numH
+    // explode: the docs scan is typically a handful of input splits
+    // (one, at test scale), and without this the entire numH × shingle
+    // md5 stream runs inside those few map tasks — measured 4.2 s of
+    // single-task wall at sf0.1 vs ~0.4 s spread (the shuffle moves
+    // ~MBs of shingles; the hashing it unlocks is the real cost). At
+    // 100 TB the scan has thousands of splits and the exchange
+    // coalesces into the already-partitioned flow.
     val sh = TextQueries.wordShingles(docs)
+      .repartition(col("doc_id"))
     val sig = sh
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(numH - 1))).as("i"), col("shingle"))
@@ -218,6 +227,10 @@ object Dedup {
     val chunkBits = 15
     val tok = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      // spread the md5 + ×60 bit expansion beyond the scan's few input
+      // splits (minhashPortable's finding — at test scale the whole
+      // token stream otherwise hashes inside one map task)
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
     val sig = tok
