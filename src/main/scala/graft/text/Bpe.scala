@@ -30,6 +30,9 @@ object Bpe {
     var vocab = docs
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) >= 2)
+      // spread the per-token regexp char-split beyond the scan's few
+      // input splits (the single-split map-task finding)
+      .repartition(col("w"))
       .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
@@ -93,6 +96,10 @@ object Bpe {
     val words = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) >= 1)
+      // spread the 2·rounds-deep regexp rewrite cascade across the
+      // cluster; partitioning by doc_id also co-partitions the per-doc
+      // count that follows (no second exchange)
+      .repartition(col("doc_id"))
     var t: org.apache.spark.sql.Column =
       concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
     merges.foreach { case (a, b) =>

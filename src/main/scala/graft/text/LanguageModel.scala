@@ -44,7 +44,10 @@ object LanguageModel {
     * out (mirrored in the oracle). Higher = more surprising = the
     * candidate for the quality-filter tail. */
   def bigramNll(docs: DataFrame): DataFrame = {
+    // spread the bigram-struct explode beyond the scan's few input
+    // splits; doc_id partitioning co-partitions the docBg aggregation
     val ws = docs.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .repartition(col("doc_id"))
     // bind the words array BEFORE the lambda (lambda bodies re-evaluate
     // outer expressions per element — the round-4 shingle finding)
     val bg = ws.filter(size(col("ws")) >= 2)
