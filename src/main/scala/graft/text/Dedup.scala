@@ -121,16 +121,11 @@ object Dedup {
                       numH: Int = 16, rowsPerBand: Int = 2): DataFrame = {
     def md5Long(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    // Spread the md5 family across the cluster BEFORE the ×numH
-    // explode: the docs scan is typically a handful of input splits
-    // (one, at test scale), and without this the entire numH × shingle
-    // md5 stream runs inside those few map tasks — measured 4.2 s of
-    // single-task wall at sf0.1 vs ~0.4 s spread (the shuffle moves
-    // ~MBs of shingles; the hashing it unlocks is the real cost). At
-    // 100 TB the scan has thousands of splits and the exchange
-    // coalesces into the already-partitioned flow.
+    // The ×numH md5 stream rides wordShingles' doc_id repartition —
+    // without it the whole hash family ran inside the scan's single
+    // map task at test scale (measured 4.2 s of serial wall at sf0.1
+    // vs ~0.4 s spread).
     val sh = TextQueries.wordShingles(docs)
-      .repartition(col("doc_id"))
     val sig = sh
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(numH - 1))).as("i"), col("shingle"))

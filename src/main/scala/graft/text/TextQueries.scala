@@ -28,6 +28,11 @@ object TextQueries {
     val ws = col("ws")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // spread the shingle build beyond the scan's few input splits
+      // (the single-split map-task finding; consumers aggregate on the
+      // shingle key, so this exchange replaces serial map work, and at
+      // real scan widths it coalesces into the partitioned flow)
+      .repartition(col("doc_id"))
       .filter(size(ws) >= n)
       .select(col("doc_id"),
         explode(array_distinct(transform(
@@ -50,6 +55,8 @@ object TextQueries {
       // projected, not inline: see wordShingles — an inline split would
       // re-evaluate per lambda element (n× per shingle), measured 8×
       .select(col("doc_id") +: keep.map(col) :+ split(col("text"), " ").as("ws"): _*)
+      // spread the hash/shingle build (see wordShingles)
+      .repartition(col("doc_id"))
       .filter(size(ws) >= n)
       .select(col("doc_id") +: keep.map(col) :+
         explode(array_distinct(transform(
