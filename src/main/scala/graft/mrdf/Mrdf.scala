@@ -150,13 +150,20 @@ object Mrdf {
     * block NN-Descent + merge) has materialized. */
   private def divide(pts: DataFrame, p: Params, iter: Int): (DataFrame, Seq[DataFrame]) = {
     val spark = pts.sparkSession
-    // level 0 is a trivial projection of the already-persisted pts —
-    // not re-persisted (it would double the cached footprint)
-    var assigned = pts.withColumn("path", lit(""))
-    // the persisted DataFrame backing `assigned` (the safety valve may
-    // re-derive `assigned` on top of it without persisting)
-    var lastPersisted: DataFrame = null
-    var prev: DataFrame = null
+    // Settled slices: a path that drops to ≤ α can never grow again,
+    // so its rows LEAVE the loop the level it settles — later levels
+    // aggregate and re-shuffle only the still-oversized subset. (The
+    // previous form re-ran every settled block through every remaining
+    // level's sampling aggregation; on skewed data, where subtrees
+    // settle at very different depths, that re-shuffled most of the
+    // corpus L times.) Each slice is a filter over its level's
+    // persisted frame, so every level stays pinned until the caller's
+    // merge materializes — the pinned set is the geometric tail of the
+    // division (Σ levels ≈ 2N rows worst-case), returned for release.
+    var settled: List[DataFrame] = Nil
+    // level 0 rides the already-persisted pts — not re-persisted
+    var work = pts.withColumn("path", lit(""))
+    var pinned: List[DataFrame] = Nil
     var divideIter = 0
     var anyOversized = true
     import spark.implicits._
@@ -176,22 +183,22 @@ object Mrdf {
       // As a side effect this job materializes the level's persist().
       val roundSeed = p.seed ^ (iter.toLong << 40) ^ (divideIter.toLong << 20)
       val sampler = new graft.agg.VecSample(p.rho, roundSeed)
-      val stats = assigned.select(col("path"), col("id"), col("vec"))
+      val stats = work.select(col("path"), col("id"), col("vec"))
         .as[(String, Long, Array[Float])]
         .groupByKey(_._1)
         .mapValues(t => (t._2, t._3))
         .agg(sampler.toColumn.name("sample"))
         .collect()
-      // the previous level fed this aggregation; its blocks are dead
-      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       val oversized = stats.filter(_._2.cnt > p.alpha).map(_._1)
       if (oversized.isEmpty) {
+        settled ::= work
         anyOversized = false
       } else {
         val isOver =
           if (oversized.length <= 1000) col("path").isin(oversized.toIndexedSeq: _*)
           else col("path").isInCollection(oversized.toIndexedSeq)
-        val over = assigned.filter(isOver)
+        if (oversized.length < stats.length) settled ::= work.filter(!isOver)
+        val over = work.filter(isOver)
         // Centroid table from the oversized blocks' samples — local
         // rows, so the broadcast needs no extra cluster job. Items are
         // sorted by (rank, id) ⇒ the position is a stable index.
@@ -209,19 +216,17 @@ object Mrdf {
         // map-side to one row per id before the shuffle; a row_number
         // window would shuffle all N×ρ candidate rows. (d, cidx) is a
         // unique prefix, so the selection is deterministic.
-        val next = assigned.filter(!isOver).unionByName(
-          over.join(centroids, Seq("path"))
-            .select(col("id"), struct(
-              Distances.euclidean(col("vec"), col("cvec")).as("d"),
-              col("cidx").as("cidx"), col("path").as("path"),
-              col("vec").as("vec")).as("cand"))
-            .groupBy(col("id")).agg(min(col("cand")).as("m"))
-            .select(col("id"), col("m.vec").as("vec"),
-              concat(col("m.path"), lit(","), col("m.cidx").cast("string")).as("path")))
+        val next = over.join(centroids, Seq("path"))
+          .select(col("id"), struct(
+            Distances.euclidean(col("vec"), col("cvec")).as("d"),
+            col("cidx").as("cidx"), col("path").as("path"),
+            col("vec").as("vec")).as("cand"))
+          .groupBy(col("id")).agg(min(col("cand")).as("m"))
+          .select(col("id"), col("m.vec").as("vec"),
+            concat(col("m.path"), lit(","), col("m.cidx").cast("string")).as("path"))
           .persist()
-        prev = assigned
-        assigned = next
-        lastPersisted = next
+        pinned ::= next
+        work = next
       }
     }
     if (anyOversized) {
@@ -229,28 +234,28 @@ object Mrdf {
       // flatMapGroups an oversized block (executor-OOM risk). Split the
       // stragglers by id-hash into ⌈count/α⌉ sub-blocks — uniform, so
       // every block is bounded; recall on those blocks degrades to
-      // random-partition quality, which later iterations repair.
-      val leftover = assigned.groupBy(col("path")).count()
+      // random-partition quality, which later iterations repair. Only
+      // the final WORK slice can still be oversized — settled slices
+      // are ≤ α by construction and skip the histogram.
+      val leftover = work.groupBy(col("path")).count()
         .filter(col("count") > p.alpha)
         .select(col("path"), ceil(col("count") / p.alpha.toDouble).cast("long").as("nsplit"))
       val anyLeft = !leftover.isEmpty
-      // that histogram materialized the last level's cache — the level
-      // before it is dead now (the in-loop release never ran on this
-      // exit path)
-      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (anyLeft) {
         spark.sparkContext.setJobDescription(
           s"[mrdf] hash-splitting paths still > alpha after ${p.maxDivideIter} divide rounds")
-        assigned = assigned
+        settled ::= work
           .join(broadcast(leftover), Seq("path"), "left_outer")
           .withColumn("path",
             when(col("nsplit").isNull, col("path"))
               .otherwise(concat(col("path"), lit("#"),
                 pmod(xxhash64(lit(p.seed), col("id")), col("nsplit")).cast("string"))))
           .drop("nsplit")
+      } else {
+        settled ::= work
       }
     }
-    (assigned, Option(lastPersisted).toSeq)
+    (settled.reduceLeft(_ unionByName _), pinned)
   }
 
   /** Block-local NN-Descent, distributed over blocks (one group per
