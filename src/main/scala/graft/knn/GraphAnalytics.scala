@@ -357,7 +357,12 @@ object GraphAnalytics {
     * peel steps as generated CTEs. `rounds` must be ≥ the data's
     * convergence count; extra rounds are no-ops (the peel step is
     * idempotent at the fixpoint), so over-provisioning is correct by
-    * construction, not an approximation. */
+    * construction, not an approximation. Headroom note: q114 passes
+    * rounds=12 against a measured convergence of 2–4 at the three
+    * benchmark SFs (sf0.001/0.01/0.1); a future much-larger SF that
+    * needed >12 peels would fail the driver diff LOUDLY (an
+    * under-provision shows up as a row mismatch, never a silent
+    * wrong answer on current SFs). */
   private def kCoreOracle(k: Int, rounds: Int): String = {
     val d = DuckSql.euclidean("a.embedding", "b.embedding")
     val sb = new StringBuilder

@@ -166,6 +166,7 @@ object Mrdf {
     var pinned: List[DataFrame] = Nil
     var divideIter = 0
     var anyOversized = true
+    var dim = -1 // vector dimensionality, computed once on first use
     import spark.implicits._
     while (anyOversized && divideIter < p.maxDivideIter) {
       divideIter += 1
@@ -177,19 +178,28 @@ object Mrdf {
       // per path before the shuffle. (The obvious row_number window is
       // a scale trap here — at level 0 `path` is the constant "",
       // Catalyst folds the partition spec away, and WindowExec funnels
-      // the ENTIRE level through one task.) The collect moves ≤
-      // #paths·(ρ·d floats) to the driver — the same magnitude as the
-      // centroid broadcast that follows, so it adds no new bottleneck.
-      // As a side effect this job materializes the level's persist().
+      // the ENTIRE level through one task.) Only the per-path COUNTS
+      // come to the driver — loop control (which paths are oversized?)
+      // is inherently a driver decision, and counts are O(#paths × 16
+      // bytes). The sampled centroid VECTORS stay distributed in the
+      // persisted agg frame; at the 100 TB extreme (#oversized ≈ N/α ≈
+      // 10⁵–10⁶, × ρ × d floats) routing them through the driver would
+      // be multi-GB. The counts action also materializes the level's
+      // persist()s.
       val roundSeed = p.seed ^ (iter.toLong << 40) ^ (divideIter.toLong << 20)
       val sampler = new graft.agg.VecSample(p.rho, roundSeed)
-      val stats = work.select(col("path"), col("id"), col("vec"))
+      val aggDf = work.select(col("path"), col("id"), col("vec"))
         .as[(String, Long, Array[Float])]
         .groupByKey(_._1)
         .mapValues(t => (t._2, t._3))
         .agg(sampler.toColumn.name("sample"))
-        .collect()
-      val oversized = stats.filter(_._2.cnt > p.alpha).map(_._1)
+        .toDF("path", "sample")
+        .persist()
+      pinned ::= aggDf // released by the caller with the level frames
+      val counts = aggDf
+        .select(col("path"), col("sample.cnt").as("cnt"))
+        .as[(String, Long)].collect()
+      val oversized = counts.filter(_._2 > p.alpha).map(_._1)
       if (oversized.isEmpty) {
         settled ::= work
         anyOversized = false
@@ -197,19 +207,26 @@ object Mrdf {
         val isOver =
           if (oversized.length <= 1000) col("path").isin(oversized.toIndexedSeq: _*)
           else col("path").isInCollection(oversized.toIndexedSeq)
-        if (oversized.length < stats.length) settled ::= work.filter(!isOver)
+        if (oversized.length < counts.length) settled ::= work.filter(!isOver)
         val over = work.filter(isOver)
-        // Centroid table from the oversized blocks' samples — local
-        // rows, so the broadcast needs no extra cluster job. Items are
-        // sorted by (rank, id) ⇒ the position is a stable index.
-        val overSet = oversized.toSet
-        val centroids = broadcast(
-          stats.iterator
-            .filter { case (path, s) => overSet(path) }
-            .flatMap { case (path, s) =>
-              s.items.iterator.zipWithIndex.map { case (kv, i) => (path, i, kv.vec) }
-            }
-            .toSeq.toDF("path", "cidx", "cvec"))
+        // Distributed centroid table: posexplode of the (rank, id)-
+        // sorted sample items ⇒ the position is a stable per-path
+        // index. Broadcast only when the driver-side size ESTIMATE
+        // (#oversized × ρ × (4d + overhead) bytes, all known on the
+        // driver) is small; past the threshold this becomes a shuffle
+        // join on `path`, whose key cardinality is exactly #oversized —
+        // i.e. large, hence skew-free, precisely in the regime where
+        // broadcast is off. Shallow levels (few paths, e.g. the single
+        // "" at level 0) always estimate tiny and take the broadcast
+        // arm, so the one-key skew case never reaches the shuffle.
+        if (dim < 0)
+          dim = pts.select(size(col("vec"))).head.getInt(0)
+        val centroidRows = aggDf.filter(isOver)
+          .select(col("path"), posexplode(col("sample.items")))
+          .select(col("path"), col("pos").as("cidx"), col("col.vec").as("cvec"))
+        val estBytes = oversized.length.toLong * p.rho * (4L * dim + 32L)
+        val centroids =
+          if (estBytes <= (64L << 20)) broadcast(centroidRows) else centroidRows
         // Nearest-centroid assignment: broadcast join + per-id argmin
         // (reference tree_path_extension, mrdf.py:123-146). The argmin
         // is min(struct(d, cidx, …)) — a hash aggregate that reduces

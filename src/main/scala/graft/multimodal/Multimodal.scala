@@ -198,6 +198,15 @@ object Multimodal {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** ASCII-only equivalence assumption (shared with [[cdcOracle]]):
+    * the Spark side hashes UTF-8 PAYLOAD BYTES (`encode(text,'UTF-8')`)
+    * while this oracle samples CODE POINTS via `ord(substr(text,i,1))`
+    * over `range(0, strlen(text))`. The two views coincide exactly iff
+    * the text is pure ASCII (one byte per code point, same values),
+    * which holds for the driver's generated `documents` table and is
+    * ASSERTED by `CdcChunkSpec`'s ascii-guard test — a generator
+    * change to non-ASCII fails that spec loudly instead of silently
+    * diverging here. */
   private def phashOracle(maxHamming: Int): String =
     s"""WITH ch AS MATERIALIZED (
        |  SELECT doc_id, len, (CAST(i AS BIGINT) * 60) // len AS j,

@@ -220,10 +220,14 @@ object EventAnalytics {
     * (order-free ⇒ deterministic), the 7-day union is a register-wise
     * max over the window days, and the raw estimate α·m²/Σ2^(−reg) is
     * IEEE-exact (each 2^(−reg) is an exact double, the Σ a pinned
-    * bucket-ordered fold). Raw estimate only — the small/large-range
-    * bias corrections add a transcendental and are a display concern,
-    * not a sketch-machinery one (documented; q111's library form
-    * applies them). */
+    * bucket-ordered fold). The small-range (linear-counting)
+    * correction IS applied — floor(m·ln(m/V)) when the raw estimate is
+    * ≤ 2.5m and V > 0 registers are empty — and is floor-stable because
+    * the closest m·ln(m/V) comes to an integer boundary over V ∈ 1..63
+    * is 0.0079 (checked exhaustively; see the inline comment below).
+    * Only the large-range (2³²-scale) correction is omitted: it is
+    * unreachable at these cardinalities and would add a second
+    * transcendental (q111's library form applies both). */
   def rollingDistinctPortable(events: DataFrame): DataFrame = {
     val m = 64
     val twoP54 = 1L << 54

@@ -456,8 +456,12 @@ object StreamingPipelines {
           .getOrElse(sys.error(s"no parquet part file under $tmp"))
         val dest = java.nio.file.Paths.get(src, s"batch$n.parquet")
         java.nio.file.Files.move(f.toPath, dest)
-        // the file source orders arrivals by modification time
-        dest.toFile.setLastModified(n * 1000000000L)
+        // the file source orders arrivals by modification time; the
+        // two-batch replay oracles (q183/q184/...) depend on batch1
+        // sorting strictly before batch2, so a refused mtime change
+        // must fail loudly, not silently reorder the batches
+        if (!dest.toFile.setLastModified(n * 1000000000L))
+          sys.error(s"setLastModified failed for $dest; two-batch replay order not guaranteed")
         ()
       }
       writeBatch(ev.filter(unix_micros(col("ts")) < mid), 1)

@@ -91,8 +91,36 @@ object TopKJoinPlan {
 }
 
 object TopKJoinStrategy extends SparkStrategy {
+
+  /** Planning-time build-side ceiling (bytes). The exec broadcasts its
+    * build side unconditionally — correct for the query-vs-corpus
+    * shapes it serves, but nothing in the TYPE stops a caller handing
+    * it a corpus-sized build. This guard fails FAST at planning with an
+    * actionable message instead of letting the driver attempt a
+    * multi-GB broadcast (a "fallback to the compositional plan" would
+    * not help: the compositional twins broadcast the same side, so past
+    * this size the right answer is a divided algorithm — MRDF / IVF —
+    * not a bigger hammer). Default matches Spark's own 8 GiB broadcast
+    * hard limit; override via `spark.graft.topKJoin.maxBuildBytes`. */
+  val MaxBuildBytesKey = "spark.graft.topKJoin.maxBuildBytes"
+  private val DefaultMaxBuildBytes = 8L << 30
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p @ TopKJoinPlan(l, r, k, cos, lbl, rank, _) =>
+      val maxBytes = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(MaxBuildBytesKey, DefaultMaxBuildBytes.toString).toLong
+      val est = r.stats.sizeInBytes
+      // Catalyst reports defaultSizeInBytes (≈ Long.MaxValue) for
+      // stats-less subtrees — "unknown", not "huge"; only reject on a
+      // REAL estimate, and let Spark's accounted BroadcastExchange
+      // backstop the unknown case at execution.
+      if (est < BigInt(Long.MaxValue) / 4 && est > maxBytes)
+        throw new IllegalArgumentException(
+          s"TopKJoin build side estimated at $est bytes exceeds " +
+            s"$MaxBuildBytesKey=$maxBytes. The fused top-k operator " +
+            "broadcasts its build side; for a corpus-sized build, divide " +
+            "first (Mrdf.buildGraph for KNN graphs, Ann.ivf* for top-k " +
+            "search) and use this operator per block.")
       TopKJoinExec(p.output, planLater(l), planLater(r), k, cos, lbl, rank) :: Nil
     case _ => Nil
   }

@@ -30,6 +30,24 @@ class TopKJoinSpec extends SparkSpec {
       s"build side is not a tracked broadcast:\n$s")
   }
 
+  test("a corpus-sized build side is rejected at planning, not broadcast") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+    val key = org.apache.spark.sql.graft.TopKJoinStrategy.MaxBuildBytesKey
+    spark.conf.set(key, "1024") // far below the embeddings scan estimate
+    try {
+      val ex = intercept[Exception] {
+        TopKJoin.knn(vecs, vecs, 10).count()
+      }
+      // planning errors may arrive wrapped; look for the guard's message
+      def msgs(t: Throwable): List[String] =
+        if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("exceeds spark.graft.topKJoin.maxBuildBytes")),
+        s"unexpected failure: $ex")
+    } finally spark.conf.unset(key)
+    // and with the default ceiling the same query plans and runs
+    assert(TopKJoin.knn(vecs, vecs, 10).count() > 0)
+  }
+
   test("row-identical to knnGraph on the real embeddings") {
     val vecs = Tables.load(spark, sf0001, "embeddings")
     val fused = TopKJoin.knn(vecs, vecs, 10).collect()

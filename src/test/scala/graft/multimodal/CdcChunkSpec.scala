@@ -45,4 +45,17 @@ class CdcChunkSpec extends SparkSpec {
       Multimodal.cdcChunks(two.repartition(5))).collect().head
     assert(again.toString == stats.toString)
   }
+
+  test("ascii guard: the documents table is pure ASCII (oracle byte/char equivalence)") {
+    // The q115/q185 DuckDB oracles sample CODE POINTS (ord(substr(...)))
+    // while the Spark side hashes UTF-8 PAYLOAD BYTES; the two agree
+    // iff every document is pure ASCII. Fail loudly here if the data
+    // generator ever emits non-ASCII text (see Multimodal.phashOracle).
+    import org.apache.spark.sql.functions._
+    val nonAscii = graft.Tables.load(spark, sf0001, "documents")
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents contain non-ASCII text; q115/q185 oracles assume byte==char")
+  }
 }
