@@ -80,6 +80,81 @@ object StreamingPipelines {
       }
   }
 
+  /** [[sessionizeStream]]'s event-time twin — same 30-minute-gap fold,
+    * but the idle-flush timer is an EVENT-TIME timeout against the
+    * stream's watermark instead of wall-clock. That makes the emitted
+    * set a pure function of the DATA (deterministic, hence driver-
+    * oracle-able, unlike the processing-time form whose flushes depend
+    * on scheduling):
+    *
+    *  - a session CLOSED BY A LATER EVENT (gap > gapSec to the user's
+    *    next event) emits when that event arrives — every non-final
+    *    session per user;
+    *  - a user's final open session emits iff its timer
+    *    `(end_sec + gapSec) · 1000` ms falls STRICTLY BELOW the final
+    *    watermark (max event-time ms − delay) — Spark fires event-time
+    *    timeouts on `timeoutTimestamp < watermark`, a strictness the
+    *    planted-boundary spec pins against version drift (the q168
+    *    closed-window-rule pattern);
+    *  - otherwise it stays in state, unemitted.
+    *
+    * Both rules are stated verbatim in q193's oracle SQL. State stays
+    * bounded by construction: one (count, start, last) triple per user
+    * with an armed timer, evicted at watermark + gap. */
+  def sessionizeEventTime(events: Dataset[Event], gapSec: Long = 1800,
+      delay: String = "2 hours"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => SessionOut(userId, s.n, s.start, s.last)).iterator
+            state.remove()
+            out
+          } else {
+            // Full-precision order (see sessionizeStream): getTime is
+            // ms-truncated; getNanos carries the sub-ms component.
+            val sorted = rows.toSeq
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.last <= gapSec =>
+                  cur = Some(s.copy(n = s.n + 1, last = sec))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.n, s.start, s.last)
+                  cur = Some(SessionState(1, sec, sec))
+                case None =>
+                  cur = Some(SessionState(1, sec, sec))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Arm the idle timer at session end + gap. Spark rejects
+              // timestamps at or below the current watermark; a session
+              // that is ALREADY idle-expired at arrival time (possible
+              // only for watermark-straddling late data, which the
+              // time-split replay never produces) flushes immediately.
+              val timer = (s.last + gapSec) * 1000L
+              if (timer > state.getCurrentWatermarkMs()) {
+                state.setTimeoutTimestamp(timer)
+              } else {
+                closed += SessionOut(userId, s.n, s.start, s.last)
+                state.remove()
+              }
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   final case class EwmaOut(user_id: Long, n_events: Long, ewma_micros: Long)
   final case class EwmaState(n: Long, s: Long)
 
@@ -831,7 +906,70 @@ object StreamingPipelines {
       .orderBy(col("user_id"))
   }
 
+  /** [[sessionizeEventTime]] executed through TWO micro-batches: the
+    * session fold runs with real cross-batch keyed state (a session
+    * straddling the time-split boundary merges from carried state — and
+    * can NEVER be split by a mid-stream timer: the user's last batch-1
+    * event is within gapSec of a batch-2 event ⇒ it sits above
+    * batch-1's watermark by construction), and the final watermark
+    * flushes exactly the idle-expired trailing sessions. Emitted set =
+    * every session closed by a later event (all non-final sessions per
+    * user) ∪ final sessions with `(end_sec + gap)·1000 < final
+    * watermark ms` — stated verbatim in the oracle SQL. */
+  def sessionizeAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"sess_declared_${declaredRuns.incrementAndGet()}"
+    withReplayPartitions(spark) {
+      val q = sessionizeEventTime(readEventsTwoBatches(spark, dir).as[Event])
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
+    spark.table(name)
+      .select(col("user_id"), col("n_events"), col("start_sec"), col("end_sec"))
+      .orderBy(col("user_id"), col("start_sec"))
+  }
+
   val declared: Seq[graft.Declared] = Seq(
+    graft.Declared(
+      "q193_stream_sessionize",
+      (s, dir) => sessionizeAvailableNow(s, dir),
+      // Gaps-and-islands sessionization (30-min gap on second-truncated
+      // event times, (ts, event_id) order) + the two emission rules:
+      // non-final sessions always emit (closed by the next event);
+      // a user's final session emits iff its idle timer lands strictly
+      // below the final watermark (max event ms − 2h) — the strict `<`
+      // is Spark's event-time-timeout firing condition, pinned by the
+      // planted-boundary spec.
+      Some("""WITH e AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) // 1000000 AS sec
+        |  FROM events),
+        |m AS (SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM events),
+        |b AS (
+        |  SELECT user_id, ts, event_id, sec,
+        |    CASE WHEN lag(sec) OVER w IS NULL
+        |           OR sec - lag(sec) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, sec,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b),
+        |sess AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |         min(sec) AS start_sec, max(sec) AS end_sec
+        |  FROM s GROUP BY 1, 2),
+        |last AS (SELECT user_id, max(sid) AS mx_sid FROM sess GROUP BY 1)
+        |SELECT sess.user_id, n_events, start_sec, end_sec
+        |FROM sess JOIN last USING (user_id) CROSS JOIN m
+        |WHERE sid < mx_sid OR (end_sec + 1800) * 1000 < wm_ms
+        |ORDER BY user_id, start_sec""".stripMargin),
+      doc = "Stateful streaming sessionization (flatMapGroupsWithState, EVENT-TIME timeout) through TWO micro-batches - boundary-straddling sessions merge from carried state, trailing idle sessions flush at the final watermark; both emission rules stated in SQL",
+      streamingExecuted = true),
+
     graft.Declared(
       "q183_stream_dedup",
       (s, dir) => dedupAvailableNow(s, dir),

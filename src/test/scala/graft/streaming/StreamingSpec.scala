@@ -258,6 +258,70 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_.startsWith("2024-01-01 12:00")), s"got $got")
   }
 
+  test("event-time session timeout fires on STRICT < at the watermark boundary") {
+    import spark.implicits._
+    // Planted boundary: clock event at 12:00:00, delay 2h ⇒ final
+    // watermark 10:00:00.000. user 1's idle timer = 09:30:00 + 30min =
+    // 10:00:00.000 — exactly ON the watermark — and must NOT flush
+    // (Spark fires event-time timeouts on timeoutTimestamp < watermark,
+    // strictly). user 2's timer = 09:59:59.000 < wm and must flush.
+    // This pins the strict `<` that q193's oracle states; a Spark
+    // version changing the comparison fails HERE, not silently at the
+    // driver gate.
+    def ev(id: Long, user: Long, t: String) =
+      (id, java.sql.Timestamp.valueOf(t), user, "click", 1.0)
+    val rows = Seq(
+      ev(1, 1L, "2024-01-01 09:30:00"),
+      ev(2, 2L, "2024-01-01 09:29:59"),
+      ev(3, 99L, "2024-01-01 12:00:00")) // the watermark driver
+    val src = Files.createTempDirectory("graft-stream-sess-boundary").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val q = StreamingPipelines.sessionizeEventTime(
+        StreamingPipelines.readEventsStream(spark, src)
+          .as[StreamingPipelines.Event])
+      .writeStream.format("memory").queryName("sess_boundary")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+    val got = spark.table("sess_boundary").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet // (user_id, n_events)
+    assert(got == Set((2L, 1L)),
+      s"expected exactly user 2's session to flush (timer strictly below wm); got $got")
+  }
+
+  test("two-batch event-time sessionization equals the batch emission rule") {
+    import spark.implicits._
+    val got = StreamingPipelines.sessionizeAvailableNow(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // Independent batch mirror of the q193 oracle: gaps-and-islands on
+    // second-truncated event times, non-final sessions always emitted,
+    // final session emitted iff (end+gap)·1000 < max-event-ms − 2h.
+    val e = eventsBatch().selectExpr("user_id", "ts", "event_id",
+      "unix_micros(ts) div 1000000 as sec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wmMs = eventsBatch()
+      .selectExpr("max(unix_micros(ts)) div 1000 - 7200000").head.getLong(0)
+    val sess = e
+      .withColumn("brk", when(lag(col("sec"), 1).over(w).isNull
+        || col("sec") - lag(col("sec"), 1).over(w) > 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+    val lastSid = sess.groupBy(col("user_id")).agg(max(col("sid")).as("mx"))
+    val expected = sess.join(lastSid, Seq("user_id"))
+      .filter(col("sid") < col("mx")
+        || (col("end_sec") + 1800L) * 1000L < lit(wmMs))
+      .select(col("user_id"), col("n_events"), col("start_sec"), col("end_sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty && expected.nonEmpty, "vacuous fixture")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("streaming EWMA state equals the batch ordered fold") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft-stream-ewma").toString
