@@ -97,6 +97,27 @@ object Bench {
     }
     val loadEnd = loadMid // snapshot taken right after the timed region
 
+    // Per-round MRDF recall GATE (round-7 verdict: the recall sweep
+    // lives in SCALING.json and regenerates manually, so a recall
+    // regression would surface only when someone re-ran it). Evaluate
+    // the mrdf_recall VALUE — untimed, outside the measured region, on
+    // the shared materialized tables — and stamp value + verdict into
+    // the bench line the driver archives every round. Threshold = the
+    // spec's 0.9 bound (measured 0.987–0.998 across SFs).
+    val recallMin = 0.90
+    val recallGate: Option[(Double, Boolean)] =
+      if (only.forall(_.exists("mrdf_recall".startsWith(_)))) {
+        try {
+          val v = SparkEntry.queries("mrdf_recall")(spark, sfDir).head.getDouble(0)
+          Some((v, v >= recallMin))
+        } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate("mrdf_recall_gate",
+              e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
+            Some((-1.0, false))
+        }
+      } else None
+
     val pmin: Seq[(String, Double)] = passResults.head.map { case (name, _) =>
       val walls = passResults.flatMap(_.toMap.get(name)).map(_._1)
       name -> (if (walls.exists(_ < 0)) -1.0 else walls.min)
@@ -120,10 +141,16 @@ object Bench {
     def passTotal(r: Seq[(String, (Double, Double))]): Double =
       r.collect { case (_, (w, _)) if w >= 0 => w }.sum
     val passTotalsJson = passResults.map(r => fmt(passTotal(r))).mkString("[", ",", "]")
+    val recallJson = recallGate.map { case (v, ok) =>
+      val vv = String.format(java.util.Locale.ROOT, "%.4f", v)
+      s""""mrdf_recall_value":$vv,"mrdf_recall_min":$recallMin,""" +
+        s""""mrdf_recall_gate":${if (ok) "\"PASS\"" else "\"FAIL\""},"""
+    }.getOrElse("")
     val env =
       s""""passes":$passes,"pass_totals":$passTotalsJson,""" +
         s""""lock_wait_sec":${fmt(lockWait)},"cpu_sec":${fmt(cpuTotal)},""" +
         s""""load1_start":${fmt(loadStart)},"load1_end":${fmt(loadEnd)},""" +
+        recallJson +
         s""""cpus":$cpus,"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$env$errJson"sf":"$sfDir"}"""
