@@ -315,6 +315,103 @@ object EventAnalytics {
       |SELECT est.day, dau.dau, est.users_7d_est
       |FROM est JOIN dau USING (day) ORDER BY est.day""".stripMargin
 
+  /** Portable bottom-k (KMV / "theta") sketches over per-event-type
+    * distinct-user sets, with PAIRWISE INTERSECTION estimates — the
+    * set operation an HLL union cannot answer (HLLs union; only theta-
+    * style samples intersect). Build: one distinct on (type, 60-bit
+    * md5 hash), then per-type bottom-k via a rank window (Spark plans
+    * a WindowGroupLimit, so each map task keeps only k rows before the
+    * shuffle — the same mergeable bottom-k shape as the
+    * [[graft.agg.ReservoirSample]] family, declaratively). Estimators,
+    * all cross-engine IEEE-exact (long→double conversion, one exact
+    * product of a ≤ 8-significant-bit integer with 2⁶⁰, one correctly-
+    * rounded division, floor):
+    *  - per type: kact < k ⇒ the sketch IS the set, estimate = kact;
+    *    else (k−1)·2⁶⁰ / θ with θ = the k-th smallest hash;
+    *  - per pair: common hashes strictly below θ_min = min(θ_a, θ_b),
+    *    estimate = n_common·2⁶⁰ / θ_min.
+    * At 100 TB: sketches are k rows per type — intersection work is
+    * driver-trivial after one distinct shuffle. */
+  def thetaOverlap(events: DataFrame, k: Int = 128): DataFrame = {
+    val twoP60 = 1152921504606846976L // 16^15, the md5-prefix hash space
+    val h = events.select(col("event_type"),
+        conv(substring(md5(concat(lit("theta|"), col("user_id").cast("string"))),
+          1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sk = h.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("event_type"), col("h"))
+      .localCheckpoint() // feeds the estimate AND both sides of the pair join
+    val est = sk.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("kact"), max(col("h")).as("maxh"))
+      .select(col("event_type"),
+        when(col("kact") >= k, col("maxh")).otherwise(lit(twoP60)).as("theta"),
+        when(col("kact") >= k,
+          floor(lit((k - 1).toDouble) * lit(twoP60.toDouble)
+            / col("maxh").cast("double")).cast("long"))
+          .otherwise(col("kact")).as("est"))
+    val pairs = est.as("a").join(est.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.est").as("est_a"), col("b.est").as("est_b"),
+        least(col("a.theta"), col("b.theta")).as("tm"))
+    val common = sk.as("x").join(sk.as("y"),
+        col("x.h") === col("y.h") && col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"),
+        col("x.h").as("h"))
+    pairs.join(common,
+        pairs("type_a") === common("type_a") && pairs("type_b") === common("type_b")
+          && common("h") < pairs("tm"), "left_outer")
+      .groupBy(pairs("type_a"), pairs("type_b"), col("est_a"), col("est_b"), col("tm"))
+      .agg(count(common("h")).as("n_common"))
+      .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+        col("n_common"),
+        floor(col("n_common").cast("double") * lit(twoP60.toDouble)
+          / col("tm").cast("double")).cast("long").as("est_common"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private def thetaOracle(k: Int): String =
+    s"""WITH h AS MATERIALIZED (
+       |  SELECT DISTINCT event_type,
+       |    CAST(('0x' || substr(md5('theta|' || CAST(user_id AS VARCHAR)),
+       |      1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |r AS MATERIALIZED (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM h),
+       |sk AS MATERIALIZED (SELECT event_type, h FROM r WHERE rn <= $k),
+       |est AS MATERIALIZED (
+       |  SELECT event_type,
+       |    CASE WHEN count(*) >= $k THEN max(h)
+       |         ELSE 1152921504606846976 END AS theta,
+       |    CASE WHEN count(*) >= $k
+       |         THEN CAST(floor(CAST(${k - 1} AS DOUBLE)
+       |                * CAST(1152921504606846976 AS DOUBLE)
+       |                / CAST(max(h) AS DOUBLE)) AS BIGINT)
+       |         ELSE count(*) END AS est
+       |  FROM sk GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    a.est AS est_a, b.est AS est_b, least(a.theta, b.theta) AS tm
+       |  FROM est a JOIN est b ON a.event_type < b.event_type),
+       |cm AS (
+       |  SELECT x.event_type AS type_a, y.event_type AS type_b, x.h
+       |  FROM sk x JOIN sk y ON x.h = y.h AND x.event_type < y.event_type),
+       |cnt AS (
+       |  SELECT p.type_a, p.type_b, p.est_a, p.est_b, p.tm,
+       |    count(c.h) AS n_common
+       |  FROM pairs p LEFT JOIN cm c
+       |    ON c.type_a = p.type_a AND c.type_b = p.type_b AND c.h < p.tm
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT type_a, type_b, est_a, est_b,
+       |  CAST(n_common AS BIGINT) AS n_common,
+       |  CAST(floor(CAST(n_common AS DOUBLE)
+       |    * CAST(1152921504606846976 AS DOUBLE)
+       |    / CAST(tm AS DOUBLE)) AS BIGINT) AS est_common
+       |FROM cnt ORDER BY type_a, type_b""".stripMargin
+
   /** A/B-test readout — the experimentation query a product pipeline
     * runs daily: FIRST-TOUCH variant assignment (the k prop of each
     * user's earliest event, by (ts, event_id) — one `min(struct(...))`
@@ -601,6 +698,12 @@ object EventAnalytics {
         |  count(DISTINCT a.user_id) AS n_users
         |FROM a JOIN f ON a.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin),
-      doc = "Day-0 cohort retention triangle (first-activity cohorts)")
+      doc = "Day-0 cohort retention triangle (first-activity cohorts)"),
+
+    Declared(
+      "q196_theta_sketch",
+      (s, dir) => thetaOverlap(Tables.load(s, dir, "events")),
+      Some(thetaOracle(128)),
+      doc = "Portable bottom-k (KMV/theta) sketches of per-event-type distinct users with PAIRWISE INTERSECTION estimates - the sketch set-operation HLL cannot do; build (WindowGroupLimit bottom-k), thetas and both estimators replayed exactly in the oracle")
   )
 }

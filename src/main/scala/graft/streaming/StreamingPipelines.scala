@@ -224,6 +224,27 @@ object StreamingPipelines {
         && col("c_ts") <= col("p_ts"))
   }
 
+  /** LEFT SEMI stream-stream interval join — existence, not pairing:
+    * a purchase emits (once) as soon as SOME qualifying click is seen;
+    * the join never materializes the matching rows. Distinct streaming
+    * path from the inner join: the semi join's left-side state tracks
+    * "already emitted" so multi-click purchases cannot double-emit. */
+  def purchaseClickSemiJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES")
+        && col("c_ts") <= col("p_ts"),
+      "left_semi")
+  }
+
   /** LEFT OUTER stream-stream interval join — the state-eviction
     * emission path the inner join never exercises: matched rows emit
     * eagerly, but a purchase with NO qualifying click emits its
@@ -906,6 +927,59 @@ object StreamingPipelines {
       .orderBy(col("user_id"))
   }
 
+  /** [[purchaseClickSemiJoin]] through AvailableNow: a semi join emits
+    * matched left rows eagerly (like the inner join — watermarks only
+    * bound state), and the single-file replay delivers everything in
+    * ONE micro-batch, so the emitted set is exactly the batch
+    * EXISTS-semi-join — verbatim in the oracle. */
+  def semiJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val src = eventsReplayDir(spark, dir)
+    val name = s"sjoin_declared_${declaredRuns.incrementAndGet()}"
+    withReplayPartitions(spark) {
+      val q = purchaseClickSemiJoin(readEventsStream(spark, src))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
+    spark.table(name)
+      .select(col("p_id"), col("p_user"), unix_micros(col("p_ts")).as("p_us"))
+      .orderBy(col("p_id"))
+  }
+
+  /** Native `session_window` aggregation executed through TWO
+    * micro-batches — the session-STATE-STORE path (SessionWindow exec
+    * merging adjacent windows in keyed state across batches), distinct
+    * from q193's hand-rolled flatMapGroupsWithState fold and from the
+    * batch q23b plan. A session straddling the time-split boundary is
+    * MERGED in the store (batch 2's windows overlap batch 1's stored
+    * session); the final watermark closes and emits exactly the
+    * sessions whose end (last event + gap) lands at or below it — the
+    * closed-window rule, pinned by the planted-boundary spec and
+    * stated in the oracle SQL over q23b's gaps-and-islands CTEs. */
+  def sessionNativeAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"snat_declared_${declaredRuns.incrementAndGet()}"
+    withReplayPartitions(spark) {
+      val agg = readEventsTwoBatches(spark, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("sess_start"),
+          col("user_id"), col("n_events"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
+    spark.table(name)
+      .select(col("sess_start"), col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
   /** [[sessionizeEventTime]] executed through TWO micro-batches: the
     * session fold runs with real cross-batch keyed state (a session
     * straddling the time-split boundary merges from carried state — and
@@ -933,6 +1007,52 @@ object StreamingPipelines {
   }
 
   val declared: Seq[graft.Declared] = Seq(
+    graft.Declared(
+      "q194_stream_session_native",
+      (s, dir) => sessionNativeAvailableNow(s, dir),
+      // q23b's gaps-and-islands CTEs (merge at exactly-gap: > not >=)
+      // restricted to the closed sessions: end (last event + 30min)
+      // AT OR BELOW the final watermark (max event ms − 2h) — the <=
+      // closure rule the planted-boundary spec pins.
+      Some("""WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT (epoch_us(max(ts)) // 1000 - 7200000) * 1000 AS wm_us
+        |      FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM flagged)
+        |SELECT strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+        |  user_id, count(*) AS n_events
+        |FROM sess CROSS JOIN m
+        |GROUP BY user_id, sid, wm_us
+        |HAVING max(us) + 1800000000 <= wm_us
+        |ORDER BY user_id, sess_start""".stripMargin),
+      doc = "Native session_window aggregation executed through TWO micro-batches - the session-state-store merge path (boundary-straddling sessions merge in keyed state); emitted set = watermark-closed sessions, stated in SQL",
+      streamingExecuted = true),
+
+    graft.Declared(
+      "q195_stream_semi_join",
+      (s, dir) => semiJoinAvailableNow(s, dir),
+      // Semi joins emit matched left rows eagerly; one micro-batch ⇒
+      // emitted set = the batch EXISTS semi join, verbatim in SQL.
+      Some("""SELECT p.event_id AS p_id, p.user_id AS p_user,
+        |  epoch_us(p.ts) AS p_us
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
+        |  AND EXISTS (SELECT 1 FROM events c
+        |        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |          AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)
+        |ORDER BY p_id""".stripMargin),
+      doc = "LEFT SEMI stream-stream interval join through AvailableNow - existence semantics with emitted-once left-side state, a distinct streaming join path from inner/outer",
+      streamingExecuted = true),
+
     graft.Declared(
       "q193_stream_sessionize",
       (s, dir) => sessionizeAvailableNow(s, dir),

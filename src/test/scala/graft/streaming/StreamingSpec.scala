@@ -322,6 +322,79 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("native session_window closure boundary at the watermark is pinned") {
+    import spark.implicits._
+    // Clock event at 12:00:00, delay 2h ⇒ final watermark 10:00:00.
+    // user 1's session end = 09:30:00 + 30min = 10:00:00.000 exactly ON
+    // the watermark; user 2's end = 09:59:59 strictly below; user 3's
+    // end = 10:00:01 above (must stay open). Pins the closure
+    // comparison q194's oracle states.
+    def ev(id: Long, user: Long, t: String) =
+      (id, java.sql.Timestamp.valueOf(t), user, "click", 1.0)
+    val rows = Seq(
+      ev(1, 1L, "2024-01-01 09:30:00"),
+      ev(2, 2L, "2024-01-01 09:29:59"),
+      ev(3, 3L, "2024-01-01 09:30:01"),
+      ev(4, 99L, "2024-01-01 12:00:00"))
+    val src = Files.createTempDirectory("graft-stream-snat-boundary").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val q = StreamingPipelines.readEventsStream(spark, src)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"))
+      .writeStream.format("memory").queryName("snat_boundary")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+    val got = spark.table("snat_boundary").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L),
+      s"expected sessions ending AT or below the watermark to close (<= rule); got $got")
+  }
+
+  test("two-batch native session_window equals the batch closed-session rule") {
+    import spark.implicits._
+    val got = StreamingPipelines.sessionNativeAvailableNow(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // batch mirror: q23b sessions restricted to end_us <= wm_us
+    val wmUs = (eventsBatch()
+      .selectExpr("max(unix_micros(ts)) div 1000 - 7200000").head.getLong(0)) * 1000L
+    val e = eventsBatch().selectExpr("user_id", "ts", "event_id",
+      "unix_micros(ts) as us")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val expected = e
+      .withColumn("brk", when(lag(col("us"), 1).over(w).isNull
+        || col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"),
+        (max(col("us")) + 1800000000L).as("end_us"))
+      .filter(col("end_us") <= lit(wmUs))
+      .select(date_format((col("start_us") / 1e6).cast("timestamp"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
+        col("user_id"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && expected.nonEmpty, "vacuous fixture")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("streaming semi join emits each matched purchase exactly once") {
+    import spark.implicits._
+    val got = StreamingPipelines.semiJoinAvailableNow(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the same plan on the batch frame (withWatermark is a no-op there)
+    val expected = StreamingPipelines.purchaseClickSemiJoin(eventsBatch())
+      .select(col("p_id"), col("p_user"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "no semi matches — vacuous")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("streaming EWMA state equals the batch ordered fold") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft-stream-ewma").toString
