@@ -56,7 +56,11 @@ object Mrdf {
       seed: Long = 42L,
       maxIter: Int = 10,
       precision: Double = 0.001,
-      maxDivideIter: Int = 20)
+      maxDivideIter: Int = 20,
+      // Ceiling on sample payload routed through the driver per divide
+      // level (see divide's adaptive-routing comment). Non-default only
+      // in specs, to force the distributed-centroid arm at test N.
+      driverSampleBytes: Long = 64L << 20)
 
   /** Per-outer-iteration run telemetry — the Spark-side equivalent of
     * the reference's `write_out_mrdf_details` (`mrdf.py:217-226`:
@@ -85,6 +89,9 @@ object Mrdf {
     val pts = points.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .persist()
     val n = pts.count()
+    // Dimensionality feeds divide's a-priori driver-payload bound;
+    // one 1-row job per build, amortized over the outer iterations.
+    val dim = if (n == 0) 0 else pts.select(size(col("vec"))).head.getInt(0)
     log.info(s"[mrdf] start n=$n k=${p.k} rho=${p.rho} alpha=${p.alpha} " +
       s"tau=${p.tau} seed=${p.seed} maxIter=${p.maxIter}")
 
@@ -96,7 +103,7 @@ object Mrdf {
     while (ratio > p.tau && iter < p.maxIter) {
       iter += 1
       val t0 = System.nanoTime()
-      val (assigned, pinned) = divide(pts, p, iter)
+      val (assigned, pinned) = divide(pts, p, iter, dim)
       val t1 = System.nanoTime()
       // merge materialization also runs the lazy block NN-Descent.
       // The merge carries per-edge provenance (is_old = the (id, nbr)
@@ -148,7 +155,8 @@ object Mrdf {
     * Returns the assignment plus the still-persisted level DataFrames
     * backing it — the caller unpersists them once its consumer (the
     * block NN-Descent + merge) has materialized. */
-  private def divide(pts: DataFrame, p: Params, iter: Int): (DataFrame, Seq[DataFrame]) = {
+  private def divide(pts: DataFrame, p: Params, iter: Int,
+      dim: Int): (DataFrame, Seq[DataFrame]) = {
     val spark = pts.sparkSession
     // Settled slices: a path that drops to ≤ α can never grow again,
     // so its rows LEAVE the loop the level it settles — later levels
@@ -166,7 +174,13 @@ object Mrdf {
     var pinned: List[DataFrame] = Nil
     var divideIter = 0
     var anyOversized = true
-    var dim = -1 // vector dimensionality, computed once on first use
+    // Previous level's oversized-path count — each such path spawns at
+    // most ρ children at this level, each retaining ≤ ρ samples, so
+    // BEFORE running the level's aggregation the driver can bound the
+    // level's total sample payload: prevOversized · ρ² · (4d + 32)
+    // bytes. Level 0 has the single root path.
+    var prevOversized = 1
+    val maxDriverBytes = p.driverSampleBytes
     import spark.implicits._
     while (anyOversized && divideIter < p.maxDivideIter) {
       divideIter += 1
@@ -178,28 +192,65 @@ object Mrdf {
       // per path before the shuffle. (The obvious row_number window is
       // a scale trap here — at level 0 `path` is the constant "",
       // Catalyst folds the partition spec away, and WindowExec funnels
-      // the ENTIRE level through one task.) Only the per-path COUNTS
-      // come to the driver — loop control (which paths are oversized?)
-      // is inherently a driver decision, and counts are O(#paths × 16
-      // bytes). The sampled centroid VECTORS stay distributed in the
-      // persisted agg frame; at the 100 TB extreme (#oversized ≈ N/α ≈
-      // 10⁵–10⁶, × ρ × d floats) routing them through the driver would
-      // be multi-GB. The counts action also materializes the level's
-      // persist()s.
+      // the ENTIRE level through one task.)
       val roundSeed = p.seed ^ (iter.toLong << 40) ^ (divideIter.toLong << 20)
       val sampler = new graft.agg.VecSample(p.rho, roundSeed)
-      val aggDf = work.select(col("path"), col("id"), col("vec"))
+      val aggPlan = work.select(col("path"), col("id"), col("vec"))
         .as[(String, Long, Array[Float])]
         .groupByKey(_._1)
         .mapValues(t => (t._2, t._3))
         .agg(sampler.toColumn.name("sample"))
-        .toDF("path", "sample")
-        .persist()
-      pinned ::= aggDf // released by the caller with the level frames
-      val counts = aggDf
-        .select(col("path"), col("sample.cnt").as("cnt"))
-        .as[(String, Long)].collect()
+      // ADAPTIVE driver routing, decided BEFORE the aggregation runs,
+      // from the a-priori payload bound (so the driver transfer is
+      // bounded by construction, never by luck):
+      //  - small levels (the overwhelmingly common case, and always
+      //    level 0): ONE collect brings (path, count, samples) down
+      //    and the centroid table broadcasts from local rows — no
+      //    extra persist, no separate broadcast-build job;
+      //  - past the threshold (the 100 TB extreme: #oversized ≈ N/α ≈
+      //    10⁵–10⁶ paths × ρ × d floats = multi-GB): only the per-path
+      //    COUNTS are collected (O(#paths × 16 B) — loop control is
+      //    inherently driver-side) and the sampled centroid VECTORS
+      //    stay distributed in a persisted agg frame.
+      val ubBytes = prevOversized.toLong * p.rho * p.rho * (4L * dim + 32L)
+      val smallLevel = ubBytes <= maxDriverBytes
+      val (counts: Array[(String, Long)], mkCentroids: (Array[String] => DataFrame)) =
+        if (smallLevel) {
+          val stats = aggPlan.collect()
+          (stats.map { case (path, s) => (path, s.cnt) },
+            (oversized: Array[String]) => {
+              val overSet = oversized.toSet
+              broadcast(
+                stats.iterator
+                  .filter { case (path, _) => overSet(path) }
+                  .flatMap { case (path, s) =>
+                    s.items.iterator.zipWithIndex.map { case (kv, i) => (path, i, kv.vec) }
+                  }
+                  .toSeq.toDF("path", "cidx", "cvec"))
+            })
+        } else {
+          val aggDf = aggPlan.toDF("path", "sample").persist()
+          pinned ::= aggDf // released by the caller with the level frames
+          (aggDf.select(col("path"), col("sample.cnt").as("cnt"))
+            .as[(String, Long)].collect(),
+            (oversized: Array[String]) => {
+              // Distributed centroid table: posexplode of the
+              // (rank, id)-sorted sample items ⇒ the position is a
+              // stable per-path index. Broadcast under the ACCURATE
+              // size estimate; past it, a shuffle join on `path` —
+              // whose key cardinality is exactly #oversized, i.e.
+              // large, hence skew-free, precisely in the regime where
+              // broadcast is off. (The one-key shallow levels are
+              // always routed through the smallLevel arm above.)
+              val rows = aggDf.filter(col("path").isInCollection(oversized.toIndexedSeq))
+                .select(col("path"), posexplode(col("sample.items")))
+                .select(col("path"), col("pos").as("cidx"), col("col.vec").as("cvec"))
+              val estBytes = oversized.length.toLong * p.rho * (4L * dim + 32L)
+              if (estBytes <= maxDriverBytes) broadcast(rows) else rows
+            })
+        }
       val oversized = counts.filter(_._2 > p.alpha).map(_._1)
+      prevOversized = oversized.length
       if (oversized.isEmpty) {
         settled ::= work
         anyOversized = false
@@ -209,24 +260,7 @@ object Mrdf {
           else col("path").isInCollection(oversized.toIndexedSeq)
         if (oversized.length < counts.length) settled ::= work.filter(!isOver)
         val over = work.filter(isOver)
-        // Distributed centroid table: posexplode of the (rank, id)-
-        // sorted sample items ⇒ the position is a stable per-path
-        // index. Broadcast only when the driver-side size ESTIMATE
-        // (#oversized × ρ × (4d + overhead) bytes, all known on the
-        // driver) is small; past the threshold this becomes a shuffle
-        // join on `path`, whose key cardinality is exactly #oversized —
-        // i.e. large, hence skew-free, precisely in the regime where
-        // broadcast is off. Shallow levels (few paths, e.g. the single
-        // "" at level 0) always estimate tiny and take the broadcast
-        // arm, so the one-key skew case never reaches the shuffle.
-        if (dim < 0)
-          dim = pts.select(size(col("vec"))).head.getInt(0)
-        val centroidRows = aggDf.filter(isOver)
-          .select(col("path"), posexplode(col("sample.items")))
-          .select(col("path"), col("pos").as("cidx"), col("col.vec").as("cvec"))
-        val estBytes = oversized.length.toLong * p.rho * (4L * dim + 32L)
-        val centroids =
-          if (estBytes <= (64L << 20)) broadcast(centroidRows) else centroidRows
+        val centroids = mkCentroids(oversized)
         // Nearest-centroid assignment: broadcast join + per-id argmin
         // (reference tree_path_extension, mrdf.py:123-146). The argmin
         // is min(struct(d, cidx, …)) — a hash aggregate that reduces

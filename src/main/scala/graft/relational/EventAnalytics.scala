@@ -412,6 +412,64 @@ object EventAnalytics {
        |    / CAST(tm AS DOUBLE)) AS BIGINT) AS est_common
        |FROM cnt ORDER BY type_a, type_b""".stripMargin
 
+  /** Portable mergeable QUANTILE sketch — per-event-type p50/p90/p99 of
+    * `value` estimated from a deterministic bottom-k uniform ROW sample
+    * (md5 rank on event_id, the KMV idiom: mergeable map-side, order-
+    * independent, identical on any partitioning), with NEAREST-RANK
+    * selection on the sample. Unlike percentile_approx (JVM-internal
+    * GK sketch, rows-only forever), every stage here is portable and
+    * the estimator does no floating-point arithmetic at all: the
+    * quantile is the sample element at integer index ⌈p·m⌉ computed as
+    * `(a·m + b − 1) div b`, ties broken by event_id — so the oracle
+    * replays the whole sketch exactly. Completes the portable sketch
+    * family: membership (Bloom), frequency (CMS), cardinality (HLL),
+    * intersection (theta), heavy hitters (space-saving), integrity
+    * (Merkle), and now rank/quantile. */
+  def quantileSketch(events: DataFrame, k: Int = 256): DataFrame = {
+    val h = events.select(col("event_type"), col("value"), col("event_id"),
+      conv(substring(md5(concat(lit("q|"), col("event_id").cast("string"))),
+        1, 15), 16, 10).cast("long").as("h"))
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("h"), col("event_id"))
+    val sk = h.withColumn("rn", row_number().over(wB)).filter(col("rn") <= k)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val wV = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    sk.withColumn("vr", row_number().over(wV))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"), col("m"))
+      .agg(
+        max(when(col("vr") === expr("(m + 1) div 2"), col("value"))).as("p50"),
+        max(when(col("vr") === expr("(m * 9 + 9) div 10"), col("value"))).as("p90"),
+        max(when(col("vr") === expr("(m * 99 + 99) div 100"), col("value"))).as("p99"))
+      .select(col("event_type"), col("m").as("n_sample"),
+        round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"),
+        round(col("p99"), 6).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
+  private def quantileOracle(k: Int): String =
+    s"""WITH h AS (
+       |  SELECT event_type, value, event_id,
+       |    CAST(('0x' || substr(md5('q|' || CAST(event_id AS VARCHAR)),
+       |      1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, value, event_id,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+       |  FROM h),
+       |sk AS MATERIALIZED (
+       |  SELECT event_type, value, event_id FROM r WHERE rn <= $k),
+       |o AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |                       ORDER BY value, event_id) AS vr,
+       |    count(*) OVER (PARTITION BY event_type) AS m
+       |  FROM sk)
+       |SELECT event_type, CAST(m AS BIGINT) AS n_sample,
+       |  round(max(CASE WHEN vr = (m + 1) // 2 THEN value END), 6) AS p50,
+       |  round(max(CASE WHEN vr = (m * 9 + 9) // 10 THEN value END), 6) AS p90,
+       |  round(max(CASE WHEN vr = (m * 99 + 99) // 100 THEN value END), 6) AS p99
+       |FROM o GROUP BY event_type, m ORDER BY event_type""".stripMargin
+
   /** A/B-test readout — the experimentation query a product pipeline
     * runs daily: FIRST-TOUCH variant assignment (the k prop of each
     * user's earliest event, by (ts, event_id) — one `min(struct(...))`
@@ -704,6 +762,12 @@ object EventAnalytics {
       "q196_theta_sketch",
       (s, dir) => thetaOverlap(Tables.load(s, dir, "events")),
       Some(thetaOracle(128)),
-      doc = "Portable bottom-k (KMV/theta) sketches of per-event-type distinct users with PAIRWISE INTERSECTION estimates - the sketch set-operation HLL cannot do; build (WindowGroupLimit bottom-k), thetas and both estimators replayed exactly in the oracle")
+      doc = "Portable bottom-k (KMV/theta) sketches of per-event-type distinct users with PAIRWISE INTERSECTION estimates - the sketch set-operation HLL cannot do; build (WindowGroupLimit bottom-k), thetas and both estimators replayed exactly in the oracle"),
+
+    Declared(
+      "q197_quantile_sketch",
+      (s, dir) => quantileSketch(Tables.load(s, dir, "events")),
+      Some(quantileOracle(256)),
+      doc = "Portable mergeable quantile sketch: deterministic md5 bottom-k uniform row sample + integer nearest-rank selection (no FP in the estimator) - the portable analog of percentile_approx's GK sketch, fully replayed in the oracle")
   )
 }

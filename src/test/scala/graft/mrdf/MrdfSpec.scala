@@ -23,6 +23,20 @@ class MrdfSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("divide's distributed-centroid arm is output-identical to the driver arm") {
+    // driverSampleBytes = 0 forces EVERY level through the distributed
+    // posexplode/persist path (the 100 TB arm the a-priori bound would
+    // never select at test N); the seeded graph must be bit-identical
+    // to the default build — the two arms are alternative routings of
+    // the same sample, not alternative algorithms.
+    val emb = Tables.load(spark, sf0001, "embeddings").limit(300)
+    val p = MrdfQueries.testParams.copy(maxIter = 2)
+    val a = Mrdf.buildGraph(emb, p).collect().map(_.toSeq).sortBy(_.toString)
+    val b = Mrdf.buildGraph(emb, p.copy(driverSampleBytes = 0L))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.sameElements(b), "distributed arm diverged from driver arm")
+  }
+
   test("NN-Descent alone reaches high recall on a single block") {
     val emb = Tables.load(spark, sf0001, "embeddings").limit(200)
     import org.apache.spark.sql.functions.col

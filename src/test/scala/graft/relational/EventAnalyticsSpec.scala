@@ -246,4 +246,49 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getLong(4) == (0 to 20).map(_ * 100L).sum)
     assert(r.getLong(5) == r.getLong(4) + 100L - 100L) // +100 at lo, -100 at hi
   }
+
+  test("theta sketch: estimates track exact distincts and intersections") {
+    import spark.implicits._
+    // 3 types with known user sets: A = 0..999, B = 500..1499 (|∩|=500),
+    // C = 0..49 (< k ⇒ exact mode).
+    val rows =
+      (0 until 1000).map(u => (u.toLong, ts("2024-01-01 10:00:00"), u.toLong, "A", 0.0)) ++
+      (500 until 1500).map(u => (10000L + u, ts("2024-01-01 10:00:00"), u.toLong, "B", 0.0)) ++
+      (0 until 50).map(u => (20000L + u, ts("2024-01-01 10:00:00"), u.toLong, "C", 0.0))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventAnalytics.thetaOverlap(events, k = 128).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toList
+    val ab = out.find(t => t._1 == "A" && t._2 == "B").get
+    // KMV with k=128 over 1000 distinct: relative error ~1/sqrt(k-2) ≈ 9%
+    assert(math.abs(ab._3 - 1000) < 300, s"est_A=${ab._3}")
+    assert(math.abs(ab._4 - 1000) < 300, s"est_B=${ab._4}")
+    assert(math.abs(ab._6 - 500) < 250, s"est_A∩B=${ab._6}")
+    val ac = out.find(t => t._1 == "A" && t._2 == "C").get
+    assert(ac._4 == 50L, "C below k must be EXACT")
+    // determinism under repartitioning (order-independent sketch)
+    val again = EventAnalytics.thetaOverlap(events.repartition(7), k = 128)
+      .collect().map(_.toString).toList
+    assert(again == out.map(t => s"[${t._1},${t._2},${t._3},${t._4},${t._5},${t._6}]"))
+  }
+
+  test("quantile sketch: exact below k, deterministic under repartition") {
+    import spark.implicits._
+    // 100 rows (< k=256) ⇒ the sample IS the set: nearest-rank quantiles
+    // are the exact order statistics ⌈p·100⌉ of 1..100.
+    val events = (1 to 100).map(i =>
+        (i.toLong, ts("2024-01-01 10:00:00"), i.toLong, "A", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.quantileSketch(events).collect().head
+    assert(r.getLong(1) == 100L)
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4)) == ((50.0, 90.0, 99.0)))
+    val big = (1 to 5000).map(i =>
+        (i.toLong, ts("2024-01-01 10:00:00"), i.toLong, "A", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val a = EventAnalytics.quantileSketch(big).collect().head
+    val b = EventAnalytics.quantileSketch(big.repartition(13)).collect().head
+    assert(a.toString == b.toString, "sample must be partitioning-independent")
+    // uniform 1..5000: sampled p90 within a few percent of 4500
+    assert(math.abs(a.getDouble(3) - 4500.0) < 500, s"p90=${a.getDouble(3)}")
+  }
 }
