@@ -32,7 +32,25 @@ final class ReservoirSample(n: Int, seed: Long)
     z ^ (z >>> 31)
   }
 
-  private def insert(sorted: Seq[Keyed], e: Keyed): Seq[Keyed] = {
+  private def insert(sorted: Seq[Keyed], e: Keyed): Seq[Keyed] =
+    BottomN.insert(n, sorted, e)
+
+  override def zero: KeyedList = KeyedList(Vector.empty)
+  override def reduce(b: KeyedList, id: Long): KeyedList =
+    KeyedList(insert(b.items, Keyed(mix(id), id)))
+  override def merge(x: KeyedList, y: KeyedList): KeyedList =
+    KeyedList(y.items.foldLeft(x.items)(insert))
+  override def finish(r: KeyedList): IdList = IdList(r.items.map(_.id))
+  override def bufferEncoder: Encoder[KeyedList] = Encoders.product[KeyedList]
+  override def outputEncoder: Encoder[IdList] = Encoders.product[IdList]
+}
+
+/** Shared bottom-n insert under the (h, id) order with id-dedup — the
+  * single implementation behind [[ReservoirSample]] and
+  * [[RankedSample]], so the seeded original and its portable twin
+  * cannot drift in tie-break or dedup semantics. */
+private[agg] object BottomN {
+  def insert(n: Int, sorted: Seq[Keyed], e: Keyed): Seq[Keyed] = {
     if (sorted.exists(_.id == e.id)) return sorted
     if (sorted.length >= n) {
       val last = sorted.last
@@ -42,12 +60,20 @@ final class ReservoirSample(n: Int, seed: Long)
     val ins = if (i < 0) sorted :+ e else sorted.patch(i, Seq(e), 0)
     if (ins.length > n) ins.dropRight(ins.length - n) else ins
   }
+}
 
+/** [[ReservoirSample]] with the rank supplied by the CALLER instead of
+  * the internal splitmix64 mix — the portable-twin form: the plan
+  * computes an engine-portable rank (md5 prefix) so an external SQL
+  * oracle can replay the identical sample, while the aggregation shape
+  * (per-key bottom-n sketch, order-independent, map-side partial) stays
+  * exactly [[ReservoirSample]]'s. */
+final class RankedSample(n: Int) extends Aggregator[Keyed, KeyedList, IdList] {
   override def zero: KeyedList = KeyedList(Vector.empty)
-  override def reduce(b: KeyedList, id: Long): KeyedList =
-    KeyedList(insert(b.items, Keyed(mix(id), id)))
+  override def reduce(b: KeyedList, e: Keyed): KeyedList =
+    KeyedList(BottomN.insert(n, b.items, e))
   override def merge(x: KeyedList, y: KeyedList): KeyedList =
-    KeyedList(y.items.foldLeft(x.items)(insert))
+    KeyedList(y.items.foldLeft(x.items)(BottomN.insert(n, _, _)))
   override def finish(r: KeyedList): IdList = IdList(r.items.map(_.id))
   override def bufferEncoder: Encoder[KeyedList] = Encoders.product[KeyedList]
   override def outputEncoder: Encoder[IdList] = Encoders.product[IdList]

@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.{Declared, Tables}
@@ -9,8 +9,10 @@ import graft.{Declared, Tables}
   * pattern made deterministic: when a selective dimension joins a huge
   * fact, the expensive part is shuffling fact rows that will never
   * match. Build a Bloom filter over the dim's join keys (a distributed
-  * sketch aggregation — bit-OR merge, tiny bitset to the driver),
-  * broadcast it, and drop non-matching fact rows AT THE SCAN, before
+  * sketch aggregation — bit-OR merge, tiny bitset to the driver), embed
+  * it in the plan as a binary literal probed by the codegen'd
+  * BloomFilterMightContain predicate (SketchExpressions), and drop
+  * non-matching fact rows AT THE SCAN, before
   * the exchange. Blooms have no false negatives, so the subsequent
   * exact join sees every true match; false positives only ride along
   * to the join, which removes them — the composed result is PROVABLY
@@ -31,12 +33,10 @@ object RuntimeFilter {
                            factKey: String, dimKey: String,
                            expectedItems: Long = 100000L,
                            fpp: Double = 0.01): DataFrame = {
-    val spark = fact.sparkSession
     val bf = dim.select(col(dimKey)).na.drop()
       .stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey)))
+    fact.filter(
+        org.apache.spark.sql.graft.SketchExpressions.mightContainLong(bf, col(factKey)))
       .join(dim, col(factKey) === col(dimKey))
   }
 

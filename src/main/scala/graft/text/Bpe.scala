@@ -27,14 +27,17 @@ object Bpe {
   def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Aggregate to the word-frequency vocabulary FIRST (map-side
+    // partial count collapses occurrences to distinct words before the
+    // one shuffle), and only then char-split — the regexp runs once per
+    // DISTINCT word, not once per token occurrence. The char-split is
+    // injective on words, so grouping by w vs by its spaced form is the
+    // same partition.
     var vocab = docs
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) >= 2)
-      // spread the per-token regexp char-split beyond the scan's few
-      // input splits (the single-split map-task finding)
-      .repartition(col("w"))
-      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("t"), col("n"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 0
@@ -60,11 +63,14 @@ object Bpe {
         val pair = tops(0).getString(0)
         val c = tops(0).getLong(1)
         val Array(a, b) = pair.split(" ", 2)
-        val pat = " " + a + " " + b + " "  // tokens are [a-z]+ — literal-safe
-        val rep = " " + a + b + " "
+        // literal (non-regex) replace: same left-to-right
+        // non-overlapping semantics as regexp_replace on a literal
+        // pattern, without per-row regex-engine cost
+        val pat = lit(" " + a + " " + b + " ")
+        val rep = lit(" " + a + b + " ")
         val next = vocab.withColumn("t", trim(
-          regexp_replace(
-            regexp_replace(concat(lit(" "), col("t"), lit(" ")), pat, rep),
+          replace(
+            replace(concat(lit(" "), col("t"), lit(" ")), pat, rep),
             pat, rep)))
           .localCheckpoint()
         graft.Checkpoints.release(vocab)
@@ -79,12 +85,16 @@ object Bpe {
   }
 
   /** Per-document BPE encoding statistics: apply the trained merges
-    * (in training order) to every word and count resulting tokens.
+    * (in training order) and count resulting tokens per document.
     *
-    * The merge list is `rounds` rows — driver-scalar class — and the
-    * application is a chain of 2·rounds literal regexp rewrites, pure
-    * row-local column expressions: the corpus encodes in ONE narrow
-    * pass, zero shuffles before the per-doc count. Training runs once
+    * The merge list is `rounds` rows — driver-scalar class. Encoding is
+    * word-grained and deterministic, so the rewrite cascade (2·rounds
+    * literal replaces) runs once per DISTINCT word — the dictionary-
+    * encode shape — and the per-occurrence side is a plain equi-join of
+    * (doc_id, w) against the word→token-count table. The word table is
+    * |distinct words| rows (bounded by vocabulary, not corpus), so AQE
+    * broadcasts it at any realistic scale and the occurrence stream
+    * never shuffles before its per-doc partial agg. Training runs once
     * per (process, sfDir) via [[graft.Materialized]] — q116 declares
     * the merge table itself, this query its application. */
   def bpeEncodeStats(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -96,18 +106,16 @@ object Bpe {
     val words = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) >= 1)
-      // spread the 2·rounds-deep regexp rewrite cascade across the
-      // cluster; partitioning by doc_id also co-partitions the per-doc
-      // count that follows (no second exchange)
-      .repartition(col("doc_id"))
     var t: org.apache.spark.sql.Column =
       concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
     merges.foreach { case (a, b) =>
-      val pat = " " + a + " " + b + " "
-      val rep = " " + a + b + " "
-      t = regexp_replace(regexp_replace(t, pat, rep), pat, rep)
+      val pat = lit(" " + a + " " + b + " ")
+      val rep = lit(" " + a + b + " ")
+      t = replace(replace(t, pat, rep), pat, rep)
     }
-    words.select(col("doc_id"), size(split(trim(t), " ")).as("toks"))
+    val wordToks = words.select(col("w")).distinct()
+      .select(col("w"), size(split(trim(t), " ")).as("toks"))
+    words.join(wordToks, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("toks")).as("n_tokens"))
       .orderBy(col("doc_id"))

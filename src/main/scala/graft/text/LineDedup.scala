@@ -81,25 +81,25 @@ object LineDedup {
     * doc_id ≡ 0 mod 10). `expectedItems`/`fpp` size the bitset; the
     * build is a distributed sketch aggregation (bit-OR merge ⇒
     * insertion-order independent ⇒ deterministic output for a
-    * deterministic input set). Scan side: broadcast bitset probe per
-    * shingle, one hash-agg by doc — the training corpus is never
-    * shuffled on content. */
+    * deterministic input set). Scan side: the bitset rides the plan as
+    * a binary literal probed by the codegen'd BloomFilterMightContain
+    * predicate (see SketchExpressions), one hash-agg by doc — the
+    * training corpus is never shuffled on content. */
   def bloomDecontaminate(docs: DataFrame, n: Int = 5,
                          expectedItems: Long = 1000000L,
                          fpp: Double = 0.01,
                          shinglesOverride: Option[DataFrame] = None): DataFrame = {
-    val spark = docs.sparkSession
     val sh = shinglesOverride.getOrElse(
       TextQueries.hashedWordShingles(docs, n).localCheckpoint())
     val bf = sh.filter(col("doc_id") % 10 === 0)
       .select(col("shingle")).distinct()
       .stat.bloomFilter("shingle", expectedItems, fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val mightContain =
+      org.apache.spark.sql.graft.SketchExpressions.mightContainLong(bf, col("shingle"))
     sh.filter(col("doc_id") % 10 =!= 0)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(mightContain(col("shingle")), 1L).otherwise(0L)).as("n_bloom_hits"))
+        sum(when(mightContain, 1L).otherwise(0L)).as("n_bloom_hits"))
       .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
         (col("n_bloom_hits") > 0L).as("flagged"))
       .orderBy(col("doc_id"))

@@ -38,6 +38,33 @@ object SampleOps {
       .orderBy(col("lang"))
   }
 
+  /** Portable twin of [[reservoirPerLang]] (q76b): the identical
+    * per-key bottom-n sketch aggregation — same [[graft.agg.BottomN]]
+    * insert, same (rank, id) tie-break, same output contract — but the
+    * rank is an engine-portable md5 prefix (60 bits: 15 hex chars fit a
+    * signed long in both engines) computed IN the plan, so a SQL oracle
+    * replays the sample exactly. This makes the §2.10 reservoir row
+    * driver-hash-exercised; the splitmix64 original (q76) remains the
+    * declared throughput path. */
+  def reservoirPerLangPortable(docs: DataFrame, n: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val agg = new graft.agg.RankedSample(n)
+    docs.select(
+        conv(substring(md5(concat(lit("res|"), col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long").as("h"),
+        col("lang"), col("doc_id"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .mapValues(t => graft.agg.Keyed(t._1, t._3))
+      .agg(agg.toColumn.name("sample"))
+      .toDF("lang", "sample")
+      .select(col("lang"),
+        array_join(transform(col("sample.ids"), _.cast("string")), ",")
+          .as("sample_ids"))
+      .orderBy(col("lang"))
+  }
+
   /** Per-document deflate ratio, bucketed to stable 2-decimal values.
     * One Deflater per partition, reused across rows (allocation-free
     * steady state); no shuffle at any corpus size. */
@@ -140,6 +167,22 @@ object SampleOps {
       (s, dir) => reservoirPerLang(Tables.load(s, dir, "documents")),
       None,
       doc = "Deterministic 5-per-language reservoir (order-independent bottom-n)"),
+
+    Declared(
+      "q76b_reservoir_portable",
+      (s, dir) => reservoirPerLangPortable(Tables.load(s, dir, "documents")),
+      Some("""WITH p AS (
+        |  SELECT lang, doc_id,
+        |         CAST(concat('0x', substr(md5('res|' || CAST(doc_id AS VARCHAR)),
+        |           1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, h,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        |      FROM p)
+        |SELECT lang,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id) AS sample_ids
+        |FROM r WHERE rk <= 5 GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "Portable twin of q76: per-language bottom-5 reservoir by md5 rank (same BottomN aggregation, oracle-replayable)"),
 
     Declared(
       // zlib output length is JVM-deterministic but not ANSI-SQL ⇒

@@ -29,10 +29,10 @@ class RuntimeFilterSpec extends SparkSpec {
     val supplier = Tables.load(spark, sf0001, "supplier")
     val dim = supplier.filter(col("s_nationkey") < 5).select(col("s_suppkey"))
     val bf = dim.stat.bloomFilter("s_suppkey", 100000L, 0.01)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    val mightContain = org.apache.spark.sql.graft.SketchExpressions
+      .mightContainLong(bf, col("l_suppkey"))
     val total = lineitem.count()
-    val kept = lineitem.filter(mightContain(col("l_suppkey"))).count()
+    val kept = lineitem.filter(mightContain).count()
     val trueMatches = lineitem
       .join(dim, col("l_suppkey") === col("s_suppkey"), "left_semi").count()
     // no false negatives; false positives bounded well under the pruned mass
@@ -40,5 +40,14 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(kept < total, "prefilter pruned nothing")
     assert(kept - trueMatches <= (total * 0.05).toLong,
       s"fp overhead too high: kept=$kept true=$trueMatches total=$total")
+  }
+
+  test("the probe is the native might_contain predicate, not a UDF") {
+    val lineitem = Tables.load(spark, sf0001, "lineitem")
+    val supplier = Tables.load(spark, sf0001, "supplier")
+    val plan = RuntimeFilter.lowNationSupplierRevenue(lineitem, supplier)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"native bloom probe missing:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF survived in the declared plan:\n$plan")
   }
 }

@@ -30,6 +30,28 @@ class SampleOpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("q76b portable reservoir equals a local md5 bottom-n and survives repartitioning") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val got = SampleOps.reservoirPerLangPortable(docs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def rank(id: Long): Long = {
+      val hex = md.digest(s"res|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val local = docs.select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues { rows =>
+        rows.map(_._2).sortBy(id => (rank(id), id)).take(5).mkString(",")
+      }.toMap
+    assert(got == local)
+    val again = SampleOps
+      .reservoirPerLangPortable(docs.repartition(3, col("doc_id"))).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   test("weightedSample: equals local A-Res recompute, partition-independent") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val got = SampleOps.weightedSample(docs).collect()
