@@ -83,7 +83,41 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val loadStart = osBean.getSystemLoadAverage
 
-    val ((passResults, loadMid), lockWait) = HarnessLock.exclusive {
+    // Per-round MRDF recall GATE (round-7 verdict: the recall sweep
+    // lives in SCALING.json and regenerates manually, so a recall
+    // regression would surface only when someone re-ran it). Evaluate
+    // the mrdf_recall VALUE — untimed, after the measured passes but
+    // still INSIDE the harness lock (round-8 advice: a post-lock gate
+    // could co-run with a concurrent Verify) — and stamp value +
+    // verdict into the bench line the driver archives every round. The
+    // seeded value is DETERMINISTIC per SF: 0.9872 at sf0.001, 0.8089
+    // at sf0.1 (testParams' α is deliberately tiny so the divide phase
+    // multi-blocks even at test N — the 0.81 is the blocked-
+    // approximation cost the paper-default α=150000 doesn't pay; at
+    // defaults the sweep measures 0.95–0.998, SCALING.json). The gate
+    // catches COLLAPSE (a broken divide/descent lands ≤ 0.6 —
+    // random-partition quality), not SF-dependent approximation.
+    // A below-threshold value is recorded in the errors map too
+    // (round-8 advice: consumers that check exit status / the failed
+    // field, not the gate key, must still see the collapse).
+    val recallMin = 0.75
+    def evalRecallGate(): Option[(Double, Boolean)] =
+      if (only.forall(_.exists("mrdf_recall".startsWith(_)))) {
+        try {
+          val v = SparkEntry.queries("mrdf_recall")(spark, sfDir).head.getDouble(0)
+          if (v < recallMin)
+            errors.getOrElseUpdate("mrdf_recall_gate",
+              f"recall $v%.4f below gate $recallMin%.2f")
+          Some((v, v >= recallMin))
+        } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate("mrdf_recall_gate",
+              e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
+            Some((-1.0, false))
+        }
+      } else None
+
+    val ((passResults, loadMid, recallGate), lockWait) = HarnessLock.exclusive {
       // Warm the session INSIDE the lock, before timing: first-job costs
       // (executor spin-up, codegen compiler, parquet footer reads)
       // otherwise land on whatever query runs first.
@@ -93,36 +127,10 @@ object Bench {
         if (p > 1) Materialized.reset() // pass 2 re-pays shared tables
         runPass(spark, sfDir, only, errors)
       }
-      (rs, osBean.getSystemLoadAverage)
+      val loads = osBean.getSystemLoadAverage // right after the timed region
+      (rs, loads, evalRecallGate())
     }
     val loadEnd = loadMid // snapshot taken right after the timed region
-
-    // Per-round MRDF recall GATE (round-7 verdict: the recall sweep
-    // lives in SCALING.json and regenerates manually, so a recall
-    // regression would surface only when someone re-ran it). Evaluate
-    // the mrdf_recall VALUE — untimed, outside the measured region, on
-    // the shared materialized tables — and stamp value + verdict into
-    // the bench line the driver archives every round. The seeded value
-    // is DETERMINISTIC per SF: 0.9872 at sf0.001, 0.8089 at sf0.1
-    // (testParams' α is deliberately tiny so the divide phase
-    // multi-blocks even at test N — the 0.81 is the blocked-
-    // approximation cost the paper-default α=150000 doesn't pay; at
-    // defaults the sweep measures 0.95–0.998, SCALING.json). The gate
-    // catches COLLAPSE (a broken divide/descent lands ≤ 0.6 —
-    // random-partition quality), not SF-dependent approximation.
-    val recallMin = 0.75
-    val recallGate: Option[(Double, Boolean)] =
-      if (only.forall(_.exists("mrdf_recall".startsWith(_)))) {
-        try {
-          val v = SparkEntry.queries("mrdf_recall")(spark, sfDir).head.getDouble(0)
-          Some((v, v >= recallMin))
-        } catch {
-          case e: Throwable =>
-            errors.getOrElseUpdate("mrdf_recall_gate",
-              e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
-            Some((-1.0, false))
-        }
-      } else None
 
     val pmin: Seq[(String, Double)] = passResults.head.map { case (name, _) =>
       val walls = passResults.flatMap(_.toMap.get(name)).map(_._1)

@@ -212,6 +212,12 @@ object Mrdf {
       //    COUNTS are collected (O(#paths × 16 B) — loop control is
       //    inherently driver-side) and the sampled centroid VECTORS
       //    stay distributed in a persisted agg frame.
+      // NOTE: ubBytes bounds SERIALIZED sample bytes. collect()
+      // materializes JVM objects (tuple + KeyedVecList + boxed Seq +
+      // Array[Float] headers) at roughly 2–3× that size, so treat
+      // driverSampleBytes as a serialized-size ceiling with ~3× heap
+      // amplification — the 64 MiB default puts ≤ ~200 MiB resident on
+      // a driver heap that is sized in GiB.
       val ubBytes = prevOversized.toLong * p.rho * p.rho * (4L * dim + 32L)
       val smallLevel = ubBytes <= maxDriverBytes
       val (counts: Array[(String, Long)], mkCentroids: (Array[String] => DataFrame)) =

@@ -440,9 +440,13 @@ object EventAnalytics {
         max(when(col("vr") === expr("(m + 1) div 2"), col("value"))).as("p50"),
         max(when(col("vr") === expr("(m * 9 + 9) div 10"), col("value"))).as("p90"),
         max(when(col("vr") === expr("(m * 99 + 99) div 100"), col("value"))).as("p99"))
+      // The selected quantiles are RAW sample values (no rounding):
+      // each is a parquet double both engines read bit-identically, so
+      // any round() here would only reintroduce a cross-engine
+      // HALF_UP-vs-banker's tie hazard on the 7th digit (round-8
+      // advice) without adding information.
       .select(col("event_type"), col("m").as("n_sample"),
-        round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"),
-        round(col("p99"), 6).as("p99"))
+        col("p50"), col("p90"), col("p99"))
       .orderBy(col("event_type"))
   }
 
@@ -465,9 +469,9 @@ object EventAnalytics {
        |    count(*) OVER (PARTITION BY event_type) AS m
        |  FROM sk)
        |SELECT event_type, CAST(m AS BIGINT) AS n_sample,
-       |  round(max(CASE WHEN vr = (m + 1) // 2 THEN value END), 6) AS p50,
-       |  round(max(CASE WHEN vr = (m * 9 + 9) // 10 THEN value END), 6) AS p90,
-       |  round(max(CASE WHEN vr = (m * 99 + 99) // 100 THEN value END), 6) AS p99
+       |  max(CASE WHEN vr = (m + 1) // 2 THEN value END) AS p50,
+       |  max(CASE WHEN vr = (m * 9 + 9) // 10 THEN value END) AS p90,
+       |  max(CASE WHEN vr = (m * 99 + 99) // 100 THEN value END) AS p99
        |FROM o GROUP BY event_type, m ORDER BY event_type""".stripMargin
 
   /** A/B-test readout — the experimentation query a product pipeline
