@@ -53,6 +53,49 @@ object GraphAnalytics {
     out
   }
 
+  /** Seed-expansion relevance — personalized PageRank over the KNN
+    * graph: the teleport mass returns to a SEED SET (deterministic
+    * `id % seedMod = 0` slice — the "small trusted corpus" of a data-
+    * curation pipeline) instead of uniformly, so the stationary score
+    * ranks every document by random-walk proximity to the seeds. This
+    * is the curation primitive behind seed-based corpus selection:
+    * grow a quality subset outward from hand-verified examples.
+    *
+    * Same integer-nano arithmetic as [[pageRank]] (all floors mirrored
+    * in the oracle's recursive CTE — nothing to drift), same per-round
+    * shape: one co-partitioned join + hash-agg per iteration, ranks
+    * checkpointed so each round frees only its own superseded blocks.
+    * Non-seed nodes start at 0 and receive mass only through edges. */
+  def seedExpansion(edges: DataFrame, outDeg: Int = 10, iters: Int = 8,
+                    seedMod: Int = 20): DataFrame = {
+    val nodes = edges.select(col("id")).distinct().localCheckpoint()
+    val isSeed = col("id") % seedMod === 0
+    val nSeeds = nodes.filter(isSeed).count() // driver scalar (loop constant)
+    val seedBase = 150000000L / nSeeds
+    var ranks = nodes
+      .withColumn("r", when(isSeed, lit(1000000000L / nSeeds)).otherwise(lit(0L)))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(ranks, Seq("id"))
+        .groupBy(col("nbr"))
+        .agg(sum(floor(col("r") / outDeg.toDouble)).cast("long").as("s"))
+        .withColumnRenamed("nbr", "id")
+      val next = nodes.join(contribs, Seq("id"), "left")
+        .withColumn("r", when(isSeed, lit(seedBase)).otherwise(lit(0L))
+          + floor(lit(85L) * coalesce(col("s"), lit(0L)) / 100.0).cast("long"))
+        .select(col("id"), col("r"))
+        .localCheckpoint()
+      Checkpoints.release(ranks)
+      ranks = next
+    }
+    val out = ranks
+      .select(col("id"), col("r").as("rel_nano"),
+        round(col("r") / 1e9, 6).as("relevance"), isSeed.as("is_seed"))
+      .orderBy(col("id"))
+    Checkpoints.release(nodes)
+    out
+  }
+
   /** Mutual-kNN symmetry profile: per node, how many of its k edges are
     * reciprocated. The asymmetry fraction is THE convergence driver for
     * NN-Descent (reverse edges exist precisely because kNN graphs are
@@ -594,6 +637,49 @@ object GraphAnalytics {
            |SELECT id, r AS rank_nano, round(r / 1000000000.0, 6) AS rank
            |FROM pr WHERE iter = 10 ORDER BY id""".stripMargin
       },
-      doc = "Integer-exact damped PageRank on the KNN graph (10 iterations)")
+      doc = "Integer-exact damped PageRank on the KNN graph (10 iterations)"),
+
+    Declared(
+      "q199_seed_expansion",
+      (s, dir) => seedExpansion(KnnQueries.knn10(s, dir)),
+      Some {
+        val d = DuckSql.euclidean("a.embedding", "b.embedding")
+        s"""WITH RECURSIVE pairs AS MATERIALIZED (
+           |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |), ranked AS MATERIALIZED (
+           |  SELECT id, nbr, dist,
+           |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
+           |  FROM pairs
+           |), edges AS MATERIALIZED (SELECT id, nbr FROM ranked WHERE rn <= 10),
+           |nodes AS MATERIALIZED (SELECT DISTINCT id FROM edges),
+           |ns AS MATERIALIZED (SELECT count(*) AS c FROM nodes WHERE id % 20 = 0),
+           |pr AS (
+           |  SELECT 0 AS iter, id,
+           |    CAST(CASE WHEN id % 20 = 0
+           |      THEN floor(1000000000 / (SELECT c FROM ns)) ELSE 0 END AS BIGINT) AS r
+           |  FROM nodes
+           |  UNION ALL
+           |  SELECT * FROM (
+           |    SELECT CAST(max(x.it) OVER () + 1 AS INTEGER) AS iter, x.id,
+           |      CAST(CASE WHEN x.id % 20 = 0
+           |          THEN floor(150000000 / (SELECT c FROM ns)) ELSE 0 END
+           |        + floor(85 * coalesce(x.s, 0) / 100.0) AS BIGINT) AS r
+           |    FROM (
+           |      SELECT nd.id, c.it, c.s
+           |      FROM nodes nd LEFT JOIN (
+           |        SELECT e.nbr AS tid, max(p.iter) AS it,
+           |               CAST(sum(floor(p.r / 10.0)) AS BIGINT) AS s
+           |        FROM pr p JOIN edges e ON e.id = p.id
+           |        GROUP BY e.nbr
+           |      ) c ON c.tid = nd.id
+           |    ) x
+           |  ) WHERE iter <= 8
+           |)
+           |SELECT id, r AS rel_nano, round(r / 1000000000.0, 6) AS relevance,
+           |  id % 20 = 0 AS is_seed
+           |FROM pr WHERE iter = 8 ORDER BY id""".stripMargin
+      },
+      doc = "Seed-expansion relevance: personalized PageRank from the id%20=0 seed slice (8 iterations, integer-nano exact)")
   )
 }

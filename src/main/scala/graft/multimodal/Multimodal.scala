@@ -198,6 +198,96 @@ object Multimodal {
       .orderBy(col("d1"), col("d2"))
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, sig: Long)
+
+  /** Per-frame integer blockhash signatures over fixed-length byte
+    * windows of the payload — the video-decode tier with the codec
+    * stubbed (q31's convention: a real build swaps the byte windows
+    * for decoded frames). Row-local typed flatMap, one pass/frame. */
+  def frameSignatures(media: Dataset[Media], frameLen: Int = 64,
+                      bits: Int = 16): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      m.payload.grouped(frameLen).zipWithIndex.map { case (f, idx) =>
+        val L = f.length
+        val sums = new Array[Long](bits)
+        var tot = 0L
+        var i = 0
+        while (i < L) {
+          val v = (f(i) & 0xff).toLong
+          sums(((i.toLong * bits) / L).toInt) += v
+          tot += v
+          i += 1
+        }
+        var sg = 0L
+        var j = 0
+        while (j < bits) {
+          if (sums(j) * bits > tot) sg |= 1L << j
+          j += 1
+        }
+        Frame(m.doc_id, idx, L, sg)
+      }
+    }
+  }
+
+  /** Temporal frame sampling — the VLM-training frame-extraction
+    * pipeline: keep every `stride`-th frame (uniform coverage) PLUS
+    * every scene change (signature hamming vs the PREVIOUS frame ≥
+    * `minHamming` — previous frame, not previous kept, so the rule is
+    * windowed `lag`, never a data-dependent chain). Decode tier is the
+    * row-local [[frameSignatures]]; the sampling rule is declarative —
+    * a per-doc window (bounded by frames-per-payload, never global).
+    * All-integer signatures ⇒ nothing to drift cross-engine. */
+  def frameSample(media: Dataset[Media], frameLen: Int = 64,
+                  stride: Int = 4, minHamming: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameSignatures(media, frameLen).toDF()
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+      .withColumn("scene_change",
+        coalesce(col("prev").isNotNull &&
+          expr("bit_count(sig ^ prev)") >= minHamming, lit(false)))
+      .filter(col("frame_idx") % stride === 0 || col("scene_change"))
+      .select(col("doc_id"), col("frame_idx"), col("sig"), col("scene_change"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private def frameSampleOracle(frameLen: Int, bits: Int, stride: Int,
+                                minHamming: Int): String =
+    s"""WITH fr AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |    substr(text, CAST(i * $frameLen + 1 AS INTEGER), $frameLen) AS f
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(CAST(ceil(strlen(text) / $frameLen.0) AS BIGINT))) AS i
+       |        FROM documents WHERE strlen(text) > 0)),
+       |ch AS (
+       |  SELECT doc_id, frame_idx,
+       |    (CAST(p AS BIGINT) * $bits) // strlen(f) AS j,
+       |    ord(substr(f, CAST(p + 1 AS INTEGER), 1)) AS c
+       |  FROM (SELECT doc_id, frame_idx, f, unnest(range(strlen(f))) AS p FROM fr)),
+       |bs AS (SELECT doc_id, frame_idx, j, sum(c) AS sj FROM ch GROUP BY 1, 2, 3),
+       |wt AS (SELECT doc_id, frame_idx, j, sj,
+       |         sum(sj) OVER (PARTITION BY doc_id, frame_idx) AS tot FROM bs),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id, frame_idx,
+       |    CAST(sum(CASE WHEN sj * $bits > tot
+       |         THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END)
+       |      AS BIGINT) AS sig
+       |  FROM wt GROUP BY 1, 2),
+       |lg AS (
+       |  SELECT doc_id, frame_idx, sig,
+       |    lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+       |  FROM sig),
+       |sc AS (
+       |  SELECT doc_id, frame_idx, sig,
+       |    coalesce(prev IS NOT NULL
+       |      AND bit_count(xor(sig, prev)) >= $minHamming, false) AS scene_change
+       |  FROM lg)
+       |SELECT doc_id, frame_idx, sig, scene_change FROM sc
+       |WHERE frame_idx % $stride = 0 OR scene_change
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** ASCII-only equivalence assumption (shared with [[cdcOracle]]):
     * the Spark side hashes UTF-8 PAYLOAD BYTES (`encode(text,'UTF-8')`)
     * while this oracle samples CODE POINTS via `ord(substr(text,i,1))`
@@ -331,6 +421,12 @@ object Multimodal {
         |        unnest(range(CAST(ceil(strlen(text) / 256.0) AS BIGINT))) AS i
         |      FROM documents)
         |ORDER BY doc_id, chunk_idx""".stripMargin),
-      doc = "Fixed-size binary chunking (frame-sample plumbing)")
+      doc = "Fixed-size binary chunking (frame-sample plumbing)"),
+
+    Declared(
+      "q200_frame_sample",
+      (s, dir) => frameSample(asMedia(Tables.load(s, dir, "documents"))),
+      Some(frameSampleOracle(frameLen = 64, bits = 16, stride = 4, minHamming = 6)),
+      doc = "Temporal frame sampling with scene-change detection: every 4th frame plus frames whose 16-bit blockhash moves >=6 bits vs the previous frame (VLM frame-extraction pipeline, decode stubbed)")
   )
 }

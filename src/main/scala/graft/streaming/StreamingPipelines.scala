@@ -419,6 +419,96 @@ object StreamingPipelines {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TopKOut(w_start: java.sql.Timestamp, rank: Int,
+                           event_type: String, n: Long)
+
+  /** Streaming per-window top-k via `transformWithState` with
+    * EVENT-TIME TIMERS — the one arbitrary-state surface the q184
+    * processor (TimeMode.None, per-batch Update) does not exercise:
+    * state is a typed `MapState` of per-type counts keyed by the
+    * tumbling-window start, an event-time timer is armed at the window
+    * end, and the ranked top-k emits ONLY when the watermark proves the
+    * window complete (Append semantics — counts accumulated across
+    * every micro-batch that touched the window, ranked exactly once).
+    * This is the streaming leaderboard primitive: per-window heavy
+    * hitters with bounded state (#types per open window) and
+    * watermark-driven finalization. */
+  class WindowTopKProcessor(k: Int, windowMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TopKOut] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var armed: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      armed = getHandle.getValueState[Boolean]("armed",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TopKOut] = {
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+      }
+      if (!armed.exists()) {
+        // one timer per window, at its end: fires when the watermark
+        // passes w_end, i.e. no further row can belong to the window
+        getHandle.registerTimer(key + windowMs)
+        armed.update(true)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TopKOut] = {
+      val top = counts.iterator().toSeq
+        .sortBy { case (t, n) => (-n, t) }.take(k)
+      counts.clear()
+      armed.clear()
+      top.zipWithIndex.iterator.map { case ((t, n), i) =>
+        TopKOut(new java.sql.Timestamp(key), i + 1, t, n) }
+    }
+  }
+
+  def windowTopKStream(events: Dataset[Event], k: Int = 3,
+                       windowMs: Long = 3600000L): Dataset[TopKOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(e => e.ts.getTime - java.lang.Math.floorMod(e.ts.getTime, windowMs))
+      .transformWithState(new WindowTopKProcessor(k, windowMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[windowTopKStream]] executed through TWO micro-batches
+    * (time-split replay + RocksDB, q184's harness): counts for the
+    * straddle window accumulate across the batch boundary in MapState,
+    * and each window's ranked top-3 emits exactly once, when the
+    * watermark passes its end. Emitted set = q168's closure rule
+    * (w_end ≤ max ts − 2h), ranked — stated directly in the oracle. */
+  def windowTopKAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"topk_declared_${declaredRuns.incrementAndGet()}"
+    withReplayPartitions(spark) {
+      withRocksDbStateStore(spark) {
+        val q = windowTopKStream(readEventsTwoBatches(spark, dir).as[Event])
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        awaitOrFail(q, 180000)
+      }
+    }
+    spark.table(name)
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("rank"), col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("rank"))
+  }
+
   /** Streaming MERGE: maintain a keyed last-write-wins snapshot from a
     * change stream via `foreachBatch` — the streaming half of q112's
     * CDC compaction, and the pattern every streaming warehouse sink
@@ -1118,6 +1208,25 @@ object StreamingPipelines {
         |  coalesce(max(gap), 0) AS max_gap_us
         |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin),
       doc = "Per-user max inter-event gap via transformWithState (Spark 4 arbitrary-state API, RocksDB store) through TWO micro-batches - the boundary-spanning gap comes from carried state",
+      streamingExecuted = true),
+
+    graft.Declared(
+      "q201_stream_window_topk",
+      (s, dir) => windowTopKAvailableNow(s, dir),
+      // Emitted set = watermark-closed windows (q168's rule), each
+      // ranked top-3 by (count DESC, type ASC) — counts are exact, so
+      // the ranking is deterministic under any batch split.
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2),
+        |cl AS (SELECT c.* FROM c, m WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR),
+        |r AS (SELECT ws, event_type, n,
+        |        row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type) AS rank
+        |      FROM cl)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  CAST(rank AS INTEGER) AS rank, event_type, n
+        |FROM r WHERE rank <= 3 ORDER BY w_start, rank""".stripMargin),
+      doc = "Streaming per-window top-3 event types via transformWithState EVENT-TIME TIMERS (MapState counts, watermark-driven finalization) through TWO micro-batches",
       streamingExecuted = true),
 
     graft.Declared(

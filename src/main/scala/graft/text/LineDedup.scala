@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -105,6 +105,70 @@ object LineDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[bloomDecontaminate]]'s oracle-mirrorable twin: the SAME
+    * broadcast-bitset / no-content-shuffle shape, but the Bloom filter
+    * itself is rebuilt from portable primitives — k=4 bit positions per
+    * shingle derived from md5 (the portable-hash idiom of q172–q177)
+    * into an m=2^17-bit set — so a SQL engine can replay the filter
+    * EXACTLY, false positives included. The build side aggregates to
+    * ≤ m distinct bit positions BEFORE the driver collect (the
+    * transfer is bounded by the bitset size — 16 KiB here — never by
+    * the benchmark corpus); the probe side is a codegen'd
+    * [[org.apache.spark.sql.graft.BitsetContains]] conjunction over a
+    * plan-literal bitset, so the training corpus again never shuffles
+    * on content. */
+  def bloomDecontaminatePortable(docs: DataFrame, n: Int = 5,
+                                 mBits: Int = 1 << 17,
+                                 k: Int = 4): DataFrame = {
+    def md5Long(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def pos(j: Int): Column =
+      md5Long(concat(lit(s"bf$j|"), col("shingle"))) % mBits
+    val sh = TextQueries.wordShingles(docs, n).localCheckpoint()
+    val setBits = sh.filter(col("doc_id") % 10 === 0)
+      .select(explode(array((0 until k).map(pos): _*)).as("p"))
+      .distinct() // ≤ mBits rows by construction — this caps the collect
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    val bits = new Array[Byte](mBits / 8)
+    setBits.foreach { p =>
+      bits((p >> 3).toInt) = (bits((p >> 3).toInt) | (1 << (p & 7L).toInt)).toByte
+    }
+    val mightContain = (0 until k)
+      .map(j => org.apache.spark.sql.graft.SketchExpressions
+        .bitsetContains(bits, pos(j)))
+      .reduce(_ && _)
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(mightContain, 1L).otherwise(0L)).as("n_bloom_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+        (col("n_bloom_hits") > 0L).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def bloomPortableOracle(n: Int, mBits: Int, k: Int): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(ws) - ${n - 2}),
+       |      i -> ${(0 until n).map(o => s"ws[i+$o]").mkString(" || ' ' || ")})) AS shingle
+       |  FROM w WHERE len(ws) >= $n),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, shingle, j,
+       |    CAST(('0x' || substr(md5('bf' || CAST(j AS VARCHAR) || '|' || shingle),
+       |      1, 15)) AS BIGINT) % $mBits AS p
+       |  FROM sh, range($k) t(j)),
+       |b AS MATERIALIZED (SELECT DISTINCT p FROM pos WHERE doc_id % 10 = 0),
+       |tr AS (
+       |  SELECT doc_id, shingle,
+       |    sum(CASE WHEN p IN (SELECT p FROM b) THEN 1 ELSE 0 END) AS nset
+       |  FROM pos WHERE doc_id % 10 <> 0 GROUP BY 1, 2)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN nset = $k THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       |  sum(CASE WHEN nset = $k THEN 1 ELSE 0 END) > 0 AS flagged
+       |FROM tr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val declared: Seq[Declared] = Seq(
     Declared(
       "q69_line_dedup",
@@ -149,6 +213,12 @@ object LineDedup {
       (s, dir) => bloomDecontaminate(Tables.load(s, dir, "documents"),
         shinglesOverride = Some(TextQueries.sharedHashedShingles(s, dir, 5))),
       None,
-      doc = "Bloom-filter decontamination (broadcast bitset, no content shuffle)")
+      doc = "Bloom-filter decontamination (broadcast bitset, no content shuffle)"),
+
+    Declared(
+      "q198_bloom_portable",
+      (s, dir) => bloomDecontaminatePortable(Tables.load(s, dir, "documents")),
+      Some(bloomPortableOracle(n = 5, mBits = 1 << 17, k = 4)),
+      doc = "Portable-hash Bloom decontamination (md5 bit positions, exact SQL replay incl. false positives)")
   )
 }

@@ -67,6 +67,58 @@ class LineDedupSpec extends SparkSpec {
     assert(again == bloom)
   }
 
+  test("bloomDecontaminatePortable: zero false negatives vs exact, probe is bit-exact") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val bloom = LineDedup.bloomDecontaminatePortable(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    val exact = CurationQueries.contamination(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, nShared) =>
+      if (nShared > 0) {
+        assert(bloom(id)._2, s"doc $id contaminated but not flagged")
+        assert(bloom(id)._1 >= nShared, s"doc $id bloom hits < exact overlap")
+      }
+    }
+    // m=2^17 bits, k=4: fp per probe ≈ (set_bits/m)^4 — tiny here; the
+    // whole-doc false-flag rate must stay well under 10%
+    val clean = exact.filter(_._2 == 0L).keySet
+    if (clean.nonEmpty) {
+      val falsePos = clean.count(id => bloom(id)._2)
+      assert(falsePos.toDouble / clean.size < 0.10,
+        s"$falsePos/${clean.size} clean docs false-flagged")
+    }
+    // rerun identical: the bitset is a pure function of the bench slice
+    val again = LineDedup.bloomDecontaminatePortable(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(again == bloom)
+  }
+
+  test("BitsetContains: bit probe matches a reference BitSet, bounds safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val m = 1 << 10
+    val ref = new java.util.BitSet(m)
+    (0 until 100).foreach(_ => ref.set(rnd.nextInt(m)))
+    val bytes = new Array[Byte](m / 8)
+    var b = ref.nextSetBit(0)
+    while (b >= 0) {
+      bytes(b >> 3) = (bytes(b >> 3) | (1 << (b & 7))).toByte
+      b = ref.nextSetBit(b + 1)
+    }
+    val probes = ((0 until m).map(_.toLong) ++ Seq(-1L, m.toLong, m * 8L)).toDF("p")
+    val got = probes.select(col("p"),
+        org.apache.spark.sql.graft.SketchExpressions
+          .bitsetContains(bytes, col("p")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0 until m).foreach { i =>
+      assert(got(i.toLong) == ref.get(i), s"bit $i")
+    }
+    // valid positions are [0, m): -1, m, and m*8 all probe to false
+    assert(!got(-1L) && !got(m.toLong) && !got(m.toLong * 8),
+      "out-of-range probes must be false")
+  }
+
   test("lengthHistogram: buckets partition the corpus, cum_share ends at 1") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val got = CorpusStats.lengthHistogram(docs).collect()
