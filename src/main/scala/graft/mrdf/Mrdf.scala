@@ -220,26 +220,57 @@ object Mrdf {
       // a driver heap that is sized in GiB.
       val ubBytes = prevOversized.toLong * p.rho * p.rho * (4L * dim + 32L)
       val smallLevel = ubBytes <= maxDriverBytes
-      val (counts: Array[(String, Long)], mkCentroids: (Array[String] => DataFrame)) =
+      // Each arm yields (per-path counts, assignment function). The
+      // assignment extends every oversized row's path with the index of
+      // its nearest centroid — argmin on (d, cidx), d the shared strict
+      // left-fold Euclidean, so both arms produce identical paths.
+      val (counts: Array[(String, Long)],
+           assign: ((DataFrame, Array[String]) => DataFrame)) =
         if (smallLevel) {
           val stats = aggPlan.collect()
           (stats.map { case (path, s) => (path, s.cnt) },
-            (oversized: Array[String]) => {
+            (over: DataFrame, oversized: Array[String]) => {
+              // Driver-local centroids ⇒ the nearest-centroid argmin is
+              // a NARROW per-row map over a broadcast Map — no join, no
+              // per-level shuffle. (The previous broadcast-join +
+              // groupBy(id) argmin re-shuffled every oversized row by
+              // id at every level — the dominant divide shuffle at
+              // scale, and pure job overhead at test α.) Iterating
+              // centroids in cidx order with strict < replays the
+              // min(struct(d, cidx)) tie-break; euclideanLocal is the
+              // same strict fold + sqrt as the codegen expression, so
+              // assignments are bit-identical to the join form.
               val overSet = oversized.toSet
-              broadcast(
-                stats.iterator
-                  .filter { case (path, _) => overSet(path) }
-                  .flatMap { case (path, s) =>
-                    s.items.iterator.zipWithIndex.map { case (kv, i) => (path, i, kv.vec) }
+              val cmap: Map[String, Array[Array[Float]]] = stats.iterator
+                .filter { case (path, _) => overSet(path) }
+                .map { case (path, s) => path -> s.items.map(_.vec).toArray }
+                .toMap
+              val bc = spark.sparkContext.broadcast(cmap)
+              over.select(col("id"), col("vec"), col("path"))
+                .as[(Long, Array[Float], String)]
+                .mapPartitions { it =>
+                  val m = bc.value
+                  it.map { case (id, vec, path) =>
+                    val cents = m(path)
+                    var bi = 0
+                    var bd = Double.PositiveInfinity
+                    var i = 0
+                    while (i < cents.length) {
+                      val d = Distances.euclideanLocal(vec, cents(i))
+                      if (d < bd) { bd = d; bi = i }
+                      i += 1
+                    }
+                    (id, vec, path + "," + bi)
                   }
-                  .toSeq.toDF("path", "cidx", "cvec"))
+                }
+                .toDF("id", "vec", "path")
             })
         } else {
           val aggDf = aggPlan.toDF("path", "sample").persist()
           pinned ::= aggDf // released by the caller with the level frames
           (aggDf.select(col("path"), col("sample.cnt").as("cnt"))
             .as[(String, Long)].collect(),
-            (oversized: Array[String]) => {
+            (over: DataFrame, oversized: Array[String]) => {
               // Distributed centroid table: posexplode of the
               // (rank, id)-sorted sample items ⇒ the position is a
               // stable per-path index. Broadcast under the ACCURATE
@@ -252,7 +283,22 @@ object Mrdf {
                 .select(col("path"), posexplode(col("sample.items")))
                 .select(col("path"), col("pos").as("cidx"), col("col.vec").as("cvec"))
               val estBytes = oversized.length.toLong * p.rho * (4L * dim + 32L)
-              if (estBytes <= maxDriverBytes) broadcast(rows) else rows
+              val centroids = if (estBytes <= maxDriverBytes) broadcast(rows) else rows
+              // Nearest-centroid assignment: join + per-id argmin
+              // (reference tree_path_extension, mrdf.py:123-146). The
+              // argmin is min(struct(d, cidx, …)) — a hash aggregate
+              // that reduces map-side to one row per id before the
+              // shuffle; a row_number window would shuffle all N×ρ
+              // candidate rows. (d, cidx) is a unique prefix, so the
+              // selection is deterministic and equals the map arm's.
+              over.join(centroids, Seq("path"))
+                .select(col("id"), struct(
+                  Distances.euclidean(col("vec"), col("cvec")).as("d"),
+                  col("cidx").as("cidx"), col("path").as("path"),
+                  col("vec").as("vec")).as("cand"))
+                .groupBy(col("id")).agg(min(col("cand")).as("m"))
+                .select(col("id"), col("m.vec").as("vec"),
+                  concat(col("m.path"), lit(","), col("m.cidx").cast("string")).as("path"))
             })
         }
       val oversized = counts.filter(_._2 > p.alpha).map(_._1)
@@ -266,22 +312,7 @@ object Mrdf {
           else col("path").isInCollection(oversized.toIndexedSeq)
         if (oversized.length < counts.length) settled ::= work.filter(!isOver)
         val over = work.filter(isOver)
-        val centroids = mkCentroids(oversized)
-        // Nearest-centroid assignment: broadcast join + per-id argmin
-        // (reference tree_path_extension, mrdf.py:123-146). The argmin
-        // is min(struct(d, cidx, …)) — a hash aggregate that reduces
-        // map-side to one row per id before the shuffle; a row_number
-        // window would shuffle all N×ρ candidate rows. (d, cidx) is a
-        // unique prefix, so the selection is deterministic.
-        val next = over.join(centroids, Seq("path"))
-          .select(col("id"), struct(
-            Distances.euclidean(col("vec"), col("cvec")).as("d"),
-            col("cidx").as("cidx"), col("path").as("path"),
-            col("vec").as("vec")).as("cand"))
-          .groupBy(col("id")).agg(min(col("cand")).as("m"))
-          .select(col("id"), col("m.vec").as("vec"),
-            concat(col("m.path"), lit(","), col("m.cidx").cast("string")).as("path"))
-          .persist()
+        val next = assign(over, oversized).persist()
         pinned ::= next
         work = next
       }
