@@ -79,6 +79,90 @@ object LanguageModel {
       .orderBy(col("doc_id"))
   }
 
+  /** The CCNet perplexity GATE over [[bigramNll]]: label every document
+    * head/middle/tail by its language's perplexity terciles (CCNet
+    * trains a KenLM per language, buckets by perplexity thirds, and
+    * keeps head+middle for training). Tercile cutoffs come from a
+    * deterministic bottom-`k` KMV row sample per language (md5 rank on
+    * doc_id — q197's portable-quantile idiom) with NEAREST-RANK
+    * selection on the integer nano-nat scores, so the cutoffs — and
+    * hence every label — replay exactly in SQL.
+    *
+    * Scale shape: the LM scoring is q137's co-partitioned probe; the
+    * sample build's per-lang windows carry ≤ k rows per partition after
+    * WindowGroupLimit map-side pruning; cutoffs broadcast (2 longs per
+    * language) and the labeling pass is row-local. */
+  def perplexityGate(docs: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = bigramNll(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val h = scores.select(col("lang"), col("doc_id"), col("nll_nano_tok"),
+      conv(substring(md5(concat(lit("pg|"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long").as("h"))
+    val wB = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val sk = h.withColumn("rn", row_number().over(wB)).filter(col("rn") <= k)
+    val wV = Window.partitionBy(col("lang"))
+      .orderBy(col("nll_nano_tok"), col("doc_id"))
+    val cuts = sk.withColumn("vr", row_number().over(wV))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"), col("m"))
+      .agg(
+        max(when(col("vr") === expr("(m + 2) div 3"), col("nll_nano_tok"))).as("t1"),
+        max(when(col("vr") === expr("(2 * m + 2) div 3"), col("nll_nano_tok"))).as("t2"))
+      .select(col("lang"), col("t1"), col("t2"))
+    scores.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("nll_nano_tok"),
+        when(col("nll_nano_tok") <= col("t1"), lit("head"))
+          .when(col("nll_nano_tok") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def perplexityGateOracle(k: Int): String =
+    s"""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |        FROM documents),
+       |bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+       |       FROM (SELECT doc_id, w,
+       |               unnest(generate_series(1, len(w) - 1)) AS i
+       |             FROM ws)),
+       |docbg AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+       |c12 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12
+       |        FROM docbg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v
+       |      FROM (SELECT unnest(w) AS tok FROM ws)),
+       |terms AS (SELECT doc_id, n,
+       |    CAST(round(n * ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))
+       |      * 1000000000) AS BIGINT) AS t
+       |  FROM docbg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+       |nll AS MATERIALIZED (
+       |  SELECT doc_id, CAST(floor(CAST(-sum(t) AS DOUBLE) / sum(n)) AS BIGINT)
+       |    AS nll_nano_tok
+       |  FROM terms GROUP BY doc_id),
+       |sc AS MATERIALIZED (
+       |  SELECT d.lang, nll.doc_id, nll.nll_nano_tok,
+       |    CAST(('0x' || substr(md5('pg|' || CAST(nll.doc_id AS VARCHAR)),
+       |      1, 15)) AS BIGINT) AS h
+       |  FROM nll JOIN documents d ON d.doc_id = nll.doc_id),
+       |sk AS (SELECT lang, doc_id, nll_nano_tok FROM (
+       |    SELECT lang, doc_id, nll_nano_tok,
+       |      row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+       |    FROM sc) WHERE rn <= $k),
+       |o AS (SELECT lang, nll_nano_tok,
+       |        row_number() OVER (PARTITION BY lang
+       |                           ORDER BY nll_nano_tok, doc_id) AS vr,
+       |        count(*) OVER (PARTITION BY lang) AS m
+       |      FROM sk),
+       |cuts AS (SELECT lang,
+       |    max(CASE WHEN vr = (m + 2) // 3 THEN nll_nano_tok END) AS t1,
+       |    max(CASE WHEN vr = (2 * m + 2) // 3 THEN nll_nano_tok END) AS t2
+       |  FROM o GROUP BY lang, m)
+       |SELECT sc.doc_id, sc.lang, sc.nll_nano_tok,
+       |  CASE WHEN sc.nll_nano_tok <= cuts.t1 THEN 'head'
+       |       WHEN sc.nll_nano_tok <= cuts.t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM sc JOIN cuts USING (lang) ORDER BY sc.doc_id""".stripMargin
+
   val declared: Seq[Declared] = Seq(
     Declared(
       "q137_lm_perplexity",
@@ -108,7 +192,13 @@ object LanguageModel {
       "q190_dsir_importance",
       (s, dir) => dsirScores(Tables.load(s, dir, "documents")),
       Some(dsirOracle),
-      doc = "DSIR importance weights: per-doc log-ratio of target-slice vs raw-slice bigram LMs (add-one smoothing, nano-nat terms summed as integers) - the data-selection score of Xie et al. 2023 over the q137 LM substrate")
+      doc = "DSIR importance weights: per-doc log-ratio of target-slice vs raw-slice bigram LMs (add-one smoothing, nano-nat terms summed as integers) - the data-selection score of Xie et al. 2023 over the q137 LM substrate"),
+
+    Declared(
+      "q203_perplexity_gate",
+      (s, dir) => perplexityGate(Tables.load(s, dir, "documents")),
+      Some(perplexityGateOracle(k = 256)),
+      doc = "CCNet perplexity gate: head/middle/tail label per doc by per-language perplexity terciles (portable KMV sample cutoffs, integer nano-nat scores)")
   )
 
   /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023)

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,7 +27,10 @@ object Retrieval {
   val K1 = 1.2
   val B = 0.75
 
-  def bm25(docs: DataFrame, terms: Seq[String], topN: Int = 50): DataFrame = {
+  /** Per-doc BM25 integer-micro scores for every doc matching ≥ 1
+    * query term — the ranking substrate [[bm25]] tops and
+    * [[rrfFusion]]'s lexical arm consumes. */
+  def bm25Scores(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val ws = split(lower(col("text")), " ")
     val toks = docs.select(col("doc_id"), size(ws).as("dl"),
       explode(ws).as("word"))
@@ -37,7 +40,7 @@ object Retrieval {
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(ws)).as("sum_dl"))
-    val scored = tf
+    tf
       .join(broadcast(dfreq), Seq("word"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
@@ -47,10 +50,13 @@ object Retrieval {
         * (col("tf") * lit(K1 + 1.0))
         / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
         * 1e6).cast("long"))
-    scored
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
         sum(col("part_micro")).as("score_micro"))
+  }
+
+  def bm25(docs: DataFrame, terms: Seq[String], topN: Int = 50): DataFrame = {
+    bm25Scores(docs, terms)
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(topN)
       // round AT the micro grid (6 dp), never coarser: a micro-quantized
@@ -85,6 +91,102 @@ object Retrieval {
        |  round(CAST(sum(part_micro) AS DOUBLE) / 1000000, 6) AS score
        |FROM scored GROUP BY doc_id
        |ORDER BY sum(part_micro) DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    * SIGIR'09): the lexical arm is the BM25 top-`topK` for the query
+    * terms, the semantic arm is the exact-distance top-`topK` around a
+    * query-by-example vector (`vec_id = 0`, the document/embedding id
+    * spaces are aligned in the testdata), and each doc's fused score is
+    * Σ_arms ⌊1e6 / (60 + rank)⌋ — integer micros, absent-arm
+    * contribution 0, so the fusion is exact cross-engine.
+    *
+    * Scale shape: each arm reduces to ≤ topK rows via distributed
+    * TakeOrdered BEFORE any ranking; ranks are then assigned by a
+    * broadcast ≤ topK × topK comparison-count join (1 + #better), NEVER
+    * a global window — the fused table is two tiny lists, whatever the
+    * corpus size. */
+  def rrfFusion(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                kRrf: Int = 60, topK: Int = 100, topN: Int = 50): DataFrame = {
+    def rankOf(top: DataFrame, better: (Column, Column) => Column): DataFrame =
+      top.as("x").join(broadcast(top.as("y")),
+          better(col("y.key"), col("x.key")) ||
+            (col("y.key") === col("x.key") && col("y.doc_id") < col("x.doc_id")),
+          "left")
+        .groupBy(col("x.doc_id").as("doc_id"))
+        .agg((count(col("y.doc_id")) + 1L).as("rank"))
+    val lexTop = bm25Scores(docs, terms)
+      .select(col("doc_id"), col("score_micro").as("key"))
+      .orderBy(col("key").desc, col("doc_id")).limit(topK)
+      .localCheckpoint() // feeds both sides of the rank join
+    val lexRank = rankOf(lexTop, _ > _).withColumnRenamed("rank", "lex_rank")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val semTop = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.linalg.Distances.euclidean(col("embedding"), col("qv")), 6)
+          .as("key"))
+      .orderBy(col("key"), col("doc_id")).limit(topK)
+      .localCheckpoint()
+    val semRank = rankOf(semTop, _ < _).withColumnRenamed("rank", "sem_rank")
+    lexRank.join(semRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"),
+        (when(col("lex_rank").isNull, 0L)
+          .otherwise(expr(s"1000000 div ($kRrf + lex_rank)"))
+          + when(col("sem_rank").isNull, 0L)
+            .otherwise(expr(s"1000000 div ($kRrf + sem_rank)"))).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  private def rrfOracle(terms: Seq[String], kRrf: Int, topK: Int,
+                        topN: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val d = graft.DuckSql.euclidean("e.embedding", "q.qv")
+    s"""WITH t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word
+       |      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |            FROM documents)),
+       |tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM t
+       |       WHERE word IN ($termList) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |            sum(len(string_split(lower(text), ' '))) AS sum_dl
+       |          FROM documents),
+       |lex AS (SELECT tf.doc_id,
+       |    CAST(round(ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+       |        / (CAST(df AS DOUBLE) + 0.5))
+       |      * (tf * ${K1 + 1.0})
+       |      / (tf + $K1 * (${1.0 - B} + $B * dl
+       |          / (CAST(sum_dl AS DOUBLE) / n_docs)))
+       |      * 1000000) AS BIGINT) AS part_micro
+       |  FROM tf JOIN dfreq USING (word) CROSS JOIN stats),
+       |lexall AS (SELECT doc_id, CAST(sum(part_micro) AS BIGINT) AS key
+       |           FROM lex GROUP BY 1),
+       |tl AS MATERIALIZED (SELECT doc_id, key FROM lexall
+       |      ORDER BY key DESC, doc_id LIMIT $topK),
+       |lr AS (SELECT x.doc_id, 1 + count(y.doc_id) AS lex_rank
+       |       FROM tl x LEFT JOIN tl y
+       |         ON (y.key > x.key OR (y.key = x.key AND y.doc_id < x.doc_id))
+       |       GROUP BY x.doc_id),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |ts AS MATERIALIZED (
+       |  SELECT e.vec_id AS doc_id, round($d, 6) AS key
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY key, doc_id LIMIT $topK),
+       |sr AS (SELECT x.doc_id, 1 + count(y.doc_id) AS sem_rank
+       |       FROM ts x LEFT JOIN ts y
+       |         ON (y.key < x.key OR (y.key = x.key AND y.doc_id < x.doc_id))
+       |       GROUP BY x.doc_id)
+       |SELECT coalesce(lr.doc_id, sr.doc_id) AS doc_id,
+       |  coalesce(lex_rank, 0) AS lex_rank,
+       |  coalesce(sem_rank, 0) AS sem_rank,
+       |  CAST(coalesce(1000000 // ($kRrf + lex_rank), 0)
+       |     + coalesce(1000000 // ($kRrf + sem_rank), 0) AS BIGINT) AS rrf_micro
+       |FROM lr FULL OUTER JOIN sr ON lr.doc_id = sr.doc_id
+       |ORDER BY rrf_micro DESC, doc_id LIMIT $topN""".stripMargin
   }
 
   /** Batch phrase search: each 2-word phrase's document and occurrence
@@ -215,6 +317,13 @@ object Retrieval {
       (s, dir) => bm25(Tables.load(s, dir, "documents"), QueryTerms),
       Some(bm25Oracle(QueryTerms, 50)),
       doc = "BM25 query scoring (k1=1.2, b=0.75): one token pass + broadcast idf"),
+
+    Declared(
+      "q202_rrf_fusion",
+      (s, dir) => rrfFusion(Tables.load(s, dir, "documents"),
+        Tables.load(s, dir, "embeddings"), QueryTerms),
+      Some(rrfOracle(QueryTerms, kRrf = 60, topK = 100, topN = 50)),
+      doc = "Hybrid retrieval: BM25 top-100 + exact-kNN top-100 around vec 0 fused by integer-micro Reciprocal Rank Fusion (no global window - TakeOrdered arms, broadcast rank joins)"),
 
     Declared(
       "q142_phrase_search",

@@ -80,4 +80,29 @@ class LanguageModelSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(again == got)
   }
+
+  test("perplexityGate: buckets are monotone in score per lang, roughly thirds") {
+    val corpus = graft.Tables.load(spark, sf0001, "documents")
+    val got = LanguageModel.perplexityGate(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      // labels are a monotone cut of the score axis: every head score
+      // <= every middle score <= every tail score
+      def scores(b: String) = rows.filter(_._4 == b).map(_._3)
+      val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+      if (h.nonEmpty && m.nonEmpty) assert(h.max <= m.min, s"$lang head>middle")
+      if (m.nonEmpty && t.nonEmpty) assert(m.max <= t.min, s"$lang middle>tail")
+      // the sample-based terciles stay near thirds (generous: 15-55%)
+      val n = rows.length.toDouble
+      Seq(h, m, t).foreach { b =>
+        assert(b.length / n > 0.15 && b.length / n < 0.55,
+          s"$lang bucket share ${b.length / n}")
+      }
+    }
+    // deterministic rerun under a different partitioning
+    val again = LanguageModel.perplexityGate(corpus.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
 }

@@ -105,4 +105,28 @@ class RetrievalSpec extends SparkSpec {
     assert(r.getLong(1) == 12L && r.getLong(2) == 12L)
     assert(r.getString(3) == (1L to 8L).mkString(","))
   }
+
+  test("rrfFusion: ranks agree with standalone arms, scores are the RRF sum") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val terms = Seq("table", "scan", "join")
+    val fused = Retrieval.rrfFusion(docs, emb, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fused.nonEmpty)
+    // lexical ranks must match the standalone BM25 ordering
+    val lexOrder = Retrieval.bm25(docs, terms, topN = 100)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    fused.foreach { case (id, lexRank, semRank, rrf) =>
+      assert(lexRank == lexOrder.getOrElse(id, 0L),
+        s"doc $id lex rank $lexRank vs bm25 ${lexOrder.get(id)}")
+      // the fused score is exactly the sum of the two arm contributions
+      val want = (if (lexRank > 0) 1000000L / (60 + lexRank) else 0L) +
+        (if (semRank > 0) 1000000L / (60 + semRank) else 0L)
+      assert(rrf == want, s"doc $id rrf $rrf != $want")
+      assert(lexRank > 0 || semRank > 0, s"doc $id in neither arm")
+    }
+    // output is sorted by fused score desc
+    assert(fused.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
 }
