@@ -231,39 +231,32 @@ object Mrdf {
           (stats.map { case (path, s) => (path, s.cnt) },
             (over: DataFrame, oversized: Array[String]) => {
               // Driver-local centroids ⇒ the nearest-centroid argmin is
-              // a NARROW per-row map over a broadcast Map — no join, no
-              // per-level shuffle. (The previous broadcast-join +
-              // groupBy(id) argmin re-shuffled every oversized row by
-              // id at every level — the dominant divide shuffle at
-              // scale, and pure job overhead at test α.) Iterating
-              // centroids in cidx order with strict < replays the
-              // min(struct(d, cidx)) tie-break; euclideanLocal is the
-              // same strict fold + sqrt as the codegen expression, so
-              // assignments are bit-identical to the join form.
+              // ONE codegen expression over a task-shipped path→
+              // centroids map — a NARROW projection, no join, no
+              // per-level shuffle, and no Dataset encode/decode. (The
+              // broadcast-join + groupBy(id) argmin re-shuffled every
+              // oversized row by id at every level — the dominant
+              // divide shuffle at scale; a typed-mapPartitions argmin
+              // fixed that but paid per-row deserialization that
+              // overtook the saved shuffle at 200k+ vectors. The
+              // expression is both narrow AND Tungsten-resident.)
+              // Assignments are bit-identical to the join form: same
+              // strict-fold Euclidean, same (d, cidx) tie-break — see
+              // NearestCentroidIdx's scaladoc and the arm-equivalence
+              // spec.
               val overSet = oversized.toSet
-              val cmap: Map[String, Array[Array[Float]]] = stats.iterator
+              val cmap = new java.util.HashMap[
+                org.apache.spark.unsafe.types.UTF8String, Array[Array[Float]]]()
+              stats.iterator
                 .filter { case (path, _) => overSet(path) }
-                .map { case (path, s) => path -> s.items.map(_.vec).toArray }
-                .toMap
-              val bc = spark.sparkContext.broadcast(cmap)
-              over.select(col("id"), col("vec"), col("path"))
-                .as[(Long, Array[Float], String)]
-                .mapPartitions { it =>
-                  val m = bc.value
-                  it.map { case (id, vec, path) =>
-                    val cents = m(path)
-                    var bi = 0
-                    var bd = Double.PositiveInfinity
-                    var i = 0
-                    while (i < cents.length) {
-                      val d = Distances.euclideanLocal(vec, cents(i))
-                      if (d < bd) { bd = d; bi = i }
-                      i += 1
-                    }
-                    (id, vec, path + "," + bi)
-                  }
+                .foreach { case (path, s) =>
+                  cmap.put(org.apache.spark.unsafe.types.UTF8String.fromString(path),
+                    s.items.map(_.vec).toArray)
                 }
-                .toDF("id", "vec", "path")
+              val cidx = org.apache.spark.sql.graft.VectorExpressions
+                .nearestCentroidIdx(cmap, col("vec"), col("path"))
+              over.select(col("id"), col("vec"),
+                concat(col("path"), lit(","), cidx.cast("string")).as("path"))
             })
         } else {
           val aggDf = aggPlan.toDF("path", "sample").persist()

@@ -3,7 +3,8 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom codegen Catalyst expressions for the vector hot path —
   * the SURVEY.md §4 "perf slice" upgrade of the distance function
@@ -206,4 +207,100 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
+}
+
+/** Index of the nearest centroid among `cmap(path)` — the MRDF divide
+  * assignment as ONE codegen expression: a narrow per-row map-lookup +
+  * distance loop that stays inside whole-stage codegen (no join, no
+  * shuffle, no Dataset encode/decode — the typed-mapPartitions form of
+  * this paid per-row deserialization that outweighed the saved shuffle
+  * at 200k+ vectors). Distance is the same strict left-fold Euclidean
+  * as [[EuclideanDistance]]; iteration in centroid-index order with
+  * strict `<` replays the `min(struct(d, cidx))` tie-break, so
+  * assignments are bit-identical to the join form.
+  *
+  * The centroid map rides the expression as a task-binary reference
+  * object (`addReferenceObj`) — bounded by the caller's
+  * driver-payload routing, and shipped once per executor like any
+  * plan literal. Keys are [[UTF8String]] so the probe needs no per-row
+  * String conversion. A path absent from the map is a caller bug ⇒
+  * NullPointerException, never a silent wrong assignment. */
+case class NearestCentroidIdx(left: Expression, right: Expression,
+    cmap: java.util.HashMap[UTF8String, Array[Array[Float]]])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_idx"
+
+  override def nullSafeEval(vecAny: Any, pathAny: Any): Any = {
+    val vec = vecAny.asInstanceOf[ArrayData]
+    val cents = cmap.get(pathAny.asInstanceOf[UTF8String])
+    var bi = 0
+    var bd = Double.PositiveInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      val n = math.min(vec.numElements(), c.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = vec.getFloat(i).toDouble - c(i).toDouble
+        s += d * d
+        i += 1
+      }
+      val dist = math.sqrt(s)
+      if (dist < bd) { bd = dist; bi = ci }
+      ci += 1
+    }
+    bi
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("centroidMap", cmap,
+      classOf[java.util.HashMap[UTF8String, Array[Array[Float]]]].getName)
+    nullSafeCodeGen(ctx, ev, (vec, path) => {
+      val cents = ctx.freshName("cents")
+      val bi = ctx.freshName("bi")
+      val bd = ctx.freshName("bd")
+      val ci = ctx.freshName("ci")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val dist = ctx.freshName("dist")
+      s"""
+         |float[][] $cents = (float[][]) $mapRef.get($path);
+         |int $bi = 0;
+         |double $bd = Double.POSITIVE_INFINITY;
+         |for (int $ci = 0; $ci < $cents.length; $ci++) {
+         |  float[] $c = $cents[$ci];
+         |  int $n = java.lang.Math.min($vec.numElements(), $c.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $vec.getFloat($i) - (double) $c[$i];
+         |    $s += $d * $d;
+         |  }
+         |  double $dist = java.lang.Math.sqrt($s);
+         |  if ($dist < $bd) { $bd = $dist; $bi = $ci; }
+         |}
+         |${ev.value} = $bi;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroidIdx =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column front-ends for expressions with non-column state. */
+object VectorExpressions {
+  def nearestCentroidIdx(cmap: java.util.HashMap[UTF8String, Array[Array[Float]]],
+                         vec: org.apache.spark.sql.Column,
+                         path: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ColumnBridge.column(NearestCentroidIdx(
+      ColumnBridge.expression(vec), ColumnBridge.expression(path), cmap))
 }
