@@ -94,8 +94,12 @@ object LanguageModel {
     * language) and the labeling pass is row-local. */
   def perplexityGate(docs: DataFrame, k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialized: the per-doc score table feeds BOTH the cutoff
+    // sample and the final labeling join — without it the whole LM
+    // chain (bigram aggs + vocab scalar) executes twice
     val scores = bigramNll(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint()
     val h = scores.select(col("lang"), col("doc_id"), col("nll_nano_tok"),
       conv(substring(md5(concat(lit("pg|"), col("doc_id").cast("string"))),
         1, 15), 16, 10).cast("long").as("h"))
