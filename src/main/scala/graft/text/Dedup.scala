@@ -111,7 +111,14 @@ object Dedup {
     * exact integers. 16 hashes × 8 bands × 2 rows: md5 is ~10× xxhash,
     * so the portable family is half-width — this variant exists to be
     * driver-verified end-to-end; [[minhashPairs]] (xxhash64, 32-wide)
-    * stays the throughput path.
+    * stays the throughput path. NOTE: MinHash needs an (approximately)
+    * min-wise independent hash PER SLOT — the Kirsch–Mitzenmacher
+    * two-lane trick that is correct for the Bloom probe (q198) is NOT
+    * sound here: `h_i = h1 + i·h2` makes the per-doc minimizers
+    * correlated across slots (one low-(h1,h2) shingle wins many i),
+    * inflating the Jaccard estimate (measured: 25 → 131 "pairs" at
+    * sf0.01 against an exact-overlap truth of 25). Hence numH true
+    * md5 evaluations per shingle, by design.
     *
     * Scale shape identical to q33: signature = ONE map-side-combined
     * min-agg over the exploded (shingle × i) stream (the explode is

@@ -120,10 +120,14 @@ object LineDedup {
   def bloomDecontaminatePortable(docs: DataFrame, n: Int = 5,
                                  mBits: Int = 1 << 17,
                                  k: Int = 4): DataFrame = {
-    def md5Long(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    def pos(j: Int): Column =
-      md5Long(concat(lit(s"bf$j|"), col("shingle"))) % mBits
+    // Kirsch–Mitzenmacher double hashing: the k bit positions derive
+    // from ONE md5 per shingle (two 56-bit digest lanes, pos_j =
+    // (h1 + j·h2) mod m) — the construction K-M 2006 proved loses no
+    // Bloom-filter accuracy, at 1/k the hashing cost.
+    def lane(off: Int): Column =
+      conv(substring(md5(concat(lit("bf|"), col("shingle"))), off, 14), 16, 10)
+        .cast("long")
+    def pos(j: Int): Column = (lane(1) + lit(j.toLong) * lane(17)) % mBits
     val sh = TextQueries.wordShingles(docs, n).localCheckpoint()
     val setBits = sh.filter(col("doc_id") % 10 === 0)
       .select(explode(array((0 until k).map(pos): _*)).as("p"))
@@ -154,11 +158,14 @@ object LineDedup {
        |    unnest(list_transform(range(1, len(ws) - ${n - 2}),
        |      i -> ${(0 until n).map(o => s"ws[i+$o]").mkString(" || ' ' || ")})) AS shingle
        |  FROM w WHERE len(ws) >= $n),
+       |hl AS (
+       |  SELECT doc_id, shingle,
+       |    CAST(('0x' || substr(md5('bf|' || shingle), 1, 14)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substr(md5('bf|' || shingle), 17, 14)) AS BIGINT) AS h2
+       |  FROM sh),
        |pos AS MATERIALIZED (
-       |  SELECT doc_id, shingle, j,
-       |    CAST(('0x' || substr(md5('bf' || CAST(j AS VARCHAR) || '|' || shingle),
-       |      1, 15)) AS BIGINT) % $mBits AS p
-       |  FROM sh, range($k) t(j)),
+       |  SELECT doc_id, shingle, j, (h1 + j * h2) % $mBits AS p
+       |  FROM hl, range($k) t(j)),
        |b AS MATERIALIZED (SELECT DISTINCT p FROM pos WHERE doc_id % 10 = 0),
        |tr AS (
        |  SELECT doc_id, shingle,
