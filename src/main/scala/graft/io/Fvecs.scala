@@ -71,6 +71,42 @@ object Fvecs {
     bb.array()
   }
 
+  /** bvecs reader — the third standard ANN vector format (bigann's
+    * base/query files): `int32 dim` then `dim × uint8` per record.
+    * Components are promoted to float (the standard consumption — SIFT
+    * byte vectors feed the same distance kernels as fvecs). */
+  def decodeBvecs(bytes: Array[Byte], inputMax: Int = 0): Seq[(Long, Array[Float])] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = Seq.newBuilder[(Long, Array[Float])]
+    var id = 0L
+    while (bb.remaining() >= 4 && (inputMax <= 0 || id < inputMax)) {
+      val dim = bb.getInt
+      require(dim > 0 && dim.toLong <= bb.remaining(),
+        s"corrupt/truncated bvecs file: record $id declares dim=$dim " +
+          s"with only ${bb.remaining()} payload bytes left")
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { v(i) = (bb.get() & 0xff).toFloat; i += 1 }
+      out += ((id, v))
+      id += 1
+    }
+    out.result()
+  }
+
+  /** bvecs writer; every component must fit uint8. */
+  def encodeBvecs(vecs: Seq[Array[Int]]): Array[Byte] = {
+    val size = vecs.map(v => 4 + v.length).sum
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    vecs.foreach { v =>
+      bb.putInt(v.length)
+      v.foreach { x =>
+        require(x >= 0 && x <= 255, s"bvecs component $x outside uint8")
+        bb.put(x.toByte)
+      }
+    }
+    bb.array()
+  }
+
   def readFvecsFile(path: String, inputMax: Int = 0): Seq[(Long, Array[Float])] =
     decodeFvecs(Files.readAllBytes(Paths.get(path)), inputMax)
 

@@ -95,6 +95,26 @@ class IoSpecs extends SparkSpec {
     }
   }
 
+  test("bvecs codec round-trips uint8 vectors, promotes to float, truncates, rejects oob") {
+    val gen = new scala.util.Random(13)
+    val vecs = (0 until 30).map(_ => Array.fill(1 + gen.nextInt(32))(gen.nextInt(256)))
+    val back = Fvecs.decodeBvecs(Fvecs.encodeBvecs(vecs))
+    assert(back.length == vecs.length)
+    back.foreach { case (id, v) =>
+      assert(v.sameElements(vecs(id.toInt).map(_.toFloat)))
+    }
+    // inputMax truncates by record count
+    assert(Fvecs.decodeBvecs(Fvecs.encodeBvecs(vecs), inputMax = 7).length == 7)
+    // components outside uint8 are a loud error, not silent wrap
+    intercept[IllegalArgumentException] {
+      Fvecs.encodeBvecs(Seq(Array(256)))
+    }
+    // truncated payload is a loud error
+    intercept[IllegalArgumentException] {
+      Fvecs.decodeBvecs(Fvecs.encodeBvecs(vecs).dropRight(1))
+    }
+  }
+
   test("distributed fvecs read equals the driver codec, ids intact") {
     val rnd = new scala.util.Random(11)
     val dim = 24
