@@ -23,6 +23,17 @@ object Fvecs {
       s"corrupt/truncated vecs file: record $id declares dim=$dim " +
         s"with only $remaining payload bytes left")
 
+  /** Serialized size for an encode, summed in Long and bounded to one
+    * ByteBuffer: an Int sum would overflow silently past 2 GiB and
+    * either mis-size the buffer or throw something unrelated. */
+  private def encodeSize(recordBytes: Iterator[Long], what: String): Int = {
+    val total = recordBytes.sum
+    require(total <= Int.MaxValue,
+      s"$what encode of $total bytes exceeds a single buffer (2 GiB); " +
+        "write in chunks or use the streaming writer")
+    total.toInt
+  }
+
   def decodeFvecs(bytes: Array[Byte], inputMax: Int = 0): Seq[(Long, Array[Float])] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val out = Seq.newBuilder[(Long, Array[Float])]
@@ -40,7 +51,7 @@ object Fvecs {
   }
 
   def encodeFvecs(vecs: Seq[Array[Float]]): Array[Byte] = {
-    val size = vecs.map(v => 4 + 4 * v.length).sum
+    val size = encodeSize(vecs.iterator.map(v => 4L + 4L * v.length), "fvecs")
     val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     vecs.foreach { v => bb.putInt(v.length); v.foreach(bb.putFloat) }
     bb.array()
@@ -65,7 +76,7 @@ object Fvecs {
   }
 
   def encodeIvecs(vecs: Seq[Array[Int]]): Array[Byte] = {
-    val size = vecs.map(v => 4 + 4 * v.length).sum
+    val size = encodeSize(vecs.iterator.map(v => 4L + 4L * v.length), "ivecs")
     val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     vecs.foreach { v => bb.putInt(v.length); v.foreach(bb.putInt) }
     bb.array()
@@ -95,7 +106,7 @@ object Fvecs {
 
   /** bvecs writer; every component must fit uint8. */
   def encodeBvecs(vecs: Seq[Array[Int]]): Array[Byte] = {
-    val size = vecs.map(v => 4 + v.length).sum
+    val size = encodeSize(vecs.iterator.map(v => 4L + v.length), "bvecs")
     val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     vecs.foreach { v =>
       bb.putInt(v.length)

@@ -71,6 +71,9 @@ object GraphAnalytics {
     val nodes = edges.select(col("id")).distinct().localCheckpoint()
     val isSeed = col("id") % seedMod === 0
     val nSeeds = nodes.filter(isSeed).count() // driver scalar (loop constant)
+    require(nSeeds > 0,
+      s"seedExpansion: no seed nodes (id % $seedMod == 0) in graph — " +
+        "relevance mass has no source to start from")
     val seedBase = 150000000L / nSeeds
     var ranks = nodes
       .withColumn("r", when(isSeed, lit(1000000000L / nSeeds)).otherwise(lit(0L)))

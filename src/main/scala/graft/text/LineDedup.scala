@@ -123,12 +123,19 @@ object LineDedup {
     // Kirsch–Mitzenmacher double hashing: the k bit positions derive
     // from ONE md5 per shingle (two 56-bit digest lanes, pos_j =
     // (h1 + j·h2) mod m) — the construction K-M 2006 proved loses no
-    // Bloom-filter accuracy, at 1/k the hashing cost.
-    def lane(off: Int): Column =
-      conv(substring(md5(concat(lit("bf|"), col("shingle"))), off, 14), 16, 10)
-        .cast("long")
-    def pos(j: Int): Column = (lane(1) + lit(j.toLong) * lane(17)) % mBits
-    val sh = TextQueries.wordShingles(docs, n).localCheckpoint()
+    // Bloom-filter accuracy, at 1/k the hashing cost. The digest is
+    // hoisted into projected lane columns BEFORE the checkpoint, so
+    // the one-md5 cost is structural — the earlier form instantiated
+    // two md5 expressions per probe position (8 per shingle at k=4)
+    // and relied on subexpression elimination, which is not guaranteed
+    // inside aggregate expressions (round-9 advice).
+    def pos(j: Int): Column = (col("bf_h1") + lit(j.toLong) * col("bf_h2")) % mBits
+    val sh = TextQueries.wordShingles(docs, n)
+      .withColumn("bf_md5", md5(concat(lit("bf|"), col("shingle"))))
+      .select(col("doc_id"), col("shingle"),
+        conv(substring(col("bf_md5"), 1, 14), 16, 10).cast("long").as("bf_h1"),
+        conv(substring(col("bf_md5"), 17, 14), 16, 10).cast("long").as("bf_h2"))
+      .localCheckpoint()
     val setBits = sh.filter(col("doc_id") % 10 === 0)
       .select(explode(array((0 until k).map(pos): _*)).as("p"))
       .distinct() // ≤ mBits rows by construction — this caps the collect

@@ -237,6 +237,7 @@ case class NearestCentroidIdx(left: Expression, right: Expression,
   override def nullSafeEval(vecAny: Any, pathAny: Any): Any = {
     val vec = vecAny.asInstanceOf[ArrayData]
     val cents = cmap.get(pathAny.asInstanceOf[UTF8String])
+    if (cents == null) throw NearestCentroidIdx.missingPath(pathAny, cmap.size())
     var bi = 0
     var bd = Double.PositiveInfinity
     var ci = 0
@@ -273,6 +274,10 @@ case class NearestCentroidIdx(left: Expression, right: Expression,
       val dist = ctx.freshName("dist")
       s"""
          |float[][] $cents = (float[][]) $mapRef.get($path);
+         |if ($cents == null) {
+         |  throw org.apache.spark.sql.graft.NearestCentroidIdx
+         |    .missingPath($path, $mapRef.size());
+         |}
          |int $bi = 0;
          |double $bd = Double.POSITIVE_INFINITY;
          |for (int $ci = 0; $ci < $cents.length; $ci++) {
@@ -294,6 +299,19 @@ case class NearestCentroidIdx(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCentroidIdx =
     copy(left = newLeft, right = newRight)
+}
+
+object NearestCentroidIdx {
+  /** A path absent from the centroid map is a caller bug (the caller
+    * built both the map and the path column); fail with the offending
+    * path and the map size instead of a bare NPE — on a real cluster
+    * the executor stack trace is all the debugging surface there is.
+    * Called from both the interpreted and the generated code path. */
+  def missingPath(path: Any, mapSize: Int): RuntimeException =
+    new NoSuchElementException(
+      s"nearest_centroid_idx: block path '$path' has no centroids in " +
+        s"the broadcast map ($mapSize entries) — caller built map and " +
+        "path column from different block sets")
 }
 
 /** Column front-ends for expressions with non-column state. */

@@ -37,6 +37,32 @@ class MrdfSpec extends SparkSpec {
     assert(a.sameElements(b), "distributed arm diverged from driver arm")
   }
 
+  test("NearestCentroidIdx names the missing path instead of a bare NPE") {
+    // A path absent from the centroid map is a caller bug; round-9
+    // advice: the failure must carry the path and map size — on a real
+    // cluster the executor stack trace is the whole debugging surface.
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.unsafe.types.UTF8String
+    val cmap = new java.util.HashMap[UTF8String, Array[Array[Float]]]()
+    cmap.put(UTF8String.fromString("present"), Array(Array(0f, 0f)))
+    val cidx = org.apache.spark.sql.graft.VectorExpressions
+      .nearestCentroidIdx(cmap, col("vec"), col("path"))
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f), "absent")).toDF("vec", "path")
+    val e = intercept[Exception] {
+      df.select(cidx.as("cidx")).collect()
+    }
+    // unwrap SparkException layers down to the thrown cause
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(msgs.exists(m => m.contains("absent") && m.contains("1 entries")),
+      s"expected path + map size in: $msgs")
+    // the happy path next to it still evaluates
+    val ok = Seq((Array(1f, 2f), "present")).toDF("vec", "path")
+      .select(cidx.as("cidx")).collect()
+    assert(ok.head.getInt(0) == 0)
+  }
+
   test("NN-Descent alone reaches high recall on a single block") {
     val emb = Tables.load(spark, sf0001, "embeddings").limit(200)
     import org.apache.spark.sql.functions.col
