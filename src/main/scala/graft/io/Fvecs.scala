@@ -124,6 +124,12 @@ object Fvecs {
   def writeFvecsFile(path: String, vecs: Seq[Array[Float]]): Unit =
     Files.write(Paths.get(path), encodeFvecs(vecs))
 
+  def readBvecsFile(path: String, inputMax: Int = 0): Seq[(Long, Array[Float])] =
+    decodeBvecs(Files.readAllBytes(Paths.get(path)), inputMax)
+
+  def writeBvecsFile(path: String, vecs: Seq[Array[Int]]): Unit =
+    Files.write(Paths.get(path), encodeBvecs(vecs))
+
   /** Fixture bridge: fvecs bytes → Dataset[(id, vec)]. */
   def toDataset(spark: SparkSession, bytes: Array[Byte],
                 inputMax: Int = 0): Dataset[(Long, Array[Float])] = {
@@ -153,35 +159,52 @@ object Fvecs {
     * @throws IllegalArgumentException if the file is not fixed-dim
     *         (fall back to the driver codec for such fixtures). */
   def readDistributed(spark: SparkSession, path: String, inputMax: Int = 0,
-                      chunkBytes: Long = 128L << 20): Dataset[(Long, Array[Float])] = {
+                      chunkBytes: Long = 128L << 20): Dataset[(Long, Array[Float])] =
+    readDistributedFixedDim(spark, path, inputMax, chunkBytes, compBytes = 4)
+
+  /** [[readDistributed]] for `.bvecs` (bigann base/query files: record =
+    * `int32 dim` + `dim × uint8`, promoted to float like
+    * [[decodeBvecs]]). bigann ships 100 GB+ base files — precisely the
+    * inputs that must NOT round-trip through driver memory. */
+  def readDistributedBvecs(spark: SparkSession, path: String, inputMax: Int = 0,
+                           chunkBytes: Long = 128L << 20): Dataset[(Long, Array[Float])] =
+    readDistributedFixedDim(spark, path, inputMax, chunkBytes, compBytes = 1)
+
+  /** Shared record-aligned chunked reader for the fixed-dim vecs
+    * layouts: `compBytes` = 4 (fvecs float32) or 1 (bvecs uint8);
+    * record stride = `4 + compBytes·dim`. */
+  private def readDistributedFixedDim(spark: SparkSession, path: String,
+      inputMax: Int, chunkBytes: Long, compBytes: Int): Dataset[(Long, Array[Float])] = {
     import spark.implicits._
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fmt = if (compBytes == 1) "bvecs" else "fvecs"
     val sc = spark.sparkContext
     val hp = new HPath(path)
     val fs = FileSystem.get(hp.toUri, sc.hadoopConfiguration)
     val fileLen = fs.getFileStatus(hp).getLen
-    require(fileLen >= 4, s"empty/truncated fvecs file: $path")
+    require(fileLen >= 4, s"empty/truncated $fmt file: $path")
     val header = new Array[Byte](4)
     val probe = fs.open(hp)
     try probe.readFully(0L, header) finally probe.close()
     val dim = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN).getInt
-    require(dim > 0, s"corrupt fvecs: leading dim=$dim in $path")
-    val stride = 4L + 4L * dim
+    require(dim > 0, s"corrupt $fmt: leading dim=$dim in $path")
+    val stride = 4L + compBytes.toLong * dim
     require(fileLen % stride == 0,
       s"$path is not fixed-dim (len=$fileLen, first dim=$dim): " +
-        "variable-dim fvecs is not splittable; use the driver codec")
+        s"variable-dim $fmt is not splittable; use the driver codec")
     val totalRecs = {
       val n = fileLen / stride
       if (inputMax > 0) math.min(n, inputMax.toLong) else n
     }
     // one chunk = one task-local byte buffer; both must stay Int-sized
-    require(stride <= Int.MaxValue, s"fvecs record of $stride bytes (dim=$dim)")
+    require(stride <= Int.MaxValue, s"$fmt record of $stride bytes (dim=$dim)")
     require(chunkBytes > 0 && chunkBytes <= (1L << 30),
       s"chunkBytes must be in (0, 1 GiB], got $chunkBytes")
     val recsPerChunk = math.max(1L, chunkBytes / stride)
     val ranges = (0L until totalRecs by recsPerChunk)
       .map(s => (s, math.min(recsPerChunk, totalRecs - s)))
     val pathStr = path
+    val cb = compBytes
     // Ship the driver's Hadoop conf (object-store credentials, FS impls)
     // to the tasks — a fresh Configuration would drop them on a cluster.
     val confHandle = org.apache.spark.graft.HadoopConfBridge
@@ -197,10 +220,11 @@ object Fvecs {
           (0L until nRecs).map { r =>
             val d = bb.getInt
             require(d == dim,
-              s"corrupt fvecs: record ${startRec + r} has dim=$d, expected $dim")
+              s"corrupt vecs: record ${startRec + r} has dim=$d, expected $dim")
             val v = new Array[Float](dim)
             var i = 0
-            while (i < dim) { v(i) = bb.getFloat; i += 1 }
+            if (cb == 1) while (i < dim) { v(i) = (bb.get() & 0xff).toFloat; i += 1 }
+            else while (i < dim) { v(i) = bb.getFloat; i += 1 }
             (startRec + r, v)
           }
         } finally in.close()
@@ -208,22 +232,33 @@ object Fvecs {
     spark.createDataset(rdd)
   }
 
-  /** Size-dispatched ingest: distributed chunked read for large
-    * fixed-dim files, driver codec for small or variable-dim ones. */
+  /** Size- and extension-dispatched ingest: distributed chunked read
+    * for large fixed-dim files, driver codec for small or variable-dim
+    * ones; `.bvecs` files route through the uint8 codec pair, anything
+    * else is read as fvecs. */
   def readAuto(spark: SparkSession, path: String,
                inputMax: Int = 0): Dataset[(Long, Array[Float])] = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import spark.implicits._
+    val isBvecs = path.toLowerCase(java.util.Locale.ROOT).endsWith(".bvecs")
+    def driverDecode(): Dataset[(Long, Array[Float])] = {
+      val bytes = Files.readAllBytes(Paths.get(path))
+      spark.createDataset(
+        if (isBvecs) decodeBvecs(bytes, inputMax) else decodeFvecs(bytes, inputMax))
+    }
     val hp = new HPath(path)
     val fs = FileSystem.get(hp.toUri, spark.sparkContext.hadoopConfiguration)
     val len = fs.getFileStatus(hp).getLen
     if (len >= DistributedThresholdBytes)
-      try readDistributed(spark, path, inputMax)
-      catch { case e: IllegalArgumentException =>
+      try {
+        if (isBvecs) readDistributedBvecs(spark, path, inputMax)
+        else readDistributed(spark, path, inputMax)
+      } catch { case e: IllegalArgumentException =>
         // variable-dim: only the driver codec can walk the records
         org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"falling back to driver fvecs decode: ${e.getMessage}")
-        toDataset(spark, Files.readAllBytes(Paths.get(path)), inputMax)
+          .warn(s"falling back to driver vecs decode: ${e.getMessage}")
+        driverDecode()
       }
-    else toDataset(spark, Files.readAllBytes(Paths.get(path)), inputMax)
+    else driverDecode()
   }
 }

@@ -41,6 +41,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * configuration broadcast to tasks (credentials/FS impls survive on a
   * real cluster, [[org.apache.spark.graft.HadoopConfBridge]]). */
 class FvecsDataSource extends TableProvider with DataSourceRegister {
+  /** Component width: 4 = float32 (fvecs), 1 = uint8 (bvecs). */
+  protected def compBytes: Int = 4
   override def shortName(): String = "fvecs"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FvecsTable.Schema
@@ -48,9 +50,21 @@ class FvecsDataSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
-      "fvecs source needs a path: spark.read.format(\"fvecs\").load(path)")
-    new FvecsTable(path)
+      s"${shortName()} source needs a path: " +
+        s"spark.read.format(\"${shortName()}\").load(path)")
+    new FvecsTable(path, compBytes)
   }
+}
+
+/** `spark.read.format("bvecs").load(path)` — the same splittable
+  * record-aligned scan over bigann's uint8 layout (`int32 dim` +
+  * `dim × uint8`), components promoted to float exactly like
+  * [[graft.io.Fvecs.decodeBvecs]]. bigann base files run 100 GB+; this
+  * keeps them off the driver (the programmatic twin is
+  * [[graft.io.Fvecs.readDistributedBvecs]]). */
+class BvecsDataSource extends FvecsDataSource {
+  override protected def compBytes: Int = 1
+  override def shortName(): String = "bvecs"
 }
 
 object FvecsTable {
@@ -59,16 +73,17 @@ object FvecsTable {
     StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
 }
 
-class FvecsTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"fvecs:$path"
+class FvecsTable(path: String, compBytes: Int = 4) extends Table with SupportsRead {
+  override def name(): String =
+    s"${if (compBytes == 1) "bvecs" else "fvecs"}:$path"
   override def schema(): StructType = FvecsTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FvecsScanBuilder(path, options)
+    new FvecsScanBuilder(path, compBytes, options)
 }
 
-class FvecsScanBuilder(path: String, options: CaseInsensitiveStringMap)
+class FvecsScanBuilder(path: String, compBytes: Int, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
 
   private var limit: Long = -1L
@@ -81,19 +96,22 @@ class FvecsScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def build(): Scan = {
     val chunkBytes = Option(options.get("chunkbytes")).map(_.toLong)
       .getOrElse(128L << 20)
-    new FvecsScan(path, chunkBytes, limit, required)
+    new FvecsScan(path, compBytes, chunkBytes, limit, required)
   }
 }
 
 final case class FvecsInputPartition(startRec: Long, nRecs: Long) extends InputPartition
 
-class FvecsScan(path: String, chunkBytes: Long, limit: Long, required: StructType)
+class FvecsScan(path: String, compBytes: Int, chunkBytes: Long, limit: Long,
+                required: StructType)
     extends Scan with Batch {
+
+  private def fmt: String = if (compBytes == 1) "bvecs" else "fvecs"
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"fvecs $path (limit=$limit, columns=${required.fieldNames.mkString(",")})"
+    s"$fmt $path (limit=$limit, columns=${required.fieldNames.mkString(",")})"
 
   // (dim, stride, totalRecs) probed once on the driver at planning time
   private lazy val layout: (Int, Long, Long) = {
@@ -101,16 +119,16 @@ class FvecsScan(path: String, chunkBytes: Long, limit: Long, required: StructTyp
     val hp = new HPath(path)
     val fs = FileSystem.get(hp.toUri, spark.sparkContext.hadoopConfiguration)
     val fileLen = fs.getFileStatus(hp).getLen
-    require(fileLen >= 4, s"empty/truncated fvecs file: $path")
+    require(fileLen >= 4, s"empty/truncated $fmt file: $path")
     val header = new Array[Byte](4)
     val in = fs.open(hp)
     try in.readFully(0L, header) finally in.close()
     val dim = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN).getInt
-    require(dim > 0, s"corrupt fvecs: leading dim=$dim in $path")
-    val stride = 4L + 4L * dim
+    require(dim > 0, s"corrupt $fmt: leading dim=$dim in $path")
+    val stride = 4L + compBytes.toLong * dim
     require(fileLen % stride == 0,
       s"$path is not fixed-dim (len=$fileLen, first dim=$dim): " +
-        "variable-dim fvecs is not splittable; use graft.io.Fvecs.toDataset")
+        s"variable-dim $fmt is not splittable; use the graft.io.Fvecs driver codec")
     val total = fileLen / stride
     (dim, stride, if (limit >= 0) math.min(total, limit) else total)
   }
@@ -130,21 +148,22 @@ class FvecsScan(path: String, chunkBytes: Long, limit: Long, required: StructTyp
     val conf = org.apache.spark.graft.HadoopConfBridge
       .broadcast(SparkSession.active.sparkContext,
         SparkSession.active.sparkContext.hadoopConfiguration)
-    new FvecsReaderFactory(path, dim, stride, required, conf)
+    new FvecsReaderFactory(path, compBytes, dim, stride, required, conf)
   }
 }
 
-class FvecsReaderFactory(path: String, dim: Int, stride: Long,
+class FvecsReaderFactory(path: String, compBytes: Int, dim: Int, stride: Long,
                          required: StructType,
                          conf: org.apache.spark.graft.HadoopConfBridge.Handle)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[FvecsInputPartition]
-    new FvecsPartitionReader(path, dim, stride, required, conf, fp.startRec, fp.nRecs)
+    new FvecsPartitionReader(path, compBytes, dim, stride, required, conf,
+      fp.startRec, fp.nRecs)
   }
 }
 
-class FvecsPartitionReader(path: String, dim: Int, stride: Long,
+class FvecsPartitionReader(path: String, compBytes: Int, dim: Int, stride: Long,
                            required: StructType,
                            conf: org.apache.spark.graft.HadoopConfBridge.Handle,
                            startRec: Long, nRecs: Long)
@@ -176,10 +195,13 @@ class FvecsPartitionReader(path: String, dim: Int, stride: Long,
         bb.position((rec * stride).toInt)
         val d = bb.getInt
         require(d == dim,
-          s"corrupt fvecs: record ${startRec + rec} has dim=$d, expected $dim")
+          s"corrupt vecs: record ${startRec + rec} has dim=$d, expected $dim")
         val v = new Array[Float](dim)
         var i = 0
-        while (i < dim) { v(i) = bb.getFloat; i += 1 }
+        if (compBytes == 1)
+          while (i < dim) { v(i) = (bb.get() & 0xff).toFloat; i += 1 }
+        else
+          while (i < dim) { v(i) = bb.getFloat; i += 1 }
         ArrayData.toArrayData(v)
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])

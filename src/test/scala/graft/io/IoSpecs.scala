@@ -166,6 +166,58 @@ class IoSpecs extends SparkSpec {
     assert(df.rdd.getNumPartitions == 30)
   }
 
+  test("distributed bvecs read equals the driver codec (uint8→float), ids intact") {
+    val rnd = new scala.util.Random(31)
+    val dim = 20
+    val vecs = (0 until 4000).map(_ => Array.fill(dim)(rnd.nextInt(256)))
+    val f = Files.createTempFile("graft-dist", ".bvecs").toString
+    Fvecs.writeBvecsFile(f, vecs)
+    // chunkBytes small enough to force many record-aligned chunks
+    // (stride = 4 + dim for uint8 components, NOT 4 + 4·dim)
+    val dist = Fvecs.readDistributedBvecs(spark, f, chunkBytes = 16L * (4 + dim))
+      .collect().sortBy(_._1)
+    assert(dist.length == 4000)
+    dist.foreach { case (id, v) =>
+      assert(v.sameElements(vecs(id.toInt).map(_.toFloat)), s"id $id")
+    }
+    // inputMax caps records, same convention as the driver codec
+    assert(Fvecs.readDistributedBvecs(spark, f, inputMax = 23,
+      chunkBytes = 16L * (4 + dim)).count() == 23)
+    // readAuto sniffs the extension: small file → driver bvecs codec,
+    // same rows either way
+    val auto = Fvecs.readAuto(spark, f).collect().sortBy(_._1)
+    assert(auto.length == 4000)
+    auto.foreach { case (id, v) =>
+      assert(v.sameElements(vecs(id.toInt).map(_.toFloat)))
+    }
+  }
+
+  test("bvecs DataSource V2: format read, limit + column pruning pushdown") {
+    val rnd = new scala.util.Random(37)
+    val dim = 12
+    val vecs = (0 until 2000).map(_ => Array.fill(dim)(rnd.nextInt(256)))
+    val f = Files.createTempFile("graft-dsv2", ".bvecs").toString
+    Fvecs.writeBvecsFile(f, vecs)
+    val stride = 4 + dim
+    val df = spark.read.format("bvecs")
+      .option("chunkbytes", (100 * stride).toString).load(f)
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.length == 2000)
+    rows.foreach { r =>
+      assert(r.getSeq[Float](1).toArray
+        .sameElements(vecs(r.getLong(0).toInt).map(_.toFloat)))
+    }
+    // same pushdown contract as the fvecs source
+    val limited = df.limit(150)
+    assert(limited.queryExecution.executedPlan.toString.contains("limit=150"))
+    assert(limited.count() == 150)
+    val ids = df.select("id")
+    assert(ids.queryExecution.executedPlan.toString.contains("columns=id"))
+    assert(ids.collect().map(_.getLong(0)).sorted.toSeq == (0L until 2000L))
+    // record-aligned partitioning at the uint8 stride
+    assert(df.rdd.getNumPartitions == 20)
+  }
+
   test("salted join equals plain join under key skew") {
     import spark.implicits._
     // 10k rows of one hot key + uniform tail, joined to a small dim
