@@ -7,59 +7,126 @@ import org.apache.spark.sql.SparkSession
   * emits ONE summary JSON line — also written to bench_out.json so the
   * driver's parser never depends on stdout tail order (sbt epilogue).
   *
-  * Contention defense (round-5 lesson — the driver's 493 s bench vs
-  * 142–153 s same-commit local runs was co-running with its own
-  * 32-CPU Verify):
+  * Contention defense (rounds 5, 8 and 9 all lost time to this — the
+  * driver's box co-runs other JVMs and the hypervisor stalls whole
+  * windows, inflating wall with no matching process CPU):
   *  - Bench and Verify share an exclusive OS file lock
   *    ([[HarnessLock]]) so they cannot co-run; the wait, if any, is
   *    reported in the output line (`lock_wait_sec`).
-  *  - TWO full measurement passes, with [[Materialized]] reset in
-  *    between so pass 2 re-pays shared-table construction; the
-  *    headline per-query number is min(p1, p2) — a transient external
-  *    load spike must hit the same query in BOTH passes to distort it.
-  *  - Per-query process-CPU seconds and before/after 1-min load
-  *    averages land in bench_detail.json (and the load + CPU totals in
-  *    the summary line), so wall-vs-CPU divergence — the signature of
-  *    external contention — is adjudicable after the fact.
+  *  - THREE full measurement passes by default, [[Materialized]] reset
+  *    between passes; the headline per-query number is the min across
+  *    passes — a transient load spike must hit the same query in EVERY
+  *    pass to distort it.
+  *  - A fixed parallel CPU PROBE (constant work, same JIT'd plan) runs
+  *    at every pass boundary and every [[ProbeEvery]] queries: on a
+  *    quiet host its wall is a constant, under external load it
+  *    inflates exactly like the queries around it. A query measurement
+  *    is CLEAN iff both bracketing probes are within [[NoiseFactor]] of
+  *    the run's best probe. Queries with no clean measurement across
+  *    all passes are RE-MEASURED individually (probe → query → probe,
+  *    up to [[RemeasureRounds]] rounds); whatever still lacks a clean
+  *    window is published in `noise_suspect` — a dirty artifact
+  *    self-identifies instead of masquerading as a regression
+  *    (round-9: pass totals 899/648/326 s on identical code, headline
+  *    1.46× round 8, adjudicated as host noise only after the fact).
+  *  - Per-query process-CPU seconds, per-pass load1 and all probe
+  *    times land in bench_detail.json for post-hoc adjudication.
   */
 object Bench {
 
   private val osBean = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
-  /** One timed pass over the declared queries.
-    * Returns (name -> (wallSec, cpuSec)); failures record wall = -1. */
-  private def runPass(spark: SparkSession, sfDir: String,
+  /** A probe above NoiseFactor × the run's best probe marks its window
+    * as contended. 1.5 clears quiet-host jitter at the ~0.45 s probe
+    * size (short probes measured up to ~1.3× scheduler jitter) and is
+    * below the 1.5–2.8× broad degradation round 9's dirty windows
+    * showed. */
+  private val NoiseFactor = 1.5
+  private val ProbeEvery = 15
+  private val RemeasureRounds = 2
+
+  /** Queries whose best wall is under this never become noise
+    * suspects: their absolute contention error is bounded by their own
+    * (sub-second) size, and probing around each would cost more than
+    * the measurement it defends. */
+  private val SuspectFloorSec = 0.5
+
+  /** Rows per THREAD for the fixed CPU yardstick — wall is constant
+    * across cpu counts (~0.4–0.5 s measured), long enough that
+    * scheduler/job-launch jitter is small relative. */
+  private val ProbeRowsPerThread = 100L << 20
+
+  /** Fixed parallel CPU work, identical plan every call (same codegen
+    * after the first): the contention yardstick. */
+  private def probe(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, ProbeRowsPerThread * cpus, 1L, cpus)
+      .selectExpr("count(if(xxhash64(id) % 1048576 = 0, 1, null)) AS c")
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One measurement: wall, process CPU, and the probe walls bracketing
+    * the block this query ran in (wall = -1 marks a failed query). */
+  private final case class Timed(wall: Double, cpu: Double,
+                                 probeBefore: Double, probeAfter: Double)
+
+  private def runOne(spark: SparkSession, sfDir: String,
+      name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      errors: scala.collection.mutable.LinkedHashMap[String, String])
+      : (Double, Double) = {
+    val c0 = osBean.getProcessCpuTime
+    val t0 = System.nanoTime()
+    // Failures are recorded, not timed: a broken query must not
+    // masquerade as a fast one in the benchmark output.
+    var failed = false
+    try fn(spark, sfDir).count()
+    catch { case e: Throwable =>
+      failed = true
+      errors.getOrElseUpdate(name,
+        e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
+      System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    val dc = (osBean.getProcessCpuTime - c0) / 1e9
+    // Shared-session hygiene, charged to the gap BETWEEN queries
+    // (dt is already computed): release pinned RDD blocks and
+    // cached plans *blocking*, so the cleanup storm of a heavy
+    // query (e.g. the MRDF build) can't overlap — and tax — the
+    // next timed query.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    (if (failed) -1.0 else dt, dc)
+  }
+
+  /** One timed pass over the declared queries, probes interleaved every
+    * [[ProbeEvery]] queries. Returns per-query measurements plus every
+    * probe wall observed in this pass. */
+  private def runPass(spark: SparkSession, sfDir: String, cpus: Int,
       only: Option[Set[String]],
       errors: scala.collection.mutable.LinkedHashMap[String, String])
-      : Seq[(String, (Double, Double))] =
-    SparkEntry.queries
+      : (Seq[(String, Timed)], Seq[Double]) = {
+    val qs = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map { case (name, fn) =>
-        val c0 = osBean.getProcessCpuTime
-        val t0 = System.nanoTime()
-        // Failures are recorded, not timed: a broken query must not
-        // masquerade as a fast one in the benchmark output.
-        var failed = false
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          failed = true
-          errors.getOrElseUpdate(name,
-            e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        val dc = (osBean.getProcessCpuTime - c0) / 1e9
-        // Shared-session hygiene, charged to the gap BETWEEN queries
-        // (dt is already computed): release pinned RDD blocks and
-        // cached plans *blocking*, so the cleanup storm of a heavy
-        // query (e.g. the MRDF build) can't overlap — and tax — the
-        // next timed query.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        spark.catalog.clearCache()
-        name -> (if (failed) (-1.0, dc) else (dt, dc))
-      }.toSeq
+      .toSeq
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Timed)]
+    var before = probe(spark, cpus)
+    probes += before
+    qs.grouped(ProbeEvery).foreach { block =>
+      val timed = block.map { case (name, fn) =>
+        val (w, c) = runOne(spark, sfDir, name, fn, errors)
+        (name, w, c)
+      }
+      val after = probe(spark, cpus)
+      probes += after
+      out ++= timed.map { case (n, w, c) => n -> Timed(w, c, before, after) }
+      before = after
+    }
+    (out.toSeq, probes.toSeq)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,12 +137,9 @@ object Bench {
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     // Single pass opt-out for fast local iteration. Default THREE
     // passes (round-9 finding): on this host, full-suite runs hit
-    // noisy windows where ONE pass degrades 1.5–1.7× broadly (wall
-    // grows without matching CPU — hypervisor stalls, not code; same
-    // signature as round 8's contended-JVM investigation). Per-query
-    // min over three passes dodges a single bad window where
-    // min-of-two cannot; the marginal pass costs ~3 min against a
-    // graded total that otherwise swings ±20%.
+    // noisy windows where ONE pass degrades 1.5–1.7× broadly. The
+    // probe/re-measure machinery below handles the case three passes
+    // cannot: ALL passes landing in a bad window.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,6 +149,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val nCpus = cpus.toInt
 
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -124,26 +189,131 @@ object Bench {
         }
       } else None
 
-    val ((passResults, loadMid, recallGate), lockWait) = HarnessLock.exclusive {
+    // Per-round SCALED recall gate (round-9 verdict #4): a fixed-seed
+    // 20k-vector Gaussian-mixture build (FvecsGen 64-dim seed 42,
+    // 1000 clusters — the corpus pinned in SCALING.json's
+    // round9_assignment_ab) at the sweep's α=12000, so the MULTI-BLOCK
+    // recall regression class (divide + merge quality at realistic
+    // block counts) surfaces every round instead of only when someone
+    // re-runs Scalability by hand. Untimed, inside the lock, full-suite
+    // runs only (subset runs are for iteration). The measured value is
+    // deterministic for the pinned corpus/seed; the result is stamped
+    // into both the bench line and SCALING.json (`round_gate_20k`).
+    val scaledMin = 0.95
+    def evalScaledRecallGate(): Option[(Double, Double, Boolean)] =
+      if (only.isEmpty &&
+          sys.env.getOrElse("SPARK_GRAFT_SCALED_RECALL", "1") != "0") {
+        try {
+          val path = "/root/repo/target/scaling/mix20k_seed42.fvecs"
+          val f = new java.io.File(path)
+          val expectBytes = 20000L * (4L + 4L * 64L)
+          if (!f.exists() || f.length() != expectBytes) {
+            Option(f.getParentFile).foreach(_.mkdirs())
+            io.FvecsGen.write(path, 20000L, 64, 42L, 1000)
+          }
+          val vecs = io.Fvecs.readAuto(spark, path).toDF("vec_id", "embedding")
+          val params = mrdf.Mrdf.Params(alpha = 12000)
+          val t0 = System.nanoTime()
+          val edges = mrdf.Mrdf.buildGraph(vecs, params)
+          val recall = Scalability.recallVsTruth(vecs, edges, params.k, 20000)
+          val wall = (System.nanoTime() - t0) / 1e9
+          Checkpoints.release(edges)
+          if (recall < scaledMin)
+            errors.getOrElseUpdate("scaled_recall_gate",
+              f"20k mixture recall $recall%.4f below gate $scaledMin%.2f")
+          stampScaling(recall, wall, recall >= scaledMin)
+          Some((recall, wall, recall >= scaledMin))
+        } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate("scaled_recall_gate",
+              e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
+            Some((-1.0, -1.0, false))
+        }
+      } else None
+
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ((passResults, allProbes, remeasured, loadMid, recallGate, scaledGate),
+        lockWait) = HarnessLock.exclusive {
       // Warm the session INSIDE the lock, before timing: first-job costs
       // (executor spin-up, codegen compiler, parquet footer reads)
-      // otherwise land on whatever query runs first.
+      // otherwise land on whatever query runs first. The throwaway
+      // probe also pays the probe plan's codegen here.
       spark.range(1000).selectExpr("sum(id)").collect()
       Tables.load(spark, sfDir, "region").count()
+      probe(spark, nCpus)
+      val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
       val rs = (1 to passes).map { p =>
-        if (p > 1) Materialized.reset() // pass 2 re-pays shared tables
-        runPass(spark, sfDir, only, errors)
+        passLoads += osBean.getSystemLoadAverage
+        if (p > 1) Materialized.reset() // later passes re-pay shared tables
+        val (r, pr) = runPass(spark, sfDir, nCpus, only, errors)
+        probes ++= pr
+        r
+      }
+
+      // Re-measure queries with no clean (probe-bracketed) measurement
+      // in any pass: individually probed, so one more bad window can't
+      // hide a whole block. Materialized reset per round keeps family
+      // first-member semantics comparable with the main passes.
+      val extra = scala.collection.mutable.ArrayBuffer.empty[(String, Timed)]
+      def minProbe: Double = (probes ++ extra.iterator.flatMap(t =>
+        Seq(t._2.probeBefore, t._2.probeAfter))).min
+      def isClean(t: Timed): Boolean = {
+        val bound = minProbe * NoiseFactor
+        t.wall >= 0 && t.probeBefore <= bound && t.probeAfter <= bound
+      }
+      def suspects: Seq[String] = {
+        val byName = (rs.flatten ++ extra).groupBy(_._1)
+        byName.collect { case (n, ms)
+          if ms.forall(m => m._2.wall >= 0) &&
+            ms.map(_._2.wall).min >= SuspectFloorSec &&
+            !ms.exists(m => isClean(m._2)) => n
+        }.toSeq
+      }
+      var round = 0
+      while (round < RemeasureRounds && suspects.nonEmpty) {
+        round += 1
+        Materialized.reset()
+        val order = SparkEntry.queries.keys.toSeq.filter(suspects.toSet)
+        System.err.println(
+          s"[bench] re-measure round $round: ${order.size} noise suspects")
+        order.foreach { name =>
+          val pb = probe(spark, nCpus)
+          val (w, c) = runOne(spark, sfDir, name, SparkEntry.queries(name), errors)
+          val pa = probe(spark, nCpus)
+          extra += name -> Timed(w, c, pb, pa)
+        }
       }
       val loads = osBean.getSystemLoadAverage // right after the timed region
-      (rs, loads, evalRecallGate())
+      ((rs, (probes ++ extra.iterator.flatMap(t =>
+          Seq(t._2.probeBefore, t._2.probeAfter))).toSeq,
+        extra.toSeq, loads, evalRecallGate(), evalScaledRecallGate()))
     }
     val loadEnd = loadMid // snapshot taken right after the timed region
 
-    val pmin: Seq[(String, Double)] = passResults.head.map { case (name, _) =>
-      val walls = passResults.flatMap(_.toMap.get(name)).map(_._1)
-      name -> (if (walls.exists(_ < 0)) -1.0 else walls.min)
+    val probeMin = allProbes.min
+    val probeBound = probeMin * NoiseFactor
+    def clean(t: Timed): Boolean =
+      t.wall >= 0 && t.probeBefore <= probeBound && t.probeAfter <= probeBound
+    val allByName: Map[String, Seq[Timed]] =
+      (passResults.flatten ++ remeasured).groupBy(_._1)
+        .map { case (n, ms) => n -> ms.map(_._2) }
+    // headline per query: min wall across every measurement (passes +
+    // re-measures); -1 if any pass failed
+    val order = passResults.head.map(_._1)
+    val pmin: Seq[(String, Double)] = order.map { name =>
+      val ms = allByName(name)
+      name -> (if (ms.exists(_.wall < 0)) -1.0 else ms.map(_.wall).min)
     }
-    val cpuTotal = passResults.map(_.map(_._2._2).sum).sum
+    // noise_suspect: queries whose every measurement sat in a window
+    // the probes call contended — their headline numbers are upper
+    // bounds, not clean measurements (sub-floor queries exempt: their
+    // absolute error is bounded by their own size)
+    val noiseSuspect = order.filter { n =>
+      val ms = allByName(n)
+      ms.forall(m => !clean(m)) &&
+        ms.forall(_.wall >= 0) && ms.map(_.wall).min >= SuspectFloorSec
+    }
+    val cpuTotal = (passResults.flatten ++ remeasured).map(_._2.cpu).sum
 
     def jq(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -159,31 +329,54 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString(""""failed":{""", ",", "},")
     val total = pmin.collect { case (_, v) if v >= 0 => v }.sum
-    def passTotal(r: Seq[(String, (Double, Double))]): Double =
-      r.collect { case (_, (w, _)) if w >= 0 => w }.sum
+    def passTotal(r: Seq[(String, Timed)]): Double =
+      r.collect { case (_, t) if t.wall >= 0 => t.wall }.sum
     val passTotalsJson = passResults.map(r => fmt(passTotal(r))).mkString("[", ",", "]")
+    val passLoadsJson = passLoads.map(fmt).mkString("[", ",", "]")
+    val noiseJson =
+      if (noiseSuspect.isEmpty) ""
+      else noiseSuspect.map(jq).mkString(""""noise_suspect":[""", ",", "],")
     val recallJson = recallGate.map { case (v, ok) =>
       val vv = String.format(java.util.Locale.ROOT, "%.4f", v)
       s""""mrdf_recall_value":$vv,"mrdf_recall_min":$recallMin,""" +
         s""""mrdf_recall_gate":${if (ok) "\"PASS\"" else "\"FAIL\""},"""
     }.getOrElse("")
+    val scaledJson = scaledGate.map { case (v, w, ok) =>
+      val vv = String.format(java.util.Locale.ROOT, "%.4f", v)
+      s""""scaled_recall_20k":$vv,"scaled_recall_min":$scaledMin,""" +
+        s""""scaled_recall_wall_sec":${fmt(w)},""" +
+        s""""scaled_recall_gate":${if (ok) "\"PASS\"" else "\"FAIL\""},"""
+    }.getOrElse("")
     val env =
       s""""passes":$passes,"pass_totals":$passTotalsJson,""" +
+        s""""pass_load1":$passLoadsJson,""" +
+        s""""probe_sec_min":${fmt(probeMin)},"probe_sec_max":${fmt(allProbes.max)},""" +
+        s""""remeasured_n":${remeasured.size},""" +
+        noiseJson +
         s""""lock_wait_sec":${fmt(lockWait)},"cpu_sec":${fmt(cpuTotal)},""" +
         s""""load1_start":${fmt(loadStart)},"load1_end":${fmt(loadEnd)},""" +
-        recallJson +
+        recallJson + scaledJson +
         s""""cpus":$cpus,"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$env$errJson"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
 
-    // Full per-pass detail (wall + process-CPU per query per pass) for
-    // post-hoc contention adjudication; not parsed by the driver.
-    val detail = passResults.zipWithIndex.map { case (r, i) =>
-      val m = r.map { case (k, (w, c)) =>
-        jq(k) + s""":{"wall":${fmt(w)},"cpu":${fmt(c)}}""" }.mkString("{", ",", "}")
-      s""""pass${i + 1}":$m"""
-    }.mkString("{", ",", s""","lock_wait_sec":${fmt(lockWait)},"load1_start":${fmt(loadStart)},"load1_end":${fmt(loadEnd)}}""")
+    // Full per-pass detail (wall + process-CPU + probe brackets per
+    // query per pass, plus the re-measure rows) for post-hoc contention
+    // adjudication; not parsed by the driver.
+    def detailMap(r: Seq[(String, Timed)]): String =
+      r.map { case (k, t) =>
+        jq(k) + s""":{"wall":${fmt(t.wall)},"cpu":${fmt(t.cpu)},""" +
+          s""""pb":${fmt(t.probeBefore)},"pa":${fmt(t.probeAfter)}}"""
+      }.mkString("{", ",", "}")
+    val detail = (passResults.zipWithIndex.map { case (r, i) =>
+      s""""pass${i + 1}":${detailMap(r)}"""
+    } :+ s""""remeasure":${detailMap(remeasured)}""")
+      .mkString("{",
+        ",",
+        s""","lock_wait_sec":${fmt(lockWait)},"probe_sec_min":${fmt(probeMin)},""" +
+          s""""pass_load1":$passLoadsJson,"load1_start":${fmt(loadStart)},""" +
+          s""""load1_end":${fmt(loadEnd)}}""")
     Files.writeString(Paths.get("/root/repo/bench_detail.json"), detail)
 
     spark.stop()
@@ -204,5 +397,36 @@ object Bench {
         s""""other_n":${rest.size},"other_sec":${fmt(restSum)},$env$errJson"sf":"$sfDir"}"""
     println(compact)
     System.out.flush()
+  }
+
+  /** Stamp the per-round 20k gate into SCALING.json (`round_gate_20k`),
+    * read-modify-write through jackson so the rest of the artifact
+    * survives byte-for-byte in content (formatting normalizes). */
+  private def stampScaling(recall: Double, wallSec: Double, pass: Boolean): Unit = {
+    try {
+      val f = new java.io.File("/root/repo/SCALING.json")
+      if (!f.exists()) return
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(f)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val n = om.createObjectNode()
+      n.put("what", "per-round multi-block recall gate, stamped by graft.Bench " +
+        "on every full-suite run: MRDF at k=30/rho=15/alpha=12000 over the " +
+        "pinned FvecsGen mixture corpus (20000 x 64-dim, seed 42, 1000 " +
+        "clusters), recall vs 256 sampled exact queries (fused TopKJoin)")
+      n.put("vectors", 20000)
+      n.put("dim", 64)
+      n.put("seed", 42)
+      n.put("clusters", 1000)
+      n.put("alpha", 12000)
+      n.put("recall", math.rint(recall * 10000) / 10000)
+      n.put("wall_sec", math.rint(wallSec * 100) / 100)
+      n.put("gate_min", 0.95)
+      n.put("gate", if (pass) "PASS" else "FAIL")
+      root.set("round_gate_20k", n)
+      om.writerWithDefaultPrettyPrinter().writeValue(f, root)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] SCALING.json stamp failed: ${e.getMessage}")
+    }
   }
 }

@@ -77,8 +77,9 @@ object Scalability {
   }
 
   /** Recall of `edges` vs exact truth: full brute force when feasible,
-    * sampled queries (fused exact top-k per query) beyond. */
-  private def recallVsTruth(vecs: DataFrame, edges: DataFrame,
+    * sampled queries (fused exact top-k per query) beyond. Shared with
+    * the per-round scaled-recall gate in [[Bench]]. */
+  private[graft] def recallVsTruth(vecs: DataFrame, edges: DataFrame,
       k: Int, n: Int): Double = {
     val truth =
       if (n <= 4000)

@@ -26,6 +26,16 @@ object FvecsGen {
     val dim = args(2).toInt
     val seed = if (args.length > 3) args(3).toLong else 42L
     val clusters = if (args.length > 4) args(4).toInt else 0
+    write(path, records, dim, seed, clusters)
+    println(s"wrote $records x $dim fvecs (${(records * (4L + 4L * dim)) >> 20} MiB) to $path" +
+      (if (clusters > 0) s" ($clusters-cluster Gaussian mixture)" else ""))
+  }
+
+  /** Programmatic entry (the per-round scaled-recall gate regenerates
+    * its pinned fixture through this): same bytes as the CLI for the
+    * same (records, dim, seed, clusters). */
+  def write(path: String, records: Long, dim: Int, seed: Long,
+            clusters: Int): Unit = {
     val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
     val buf = ByteBuffer.allocate(4 + 4 * dim).order(ByteOrder.LITTLE_ENDIAN)
     val rnd = new scala.util.Random(seed)
@@ -51,8 +61,6 @@ object FvecsGen {
       id += 1
     }
     out.close()
-    println(s"wrote $records x $dim fvecs (${(records * (4L + 4L * dim)) >> 20} MiB) to $path" +
-      (if (clusters > 0) s" ($clusters-cluster Gaussian mixture)" else ""))
   }
 }
 
