@@ -385,7 +385,81 @@ object Multimodal {
        |FROM g""".stripMargin
   }
 
+  /** Audio-shaped VAD segmentation — the silence-trim / speech-segment
+    * extraction every ASR-data pipeline runs at ingest, with the PCM
+    * decode stubbed (payload bytes stand in for audio samples, the
+    * established multimodal convention here): per-window energy
+    * (Σ (b−96)² over `win`-byte non-overlapping windows, full windows
+    * only), a per-document ADAPTIVE threshold (windows above the doc's
+    * mean energy — integer-exact: `energy·n_win > total`), and
+    * gaps-and-islands merging of consecutive active windows with a
+    * minimum segment duration (`minWins`).
+    *
+    * Scale shape: one row-local window explode (bounded by payload
+    * size), one doc-partitioned analytic for the threshold and the
+    * island numbering, one hash-agg for the segments — nothing global,
+    * no typed row-at-a-time hop. */
+  def energySegments(docs: DataFrame, win: Int = 64, minWins: Int = 2): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), col("text"),
+        floor(length(col("text")) / win).cast("int").as("n_win"))
+      .filter(col("n_win") >= 1)
+      .select(col("doc_id"), col("n_win"),
+        posexplode(transform(sequence(lit(0), col("n_win") - 1), w =>
+          aggregate(
+            transform(sequence(lit(1), lit(win)), i => {
+              val c = ascii(col("text").substr(w * win + i, lit(1))).cast("long")
+              (c - 96L) * (c - 96L)
+            }),
+            lit(0L), (acc, x) => acc + x))))
+      .withColumnRenamed("pos", "win_idx")
+      .withColumnRenamed("col", "energy")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    wins
+      .withColumn("total", sum(col("energy")).over(byDoc))
+      .filter(col("energy") * col("n_win") > col("total"))
+      .withColumn("grp", col("win_idx") - row_number().over(ordered))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("win_idx")).as("seg_start"), max(col("win_idx")).as("seg_end"),
+        count(lit(1)).as("n_wins"), sum(col("energy")).as("seg_energy"))
+      .filter(col("n_wins") >= minWins)
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("n_wins"), col("seg_energy"))
+      .orderBy(col("doc_id"), col("seg_start"))
+  }
+
+  private def energySegmentsOracle(win: Int, minWins: Int): String =
+    s"""WITH d AS (SELECT doc_id, text, CAST(strlen(text) // $win AS INTEGER) AS n_win
+       |           FROM documents WHERE strlen(text) >= $win),
+       |wn AS MATERIALIZED (
+       |  SELECT doc_id, n_win, CAST(w AS INTEGER) AS win_idx,
+       |    list_reduce(list_transform(range(1, ${win + 1}),
+       |      i -> (CAST(ord(substr(text, CAST(w * $win + i AS INTEGER), 1)) AS BIGINT) - 96)
+       |         * (CAST(ord(substr(text, CAST(w * $win + i AS INTEGER), 1)) AS BIGINT) - 96)),
+       |      (a, b) -> a + b) AS energy
+       |  FROM (SELECT doc_id, text, n_win, unnest(range(n_win)) AS w FROM d)),
+       |tot AS (SELECT doc_id, sum(energy) AS total FROM wn GROUP BY 1),
+       |act AS (SELECT wn.doc_id, win_idx, energy,
+       |          row_number() OVER (PARTITION BY wn.doc_id ORDER BY win_idx) AS rn
+       |        FROM wn JOIN tot ON wn.doc_id = tot.doc_id
+       |        WHERE energy * n_win > total),
+       |seg AS (SELECT doc_id, win_idx - rn AS grp, min(win_idx) AS seg_start,
+       |          max(win_idx) AS seg_end, count(*) AS n_wins,
+       |          CAST(sum(energy) AS BIGINT) AS seg_energy
+       |        FROM act GROUP BY 1, 2)
+       |SELECT doc_id, seg_start, seg_end, n_wins, seg_energy
+       |FROM seg WHERE n_wins >= $minWins
+       |ORDER BY doc_id, seg_start""".stripMargin
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q207_energy_segments",
+      (s, dir) => energySegments(Tables.load(s, dir, "documents")),
+      Some(energySegmentsOracle(win = 64, minWins = 2)),
+      doc = "Audio-shaped VAD segmentation: 64-byte windowed energy, per-doc adaptive threshold (integer-exact), island merge with min-duration - the ASR silence-trim/segment-extraction pipeline with the PCM decode stubbed"),
+
     Declared(
       "q185_phash_neardup",
       (s, dir) => phashPairs(asMedia(Tables.load(s, dir, "documents"))),

@@ -240,7 +240,65 @@ object EmbeddingStats {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-truncation quality — the storage/recall design question
+    * every 100 TB vector deployment asks first: if vectors are stored
+    * (or first-pass searched) at a prefix of their dimensions, how much
+    * of the exact top-k survives? Per query id: |top-k(full dims) ∩
+    * top-k(first `dims` dims)| / k. Both rankings run through the fused
+    * [[org.apache.spark.sql.graft.TopKJoin]] (the full side reuses the
+    * shared materialized knn10 table), the overlap is one co-partitioned
+    * (id, nbr) semi join + hash-agg. Exact-oracle class by design — the
+    * measurement is what you run on a SAMPLE before committing the
+    * storage layout; the production search path is the IVF/PQ family. */
+  def truncationOverlap(s: org.apache.spark.sql.SparkSession, dir: String,
+                        dims: Int = 16, k: Int = 10): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val trunc = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding"))
+    val truncK = org.apache.spark.sql.graft.TopKJoin
+      .knn(trunc.repartition(col("vec_id")), trunc, k)
+      .select(col("id"), col("nbr"))
+    val fullK = graft.knn.KnnQueries.knn10(s, dir).select(col("id"), col("nbr"))
+    val common = fullK.join(truncK, Seq("id", "nbr"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_common"))
+    emb.select(col("vec_id").as("id"))
+      .join(common, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)) / k.toDouble, 4).as("overlap_frac"))
+      .orderBy(col("id"))
+  }
+
+  private def truncOverlapOracle(dims: Int, k: Int): String = {
+    val df = graft.DuckSql.euclidean("a.embedding", "b.embedding")
+    val dt = graft.DuckSql.euclidean(s"a.embedding[1:$dims]", s"b.embedding[1:$dims]")
+    s"""WITH fullr AS MATERIALIZED (
+       |  SELECT a.vec_id AS id, b.vec_id AS nbr,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY round($df, 6), b.vec_id) AS rn
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |tr AS MATERIALIZED (
+       |  SELECT a.vec_id AS id, b.vec_id AS nbr,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY round($dt, 6), b.vec_id) AS rn
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |f10 AS (SELECT id, nbr FROM fullr WHERE rn <= $k),
+       |t10 AS (SELECT id, nbr FROM tr WHERE rn <= $k),
+       |ov AS (SELECT f10.id, count(*) AS n_common
+       |       FROM f10 JOIN t10 ON f10.id = t10.id AND f10.nbr = t10.nbr
+       |       GROUP BY 1)
+       |SELECT e.vec_id AS id, coalesce(n_common, 0) AS n_common,
+       |  round(coalesce(n_common, 0) / $k.0, 4) AS overlap_frac
+       |FROM embeddings e LEFT JOIN ov ON e.vec_id = ov.id
+       |ORDER BY id""".stripMargin
+  }
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q208_trunc_overlap",
+      (s, dir) => truncationOverlap(s, dir),
+      Some(truncOverlapOracle(dims = 16, k = 10)),
+      doc = "Embedding-truncation quality: per-query overlap of exact top-10 at 16 prefix dims vs full dims (Matryoshka-style storage/recall tradeoff), both rankings via the fused TopKJoin"),
+
     Declared(
       "q130_silhouette",
       (s, dir) => silhouette(Tables.load(s, dir, "embeddings")),
