@@ -484,9 +484,9 @@ object StreamingPipelines {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
-  /** [[windowTopKStream]] executed through TWO micro-batches
-    * (time-split replay + RocksDB, q184's harness): counts for the
-    * straddle window accumulate across the batch boundary in MapState,
+  /** [[windowTopKStream]] executed through THREE micro-batches
+    * (time-split replay + RocksDB, q184's harness): counts for a
+    * straddle window accumulate across batch boundaries in MapState,
     * and each window's ranked top-3 emits exactly once, when the
     * watermark passes its end. Emitted set = q168's closure rule
     * (w_end ≤ max ts − 2h), ranked — stated directly in the oracle. */
@@ -982,7 +982,7 @@ object StreamingPipelines {
     }
   }
 
-  /** [[hourlyKeyDedupStream]] executed through TWO micro-batches
+  /** [[hourlyKeyDedupStream]] executed through THREE micro-batches
     * (time-split replay source): batch 1 emits its distinct keys,
     * the watermark advances, batch 2 emits only keys not already in
     * carried state. Because the source splits on a time boundary, a
@@ -1089,7 +1089,7 @@ object StreamingPipelines {
       .orderBy(col("user_id"), col("sess_start"))
   }
 
-  /** [[sessionizeEventTime]] executed through TWO micro-batches: the
+  /** [[sessionizeEventTime]] executed through THREE micro-batches: the
     * session fold runs with real cross-batch keyed state (a session
     * straddling the time-split boundary merges from carried state — and
     * can NEVER be split by a mid-stream timer: the user's last batch-1
@@ -1280,7 +1280,7 @@ object StreamingPipelines {
         |GROUP BY user_id, sid, wm_us
         |HAVING max(us) + 1800000000 <= wm_us
         |ORDER BY user_id, sess_start""".stripMargin),
-      doc = "Native session_window aggregation executed through TWO micro-batches - the session-state-store merge path (boundary-straddling sessions merge in keyed state); emitted set = watermark-closed sessions, stated in SQL",
+      doc = "Native session_window aggregation executed through THREE micro-batches - the session-state-store merge path (boundary-straddling sessions merge in keyed state); emitted set = watermark-closed sessions, stated in SQL",
       streamingExecuted = true),
 
     graft.Declared(
@@ -1333,20 +1333,20 @@ object StreamingPipelines {
         |FROM sess JOIN last USING (user_id) CROSS JOIN m
         |WHERE sid < mx_sid OR (end_sec + 1800) * 1000 < wm_ms
         |ORDER BY user_id, start_sec""".stripMargin),
-      doc = "Stateful streaming sessionization (flatMapGroupsWithState, EVENT-TIME timeout) through TWO micro-batches - boundary-straddling sessions merge from carried state, trailing idle sessions flush at the final watermark; both emission rules stated in SQL",
+      doc = "Stateful streaming sessionization (flatMapGroupsWithState, EVENT-TIME timeout) through THREE micro-batches - boundary-straddling sessions merge from carried state, trailing idle sessions flush at the final watermark; both emission rules stated in SQL",
       streamingExecuted = true),
 
     graft.Declared(
       "q183_stream_dedup",
       (s, dir) => dedupAvailableNow(s, dir),
-      // Emission rule under the two-batch time-split replay: every
+      // Emission rule under the N-batch time-split replay: every
       // (user, type, hour) key emits exactly once (see
       // dedupAvailableNow) — the batch distinct, verbatim in SQL.
       Some("""SELECT user_id, event_type,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ts_h
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, ts_h""".stripMargin),
-      doc = "Streaming exact dedup (dropDuplicatesWithinWatermark) executed through TWO micro-batches with cross-batch state suppression; emitted set stated in SQL",
+      doc = "Streaming exact dedup (dropDuplicatesWithinWatermark) executed through THREE micro-batches with cross-batch state suppression; emitted set stated in SQL",
       streamingExecuted = true),
 
     graft.Declared(
@@ -1363,7 +1363,7 @@ object StreamingPipelines {
         |SELECT user_id, count(*) AS n_events,
         |  coalesce(max(gap), 0) AS max_gap_us
         |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin),
-      doc = "Per-user max inter-event gap via transformWithState (Spark 4 arbitrary-state API, RocksDB store) through TWO micro-batches - the boundary-spanning gap comes from carried state",
+      doc = "Per-user max inter-event gap via transformWithState (Spark 4 arbitrary-state API, RocksDB store) through THREE micro-batches - the boundary-spanning gap comes from carried state",
       streamingExecuted = true),
 
     graft.Declared(
@@ -1386,7 +1386,7 @@ object StreamingPipelines {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
         |  CAST(rank AS INTEGER) AS rank, event_type, n
         |FROM r WHERE rank <= 3 ORDER BY w_start, rank""".stripMargin),
-      doc = "Streaming per-window top-3 event types via transformWithState EVENT-TIME TIMERS (MapState counts, watermark-driven finalization) through TWO micro-batches",
+      doc = "Streaming per-window top-3 event types via transformWithState EVENT-TIME TIMERS (MapState counts, watermark-driven finalization) through THREE micro-batches",
       streamingExecuted = true),
 
     graft.Declared(
