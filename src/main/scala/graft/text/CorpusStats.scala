@@ -225,7 +225,74 @@ object CorpusStats {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Heaps-law vocabulary-growth curve — the corpus-QA signal behind
+    * "is more data still adding new vocabulary, or are we re-crawling
+    * the same text?": cumulative distinct-word and token counts at
+    * `buckets` cuts of the doc_id range, plus the type-token ratio per
+    * cut. A flattening curve (TTR collapsing faster than Heaps' V∝nᵝ
+    * predicts) is the early duplicate-crawl tripwire.
+    *
+    * Distributed shape: one explode → groupBy(word) min(doc_id) pass
+    * over the corpus (the same first-occurrence substrate as exact
+    * dedup), then every word/document joins ≤ `buckets` broadcast cut
+    * rows — fan-out is `buckets`×, never quadratic, and no global sort
+    * or window anywhere. Cuts are RANGE-based (lo + (hi−lo)·b/buckets,
+    * integer arithmetic) rather than rank-based, precisely so no
+    * engine-specific quantile interpolation or global row-numbering
+    * enters the contract. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val mm = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val cuts = s.range(1, buckets + 1).toDF("b")
+      .crossJoin(broadcast(mm))
+      .select(col("b"),
+        expr(s"lo + ((hi - lo) * b) div $buckets").as("cut"))
+    val words = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("word"))
+    val firstSeen = words.groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
+    val vocabCum = firstSeen
+      .join(broadcast(cuts), col("first_doc") <= col("cut"))
+      .groupBy(col("b")).agg(count(lit(1)).as("vocab_cum"))
+    val docTok = docs
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("nw"))
+      .join(broadcast(cuts), col("doc_id") <= col("cut"))
+      .groupBy(col("b")).agg(count(lit(1)).as("docs_cum"),
+        sum(col("nw")).as("tokens_cum"))
+    cuts.join(docTok, Seq("b")).join(vocabCum, Seq("b"))
+      .select(col("b").as("bucket"), col("cut"), col("docs_cum"),
+        col("tokens_cum"), col("vocab_cum"),
+        round(col("vocab_cum") / col("tokens_cum"), 6).as("ttr"))
+      .orderBy(col("bucket"))
+  }
+
+  private def vocabGrowthOracle(buckets: Int): String =
+    s"""WITH mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+       |cuts AS (SELECT b, lo + ((hi - lo) * b) // $buckets AS cut
+       |         FROM (SELECT unnest(range(1, ${buckets + 1})) AS b), mm),
+       |w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+       |      FROM documents),
+       |fs AS (SELECT word, min(doc_id) AS first_doc FROM w GROUP BY 1),
+       |vc AS (SELECT b, count(*) AS vocab_cum
+       |       FROM cuts JOIN fs ON first_doc <= cut GROUP BY 1),
+       |dt AS (SELECT b, count(*) AS docs_cum,
+       |         CAST(sum(nw) AS BIGINT) AS tokens_cum
+       |       FROM cuts JOIN (SELECT doc_id,
+       |              len(string_split(lower(text), ' ')) AS nw
+       |            FROM documents) d ON d.doc_id <= cut
+       |       GROUP BY 1)
+       |SELECT c.b AS bucket, c.cut, docs_cum, tokens_cum, vocab_cum,
+       |  round(CAST(vocab_cum AS DOUBLE) / tokens_cum, 6) AS ttr
+       |FROM cuts c JOIN dt USING (b) JOIN vc USING (b)
+       |ORDER BY bucket""".stripMargin
+
   val declared: Seq[Declared] = Seq(
+    Declared(
+      "q209_vocab_growth",
+      (s, dir) => vocabGrowth(Tables.load(s, dir, "documents")),
+      Some(vocabGrowthOracle(10)),
+      doc = "Heaps-law vocabulary growth: cumulative vocab/token counts + type-token ratio at 10 doc_id-range cuts (duplicate-crawl tripwire); range-based cuts keep the contract free of quantile interpolation"),
+
     Declared(
       "q151_ngram_novelty",
       (s, dir) => ngramNovelty(Tables.load(s, dir, "documents")),

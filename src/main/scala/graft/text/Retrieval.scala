@@ -142,11 +142,14 @@ object Retrieval {
       .limit(topN)
   }
 
-  private def rrfOracle(terms: Seq[String], kRrf: Int, topK: Int,
-                        topN: Int): String = {
+  /** CTE chain producing `lr(doc_id, lex_rank)` and `sr(doc_id,
+    * sem_rank)` — the two retrieval arms' top-`topK` rank tables,
+    * shared verbatim by the q202 fusion oracle and the q210 RBO oracle
+    * so the arm semantics cannot drift between them. */
+  private def armCtes(terms: Seq[String], topK: Int): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val d = graft.DuckSql.euclidean("e.embedding", "q.qv")
-    s"""WITH t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word
+    s"""t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word
        |      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
        |            FROM documents)),
        |tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM t
@@ -179,7 +182,12 @@ object Retrieval {
        |sr AS (SELECT x.doc_id, 1 + count(y.doc_id) AS sem_rank
        |       FROM ts x LEFT JOIN ts y
        |         ON (y.key < x.key OR (y.key = x.key AND y.doc_id < x.doc_id))
-       |       GROUP BY x.doc_id)
+       |       GROUP BY x.doc_id)""".stripMargin
+  }
+
+  private def rrfOracle(terms: Seq[String], kRrf: Int, topK: Int,
+                        topN: Int): String = {
+    s"""WITH ${armCtes(terms, topK)}
        |SELECT coalesce(lr.doc_id, sr.doc_id) AS doc_id,
        |  coalesce(lex_rank, 0) AS lex_rank,
        |  coalesce(sem_rank, 0) AS sem_rank,
@@ -187,6 +195,71 @@ object Retrieval {
        |     + coalesce(1000000 // ($kRrf + sem_rank), 0) AS BIGINT) AS rrf_micro
        |FROM lr FULL OUTER JOIN sr ON lr.doc_id = sr.doc_id
        |ORDER BY rrf_micro DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
+  /** Rank-biased-overlap weights in integer nanos: W_d = (1−p)·p^(d−1)/d.
+    * Computed ONCE here and spliced as literals into both the Spark
+    * plan and the oracle SQL, so the two sides share exact integers and
+    * the RBO sum is order-independent BIGINT arithmetic — no float fold
+    * to align. */
+  private def rboWeightsNano(k: Int, p: Double): Seq[(Long, Long)] =
+    Seq.tabulate(k)(i =>
+      ((i + 1).toLong, math.round((1 - p) * math.pow(p, i) / (i + 1) * 1e9)))
+
+  /** Rank-biased overlap (Webber et al. 2010, truncated at depth `k`)
+    * between the two retrieval arms of [[rrfFusion]] — the standard
+    * answer to "how differently do my lexical and semantic retrievers
+    * rank?", which is the diagnostic run before choosing fusion
+    * weights. RBO@k = Σ_{d=1..k} (1−p)·p^(d−1)·|A_d ∩ B_d|/d; an item
+    * in both top-k lists at ranks (ra, rb) enters every depth
+    * d ≥ max(ra, rb), so the per-depth overlap is one broadcast
+    * θ-join over ≤ k rows. Emits the per-depth overlap and the running
+    * RBO so the depth profile is inspectable, not just the scalar.
+    *
+    * Scale shape: inherits [[rrfFusion]]'s — arms reduce via
+    * distributed TakeOrdered to k rows each before anything ranks;
+    * everything after is ≤ k² broadcast work, whatever the corpus. */
+  def rboArms(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+              k: Int = 10, p: Double = 0.9): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val fused = rrfFusion(docs, emb, terms, topK = k, topN = 2 * k)
+    val both = fused.filter(col("lex_rank") >= 1 && col("sem_rank") >= 1)
+      .select(greatest(col("lex_rank"), col("sem_rank")).as("d_min"))
+    val w = rboWeightsNano(k, p).toDF("depth", "wnano")
+    val ov = s.range(1, k + 1).toDF("depth")
+      .join(broadcast(both), col("d_min") <= col("depth"), "left")
+      .groupBy(col("depth")).agg(count(col("d_min")).as("ov"))
+    // contributions materialize once (they sit atop the two arm scans);
+    // the ≤ k² running-sum self-join then reads the checkpoint
+    val contrib = ov.join(broadcast(w), Seq("depth"))
+      .select(col("depth"), col("ov"), (col("ov") * col("wnano")).as("c"))
+      .localCheckpoint()
+    contrib.as("a")
+      .join(broadcast(contrib.as("b")), col("b.depth") <= col("a.depth"))
+      .groupBy(col("a.depth").as("depth"), col("a.ov").as("ov"))
+      .agg(sum(col("b.c")).as("rbo_nano"))
+      .select(col("depth"), col("ov"), col("rbo_nano"),
+        round(col("rbo_nano") / 1e9, 6).as("rbo"))
+      .orderBy(col("depth"))
+  }
+
+  private def rboOracle(terms: Seq[String], k: Int, p: Double): String = {
+    val vals = rboWeightsNano(k, p)
+      .map { case (d, w) => s"($d, $w)" }.mkString(", ")
+    s"""WITH ${armCtes(terms, k)},
+       |inboth AS (SELECT greatest(lex_rank, sem_rank) AS d_min
+       |         FROM lr JOIN sr ON lr.doc_id = sr.doc_id),
+       |w(depth, wnano) AS (VALUES $vals),
+       |depths AS (SELECT unnest(range(1, ${k + 1})) AS depth),
+       |ov AS (SELECT depth, count(d_min) AS ov
+       |       FROM depths LEFT JOIN inboth ON d_min <= depth GROUP BY 1),
+       |c AS (SELECT depth, ov, ov * wnano AS c FROM ov JOIN w USING (depth))
+       |SELECT CAST(a.depth AS BIGINT) AS depth, a.ov,
+       |  CAST(sum(b.c) AS BIGINT) AS rbo_nano,
+       |  round(CAST(sum(b.c) AS DOUBLE) / 1e9, 6) AS rbo
+       |FROM c a JOIN c b ON b.depth <= a.depth
+       |GROUP BY a.depth, a.ov ORDER BY depth""".stripMargin
   }
 
   /** Batch phrase search: each 2-word phrase's document and occurrence
@@ -324,6 +397,13 @@ object Retrieval {
         Tables.load(s, dir, "embeddings"), QueryTerms),
       Some(rrfOracle(QueryTerms, kRrf = 60, topK = 100, topN = 50)),
       doc = "Hybrid retrieval: BM25 top-100 + exact-kNN top-100 around vec 0 fused by integer-micro Reciprocal Rank Fusion (no global window - TakeOrdered arms, broadcast rank joins)"),
+
+    Declared(
+      "q210_rank_rbo",
+      (s, dir) => rboArms(Tables.load(s, dir, "documents"),
+        Tables.load(s, dir, "embeddings"), QueryTerms),
+      Some(rboOracle(QueryTerms, k = 10, p = 0.9)),
+      doc = "Rank-biased overlap (p=0.9, depth 10) between the BM25 and exact-kNN retrieval arms - the retriever-agreement diagnostic behind fusion-weight choices; integer-nano weights shared verbatim with the oracle"),
 
     Declared(
       "q142_phrase_search",

@@ -4,6 +4,40 @@ import graft.SparkSpec
 
 class RetrievalSpec extends SparkSpec {
 
+  test("rboArms: RBO laws — bounded, depth-monotone, overlap within depth") {
+    import org.apache.spark.sql.functions.col
+    val rows = Retrieval.rboArms(
+        graft.Tables.load(spark, sf0001, "documents"),
+        graft.Tables.load(spark, sf0001, "embeddings"),
+        Seq("vector", "join", "scan"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1L to 10L), "one row per depth")
+    rows.foreach { case (d, ov, rbo) =>
+      assert(ov >= 0 && ov <= d, s"overlap at depth $d out of range: $ov")
+      assert(rbo >= 0.0 && rbo <= 1.0, s"rbo out of [0,1] at depth $d: $rbo")
+    }
+    // running RBO and overlap are nondecreasing in depth
+    rows.sliding(2).foreach { case Array((_, o1, r1), (_, o2, r2)) =>
+      assert(o2 >= o1 && r2 >= r1 - 1e-12)
+    }
+  }
+
+  test("vocabGrowth: cumulative laws and exact final totals") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val rows = graft.text.CorpusStats.vocabGrowth(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    rows.sliding(2).foreach { case Array((_, d1, t1, v1), (_, d2, t2, v2)) =>
+      assert(d2 >= d1 && t2 >= t1 && v2 >= v1, "cumulative columns must be monotone")
+    }
+    val (_, docsN, tokensN, vocabN) = rows.last
+    assert(docsN == docs.count(), "final bucket must cover every doc")
+    val words = docs.select(explode(split(lower(col("text")), " ")).as("w"))
+    assert(tokensN == words.count())
+    assert(vocabN == words.distinct().count())
+  }
+
   test("bm25: hand-computed scores on a three-doc corpus") {
     import spark.implicits._
     val docs = Seq(
