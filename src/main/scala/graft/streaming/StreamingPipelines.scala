@@ -267,6 +267,26 @@ object StreamingPipelines {
       "left_outer")
   }
 
+  /** [[purchaseClickLeftJoin]] as a FULL OUTER stream-stream interval
+    * join — the one join type whose state machine null-extends BOTH
+    * sides on eviction (purchases that never saw a click, and clicks
+    * that never saw a following purchase). */
+  def purchaseClickFullJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES")
+        && col("c_ts") <= col("p_ts"),
+      "full_outer")
+  }
+
   /** Streaming corpus curation — the batch [[graft.text.CorpusPipeline]]
     * gate as an incremental pipeline over an ingest-timestamped
     * document stream: content dedup via `dropDuplicatesWithinWatermark`
@@ -817,6 +837,33 @@ object StreamingPipelines {
       .select(col("p_id"), col("p_user"), col("c_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delay_us"))
       .orderBy(col("p_id"), col("c_id").asc_nulls_first)
+  }
+
+  /** [[purchaseClickFullJoin]] executed through AvailableNow: matches
+    * emit in the data batch; null-extended PURCHASES emit when the
+    * final watermark closes their click-side state (q179's rule,
+    * `p_ts < wm`); null-extended CLICKS emit when no FUTURE purchase
+    * can reach them — a click at c_ts matches purchases in
+    * [c_ts, c_ts + 30 min], so its state closes only once the
+    * watermark passes that upper bound: `c_ts + 30 min < wm`, i.e.
+    * `c_ts < wm − 30 min`. Both rules verified against the executed
+    * emission set at all three SFs, then pinned in the oracle SQL. */
+  def fullJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val src = eventsReplayDir(spark, dir)
+    val name = s"fjoin_declared_${declaredRuns.incrementAndGet()}"
+    withReplayPartitions(spark) {
+      val q = purchaseClickFullJoin(readEventsStream(spark, src))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
+    spark.table(name)
+      .select(col("p_id"), col("c_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delay_us"))
+      .orderBy(col("p_id").asc_nulls_first, col("c_id").asc_nulls_first)
   }
 
   /** The streaming MERGE sink ([[upsertStreamSink]]) executed end to
@@ -1476,6 +1523,51 @@ object StreamingPipelines {
         |UNION ALL SELECT p_id, p_user, c_id, delay_us FROM um
         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin),
       doc = "LEFT OUTER stream-stream interval join through AvailableNow — null-extension on watermark state eviction, the emission path the inner join never runs; eviction rule stated in SQL",
+      streamingExecuted = true),
+
+    graft.Declared(
+      "q211_stream_full_join",
+      (s, dir) => fullJoinAvailableNow(s, dir),
+      // Matched rows = the batch interval join; null-extended
+      // purchases close at p_ts < wm (q179's pinned rule); null-
+      // extended clicks close at c_ts < wm − 30 min (their match
+      // range extends 30 min FORWARD, so state lives that much
+      // longer). wm = least(max purchase ts, max click ts) − 1h —
+      // each watermarked side is a filtered stream, global watermark
+      // is the min across sides.
+      Some("""WITH m AS (
+        |  SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts END),
+        |               max(CASE WHEN event_type = 'click' THEN ts END)) AS mx
+        |  FROM events),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.p_id, c.c_id, p.p_user AS user_id,
+        |        epoch_us(p.p_ts) - epoch_us(c.c_ts) AS delay_us
+        |      FROM p JOIN c ON p.p_user = c.c_user
+        |       AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts <= p.p_ts),
+        |um AS (SELECT p.p_id, CAST(NULL AS BIGINT) AS c_id, p.p_user AS user_id,
+        |         CAST(NULL AS BIGINT) AS delay_us
+        |       FROM p, m
+        |       WHERE NOT EXISTS (SELECT 1 FROM c
+        |               WHERE c.c_user = p.p_user
+        |                 AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |                 AND c.c_ts <= p.p_ts)
+        |         AND p.p_ts < mx - INTERVAL 1 HOUR),
+        |uc AS (SELECT CAST(NULL AS BIGINT) AS p_id, c.c_id, c.c_user AS user_id,
+        |         CAST(NULL AS BIGINT) AS delay_us
+        |       FROM c, m
+        |       WHERE NOT EXISTS (SELECT 1 FROM p
+        |               WHERE p.p_user = c.c_user
+        |                 AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |                 AND c.c_ts <= p.p_ts)
+        |         AND c.c_ts < mx - INTERVAL 90 MINUTE)
+        |SELECT p_id, c_id, user_id, delay_us FROM j
+        |UNION ALL SELECT p_id, c_id, user_id, delay_us FROM um
+        |UNION ALL SELECT p_id, c_id, user_id, delay_us FROM uc
+        |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin),
+      doc = "FULL OUTER stream-stream interval join through AvailableNow - the state machine that null-extends BOTH sides, with each side's eviction rule (p_ts < wm; c_ts < wm - 30min, the forward match range) stated in SQL",
       streamingExecuted = true),
 
     graft.Declared(
