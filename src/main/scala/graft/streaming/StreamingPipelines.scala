@@ -287,6 +287,26 @@ object StreamingPipelines {
       "full_outer")
   }
 
+  /** [[purchaseClickLeftJoin]] mirrored: RIGHT OUTER — null-extends the
+    * CLICK side only (clicks that never saw a following purchase),
+    * completing the streaming join matrix
+    * (inner / left / right / full / semi). */
+  def purchaseClickRightJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES")
+        && col("c_ts") <= col("p_ts"),
+      "right_outer")
+  }
+
   /** Streaming corpus curation — the batch [[graft.text.CorpusPipeline]]
     * gate as an incremental pipeline over an ingest-timestamped
     * document stream: content dedup via `dropDuplicatesWithinWatermark`
@@ -864,6 +884,28 @@ object StreamingPipelines {
         coalesce(col("p_user"), col("c_user")).as("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delay_us"))
       .orderBy(col("p_id").asc_nulls_first, col("c_id").asc_nulls_first)
+  }
+
+  /** [[purchaseClickRightJoin]] executed through AvailableNow: q211's
+    * click-side eviction rule (`c_ts < wm − 30 min` — the forward
+    * match range keeps click state alive past the raw watermark)
+    * exercised through the dedicated right-outer state machine. */
+  def rightJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val src = eventsReplayDir(spark, dir)
+    val name = s"rjoin_declared_${declaredRuns.incrementAndGet()}"
+    withReplayPartitions(spark) {
+      val q = purchaseClickRightJoin(readEventsStream(spark, src))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
+    spark.table(name)
+      .select(col("c_id"), col("p_id"),
+        coalesce(col("c_user"), col("p_user")).as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delay_us"))
+      .orderBy(col("c_id"), col("p_id").asc_nulls_first)
   }
 
   /** The streaming MERGE sink ([[upsertStreamSink]]) executed end to
@@ -1523,6 +1565,38 @@ object StreamingPipelines {
         |UNION ALL SELECT p_id, p_user, c_id, delay_us FROM um
         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin),
       doc = "LEFT OUTER stream-stream interval join through AvailableNow — null-extension on watermark state eviction, the emission path the inner join never runs; eviction rule stated in SQL",
+      streamingExecuted = true),
+
+    graft.Declared(
+      "q212_stream_right_join",
+      (s, dir) => rightJoinAvailableNow(s, dir),
+      // Matched rows = the batch interval join; null-extended clicks
+      // close at c_ts < wm − 30 min (q211's pinned forward-range rule),
+      // through the dedicated right-outer state machine.
+      Some("""WITH m AS (
+        |  SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts END),
+        |               max(CASE WHEN event_type = 'click' THEN ts END)) AS mx
+        |  FROM events),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT c.c_id, p.p_id, c.c_user AS user_id,
+        |        epoch_us(p.p_ts) - epoch_us(c.c_ts) AS delay_us
+        |      FROM p JOIN c ON p.p_user = c.c_user
+        |       AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts <= p.p_ts),
+        |uc AS (SELECT c.c_id, CAST(NULL AS BIGINT) AS p_id, c.c_user AS user_id,
+        |         CAST(NULL AS BIGINT) AS delay_us
+        |       FROM c, m
+        |       WHERE NOT EXISTS (SELECT 1 FROM p
+        |               WHERE p.p_user = c.c_user
+        |                 AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |                 AND c.c_ts <= p.p_ts)
+        |         AND c.c_ts < mx - INTERVAL 90 MINUTE)
+        |SELECT c_id, p_id, user_id, delay_us FROM j
+        |UNION ALL SELECT c_id, p_id, user_id, delay_us FROM uc
+        |ORDER BY c_id, p_id NULLS FIRST""".stripMargin),
+      doc = "RIGHT OUTER stream-stream interval join through AvailableNow - click-side null-extension at the forward-range eviction bound (c_ts < wm - 30min); completes the streaming join matrix",
       streamingExecuted = true),
 
     graft.Declared(
