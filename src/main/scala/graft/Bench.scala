@@ -199,23 +199,17 @@ object Bench {
     // runs only (subset runs are for iteration). The measured value is
     // deterministic for the pinned corpus/seed; the result is stamped
     // into both the bench line and SCALING.json (`round_gate_20k`).
-    val scaledMin = 0.95
+    val scaledMin = ScaledGate.Min
     def evalScaledRecallGate(): Option[(Double, Double, Boolean)] =
       if (only.isEmpty &&
           sys.env.getOrElse("SPARK_GRAFT_SCALED_RECALL", "1") != "0") {
         try {
-          val path = "/root/repo/target/scaling/mix20k_seed42.fvecs"
-          val f = new java.io.File(path)
-          val expectBytes = 20000L * (4L + 4L * 64L)
-          if (!f.exists() || f.length() != expectBytes) {
-            Option(f.getParentFile).foreach(_.mkdirs())
-            io.FvecsGen.write(path, 20000L, 64, 42L, 1000)
-          }
-          val vecs = io.Fvecs.readAuto(spark, path).toDF("vec_id", "embedding")
-          val params = mrdf.Mrdf.Params(alpha = 12000)
+          val vecs = ScaledGate.corpus(spark)
+          val params = ScaledGate.params
           val t0 = System.nanoTime()
           val edges = mrdf.Mrdf.buildGraph(vecs, params)
-          val recall = Scalability.recallVsTruth(vecs, edges, params.k, 20000)
+          val recall = Scalability.recallVsTruth(vecs, edges, params.k,
+            ScaledGate.Vectors)
           val wall = (System.nanoTime() - t0) / 1e9
           Checkpoints.release(edges)
           if (recall < scaledMin)
@@ -399,29 +393,59 @@ object Bench {
     System.out.flush()
   }
 
+  /** Single source of truth for the per-round 20k recall gate: the
+    * pinned corpus, the MRDF parameters and the gate threshold used by
+    * BOTH `evalScaledRecallGate` and the SCALING.json stamp (round-10
+    * advice: re-literalizing them in `stampScaling` let the stamp
+    * desynchronize from the gate actually applied). */
+  private[graft] object ScaledGate {
+    val Min = 0.95
+    val Vectors = 20000
+    val Dim = 64
+    val Seed = 42L
+    val Clusters = 1000
+    def params: mrdf.Mrdf.Params = mrdf.Mrdf.Params(alpha = 12000)
+    val CorpusPath = "/root/repo/target/scaling/mix20k_seed42.fvecs"
+    /** The pinned FvecsGen mixture corpus, regenerated on demand and
+      * size-checked. */
+    def corpus(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+      val f = new java.io.File(CorpusPath)
+      val expectBytes = Vectors.toLong * (4L + 4L * Dim)
+      if (!f.exists() || f.length() != expectBytes) {
+        Option(f.getParentFile).foreach(_.mkdirs())
+        io.FvecsGen.write(CorpusPath, Vectors.toLong, Dim, Seed, Clusters)
+      }
+      io.Fvecs.readAuto(spark, CorpusPath).toDF("vec_id", "embedding")
+    }
+  }
+
   /** Stamp the per-round 20k gate into SCALING.json (`round_gate_20k`),
     * read-modify-write through jackson so the rest of the artifact
-    * survives byte-for-byte in content (formatting normalizes). */
+    * survives byte-for-byte in content (formatting normalizes). Every
+    * parameter in the stamp comes from [[ScaledGate]] — the values the
+    * gate actually ran with. */
   private def stampScaling(recall: Double, wallSec: Double, pass: Boolean): Unit = {
     try {
       val f = new java.io.File("/root/repo/SCALING.json")
       if (!f.exists()) return
+      val p = ScaledGate.params
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(f)
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       val n = om.createObjectNode()
       n.put("what", "per-round multi-block recall gate, stamped by graft.Bench " +
-        "on every full-suite run: MRDF at k=30/rho=15/alpha=12000 over the " +
-        "pinned FvecsGen mixture corpus (20000 x 64-dim, seed 42, 1000 " +
+        s"on every full-suite run: MRDF at k=${p.k}/rho=${p.rho}/alpha=${p.alpha} " +
+        s"over the pinned FvecsGen mixture corpus (${ScaledGate.Vectors} x " +
+        s"${ScaledGate.Dim}-dim, seed ${ScaledGate.Seed}, ${ScaledGate.Clusters} " +
         "clusters), recall vs 256 sampled exact queries (fused TopKJoin)")
-      n.put("vectors", 20000)
-      n.put("dim", 64)
-      n.put("seed", 42)
-      n.put("clusters", 1000)
-      n.put("alpha", 12000)
+      n.put("vectors", ScaledGate.Vectors)
+      n.put("dim", ScaledGate.Dim)
+      n.put("seed", ScaledGate.Seed)
+      n.put("clusters", ScaledGate.Clusters)
+      n.put("alpha", p.alpha)
       n.put("recall", math.rint(recall * 10000) / 10000)
       n.put("wall_sec", math.rint(wallSec * 100) / 100)
-      n.put("gate_min", 0.95)
+      n.put("gate_min", ScaledGate.Min)
       n.put("gate", if (pass) "PASS" else "FAIL")
       root.set("round_gate_20k", n)
       om.writerWithDefaultPrettyPrinter().writeValue(f, root)

@@ -258,7 +258,15 @@ object EmbeddingStats {
     val truncK = org.apache.spark.sql.graft.TopKJoin
       .knn(trunc.repartition(col("vec_id")), trunc, k)
       .select(col("id"), col("nbr"))
-    val fullK = graft.knn.KnnQueries.knn10(s, dir).select(col("id"), col("nbr"))
+    // The shared materialized knn10 table IS the k=10 full-dims arm;
+    // any other k computes its own exact top-k (round-10 advice: the
+    // hard-wired table silently gave a k≠10 call a k=10 full arm).
+    val fullK =
+      if (k == 10) graft.knn.KnnQueries.knn10(s, dir).select(col("id"), col("nbr"))
+      else org.apache.spark.sql.graft.TopKJoin
+        .knn(emb.select(col("vec_id"), col("embedding")).repartition(col("vec_id")),
+          emb.select(col("vec_id"), col("embedding")), k)
+        .select(col("id"), col("nbr"))
     val common = fullK.join(truncK, Seq("id", "nbr"), "left_semi")
       .groupBy(col("id")).agg(count(lit(1)).as("n_common"))
     emb.select(col("vec_id").as("id"))

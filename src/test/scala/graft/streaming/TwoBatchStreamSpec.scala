@@ -231,6 +231,92 @@ class TwoBatchStreamSpec extends SparkSpec {
     assert(got.map(_._1).toSet.subsetOf(closed))
   }
 
+  test("docs replay horizon: derived ingest step keeps a wide-id corpus inside the watermark (round-10 verdict #2)") {
+    import spark.implicits._
+    // 24 purely-lowercase words → passes curateStream's quality gate
+    // (digits would count against the non-alpha ratio)
+    val dupText = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray"
+    val otherText = "zulu yankee whiskey victor uniform tango sierra romeo " +
+      "quebec papa oscar november mike lima kilo juliett india hotel " +
+      "golf foxtrot echo delta charlie bravo"
+    // doc ids 0 and 3_900_000 share content. At the OLD fixed 1 ms/id
+    // step their ingest gap would be 3900 s > the 3600 s watermark
+    // horizon — the duplicate would arrive after the first copy's dedup
+    // state expired and survive, silently diverging from the batch
+    // oracle. The derived step (1 µs/id here) keeps the whole corpus
+    // inside the horizon, so the dedup contract stays EXACT.
+    assert((3900001L + 2) * 1000L >= StreamingPipelines.DocsHorizonUs,
+      "fixture must overflow the horizon at the old fixed 1 ms step")
+    val docs = Seq(
+      (0L, "en", dupText),
+      (3900000L, "en", dupText),
+      (3900001L, "en", otherText)).toDF("doc_id", "lang", "text")
+    val src = StreamingPipelines.buildDocsReplay(spark, docs,
+      "graft-horizon-spec", batches = 2, sentinelFinalBatch = false)
+    val q = StreamingPipelines.curateStream(
+        StreamingPipelines.readDocsStream(spark, src))
+      .writeStream.format("memory").queryName("horizon2b")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("horizon2b")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // first-seen survivor of the duplicate pair is doc 0 (it arrives in
+    // batch 1; its copy in batch 2 meets carried state)
+    assert(got == Set(0L, 3900001L), got.mkString(", "))
+    // a corpus that cannot fit even at 1 µs/id must FAIL LOUDLY, not
+    // silently let the horizon expire mid-corpus
+    val tooBig = Seq((0L, "en", dupText), (4_000_000_000_000L, "en", otherText))
+      .toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingPipelines.buildDocsReplay(spark, tooBig,
+        "graft-horizon-overflow", batches = 2, sentinelFinalBatch = false)
+    }
+    assert(e.getMessage.contains("watermark horizon"), e.getMessage)
+  }
+
+  test("right/full-join click-side eviction boundary: c_ts + 30min == final watermark does NOT null-extend (round-10 advice)") {
+    // closers: max purchase ts = max click ts = 20:00 ⇒ final watermark
+    // = 19:00. Planted unmatched click at exactly 18:30 = wm − 30min:
+    // the q211/q212 oracles state STRICT eviction (c_ts < wm − 30min),
+    // so the boundary click must NOT emit; if Spark's eviction
+    // strictness ever flips, this assertion flips the oracles with it.
+    val rows = Seq(
+      // matched pair (user 1): click 10:45 within purchase 11:00's range
+      (1L, ts("2024-01-01 10:45:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "purchase", 1.0),
+      // unmatched click far below the boundary → must null-extend
+      (3L, ts("2024-01-01 10:00:00"), 2L, "click", 1.0),
+      // the planted boundary click: c_ts + 30min == final watermark
+      (4L, ts("2024-01-01 18:30:00"), 3L, "click", 1.0),
+      // closers on disjoint users (no accidental matches)
+      (5L, ts("2024-01-01 20:00:00"), 98L, "click", 1.0),
+      (6L, ts("2024-01-01 20:00:00"), 99L, "purchase", 1.0))
+    val src = twoFileSource(rows, mid = ts("2024-01-01 19:30:00"))
+    val q = StreamingPipelines.purchaseClickJoinOf(readTwoBatches(src), "right_outer")
+      .writeStream.format("memory").queryName("rboundary")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2)
+    val got = spark.table("rboundary")
+      .select(col("c_id"), col("p_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    // click 1 matched; click 3 evicted-and-null-extended; boundary
+    // click 4 NOT emitted (strict <); closer click 5 above the boundary
+    assert(got == Set((1L, 2L), (3L, -1L)), got.mkString(", "))
+    // same boundary rule through the full-outer state machine: the
+    // boundary click stays in state there too
+    val q2 = StreamingPipelines.purchaseClickJoinOf(readTwoBatches(src), "full_outer")
+      .writeStream.format("memory").queryName("fboundary")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000))
+    val clicksOut = spark.table("fboundary").filter(col("c_id").isNotNull)
+      .select(col("c_id")).collect().map(_.getLong(0)).toSet
+    assert(clicksOut == Set(1L, 3L), clicksOut.mkString(", "))
+  }
+
   test("two-batch dropDuplicatesWithinWatermark: cross-batch copies suppressed, each key emits once") {
     val src = twoFileSource(Seq(
       // (1, click, hour 10): twice in batch 1, once more in batch 2
