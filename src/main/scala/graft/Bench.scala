@@ -14,21 +14,25 @@ import org.apache.spark.sql.SparkSession
   *    ([[HarnessLock]]) so they cannot co-run; the wait, if any, is
   *    reported in the output line (`lock_wait_sec`).
   *  - THREE full measurement passes by default, [[Materialized]] reset
-  *    between passes; the headline per-query number is the min across
-  *    passes — a transient load spike must hit the same query in EVERY
-  *    pass to distort it.
+  *    between passes — a transient load spike must hit the same query
+  *    in EVERY pass to distort it.
   *  - A fixed parallel CPU PROBE (constant work, same JIT'd plan) runs
   *    at every pass boundary and every [[ProbeEvery]] queries: on a
   *    quiet host its wall is a constant, under external load it
-  *    inflates exactly like the queries around it. A query measurement
-  *    is CLEAN iff both bracketing probes are within [[NoiseFactor]] of
-  *    the run's best probe. Queries with no clean measurement across
-  *    all passes are RE-MEASURED individually (probe → query → probe,
-  *    up to [[RemeasureRounds]] rounds); whatever still lacks a clean
-  *    window is published in `noise_suspect` — a dirty artifact
-  *    self-identifies instead of masquerading as a regression
-  *    (round-9: pass totals 899/648/326 s on identical code, headline
-  *    1.46× round 8, adjudicated as host noise only after the fact).
+  *    inflates exactly like the queries around it.
+  *  - Adjudication ([[BenchAdjudicator]], round-10 verdict #1): a
+  *    measurement is CLEAN iff (1) both bracketing probes are within
+  *    NoiseFactor of the run's best probe AND (2) its process-CPU is
+  *    within CpuNoiseFactor of the query's own min cpu across passes —
+  *    the second signal sees stalls contained INSIDE a query window,
+  *    which brackets cannot. The headline per-query number is the min
+  *    over CLEAN measurements when one exists and agrees with the
+  *    global min; queries without one are RE-MEASURED individually
+  *    (probe → query → probe, up to [[RemeasureRounds]] rounds);
+  *    whatever still lacks a publishable clean value is published as
+  *    the global min but LISTED in `noise_suspect` — every published
+  *    value is provably clean or flagged, by construction
+  *    (`published_clean_n` reconciles this in the bench line).
   *  - Per-query process-CPU seconds, per-pass load1 and all probe
   *    times land in bench_detail.json for post-hoc adjudication.
   */
@@ -37,12 +41,6 @@ object Bench {
   private val osBean = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
-  /** A probe above NoiseFactor × the run's best probe marks its window
-    * as contended. 1.5 clears quiet-host jitter at the ~0.45 s probe
-    * size (short probes measured up to ~1.3× scheduler jitter) and is
-    * below the 1.5–2.8× broad degradation round 9's dirty windows
-    * showed. */
-  private val NoiseFactor = 1.5
   private val ProbeEvery = 15
   private val RemeasureRounds = 2
 
@@ -67,10 +65,11 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** One measurement: wall, process CPU, and the probe walls bracketing
-    * the block this query ran in (wall = -1 marks a failed query). */
-  private final case class Timed(wall: Double, cpu: Double,
-                                 probeBefore: Double, probeAfter: Double)
+  /** One measurement — see [[BenchAdjudicator.M]] for the field
+    * contract and the clean/suspect/publish rules applied to it. */
+  private type Timed = BenchAdjudicator.M
+  private def Timed(wall: Double, cpu: Double, pb: Double, pa: Double): Timed =
+    BenchAdjudicator.M(wall, cpu, pb, pa)
 
   private def runOne(spark: SparkSession, sfDir: String,
       name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -244,23 +243,21 @@ object Bench {
         r
       }
 
-      // Re-measure queries with no clean (probe-bracketed) measurement
-      // in any pass: individually probed, so one more bad window can't
-      // hide a whole block. Materialized reset per round keeps family
-      // first-member semantics comparable with the main passes.
+      // Re-measure queries with no PUBLISHABLE clean measurement in any
+      // pass — no measurement passing BOTH noise signals (probe
+      // brackets AND cpu dispersion), or a clean min that disagrees
+      // with the global min ([[BenchAdjudicator]]). Individually
+      // probed, so one more bad window can't hide a whole block.
+      // Materialized reset per round keeps family first-member
+      // semantics comparable with the main passes.
       val extra = scala.collection.mutable.ArrayBuffer.empty[(String, Timed)]
       def minProbe: Double = (probes ++ extra.iterator.flatMap(t =>
-        Seq(t._2.probeBefore, t._2.probeAfter))).min
-      def isClean(t: Timed): Boolean = {
-        val bound = minProbe * NoiseFactor
-        t.wall >= 0 && t.probeBefore <= bound && t.probeAfter <= bound
-      }
+        Seq(t._2.pb, t._2.pa))).min
       def suspects: Seq[String] = {
         val byName = (rs.flatten ++ extra).groupBy(_._1)
         byName.collect { case (n, ms)
-          if ms.forall(m => m._2.wall >= 0) &&
-            ms.map(_._2.wall).min >= SuspectFloorSec &&
-            !ms.exists(m => isClean(m._2)) => n
+          if BenchAdjudicator.isSuspect(ms.map(_._2), minProbe, SuspectFloorSec)
+          => n
         }.toSeq
       }
       var round = 0
@@ -279,34 +276,37 @@ object Bench {
       }
       val loads = osBean.getSystemLoadAverage // right after the timed region
       ((rs, (probes ++ extra.iterator.flatMap(t =>
-          Seq(t._2.probeBefore, t._2.probeAfter))).toSeq,
+          Seq(t._2.pb, t._2.pa))).toSeq,
         extra.toSeq, loads, evalRecallGate(), evalScaledRecallGate()))
     }
     val loadEnd = loadMid // snapshot taken right after the timed region
 
     val probeMin = allProbes.min
-    val probeBound = probeMin * NoiseFactor
-    def clean(t: Timed): Boolean =
-      t.wall >= 0 && t.probeBefore <= probeBound && t.probeAfter <= probeBound
     val allByName: Map[String, Seq[Timed]] =
       (passResults.flatten ++ remeasured).groupBy(_._1)
         .map { case (n, ms) => n -> ms.map(_._2) }
-    // headline per query: min wall across every measurement (passes +
-    // re-measures); -1 if any pass failed
+    // headline per query: the adjudicated publish value — min wall over
+    // measurements that pass BOTH noise signals when that min agrees
+    // with the global min; the global min (flagged below) otherwise;
+    // -1 if any pass failed (round-10 verdict #1: the previous
+    // min-across-everything could publish a probe-dirty value)
     val order = passResults.head.map(_._1)
-    val pmin: Seq[(String, Double)] = order.map { name =>
-      val ms = allByName(name)
-      name -> (if (ms.exists(_.wall < 0)) -1.0 else ms.map(_.wall).min)
+    val published: Seq[(String, (Double, Boolean))] = order.map { name =>
+      name -> BenchAdjudicator.publish(allByName(name), probeMin)
     }
-    // noise_suspect: queries whose every measurement sat in a window
-    // the probes call contended — their headline numbers are upper
-    // bounds, not clean measurements (sub-floor queries exempt: their
-    // absolute error is bounded by their own size)
+    val pmin: Seq[(String, Double)] = published.map { case (n, (v, _)) => n -> v }
+    // noise_suspect: queries with NO publishable clean measurement —
+    // their headline numbers are unadjudicated bounds, not clean
+    // measurements (sub-floor queries exempt: their absolute error is
+    // bounded by their own size)
     val noiseSuspect = order.filter { n =>
-      val ms = allByName(n)
-      ms.forall(m => !clean(m)) &&
-        ms.forall(_.wall >= 0) && ms.map(_.wall).min >= SuspectFloorSec
+      BenchAdjudicator.isSuspect(allByName(n), probeMin, SuspectFloorSec)
     }
+    // count of headline values provably from a clean window — with
+    // noise_suspect and the sub-floor exemption this reconciles the
+    // whole artifact: published_clean_n + |noise_suspect| + sub-floor
+    // + failed = query count
+    val publishedCleanN = published.count(_._2._2)
     val cpuTotal = (passResults.flatten ++ remeasured).map(_._2.cpu).sum
 
     def jq(s: String): String =
@@ -345,7 +345,7 @@ object Bench {
       s""""passes":$passes,"pass_totals":$passTotalsJson,""" +
         s""""pass_load1":$passLoadsJson,""" +
         s""""probe_sec_min":${fmt(probeMin)},"probe_sec_max":${fmt(allProbes.max)},""" +
-        s""""remeasured_n":${remeasured.size},""" +
+        s""""remeasured_n":${remeasured.size},"published_clean_n":$publishedCleanN,""" +
         noiseJson +
         s""""lock_wait_sec":${fmt(lockWait)},"cpu_sec":${fmt(cpuTotal)},""" +
         s""""load1_start":${fmt(loadStart)},"load1_end":${fmt(loadEnd)},""" +
@@ -361,7 +361,7 @@ object Bench {
     def detailMap(r: Seq[(String, Timed)]): String =
       r.map { case (k, t) =>
         jq(k) + s""":{"wall":${fmt(t.wall)},"cpu":${fmt(t.cpu)},""" +
-          s""""pb":${fmt(t.probeBefore)},"pa":${fmt(t.probeAfter)}}"""
+          s""""pb":${fmt(t.pb)},"pa":${fmt(t.pa)}}"""
       }.mkString("{", ",", "}")
     val detail = (passResults.zipWithIndex.map { case (r, i) =>
       s""""pass${i + 1}":${detailMap(r)}"""
