@@ -83,10 +83,11 @@ object GetRecallIvecs {
     val gtPath = a.getOrElse("--groundtruth", sys.error("--groundtruth required"))
     val graphPath = a.getOrElse("--graph", sys.error("--graph required"))
     val k = a.getOrElse("--k", "0").toInt
-    val gt = io.Fvecs.decodeIvecs(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(gtPath)), k = k)
+    // readAutoIvecs: driver codec for small gt files, the splittable
+    // distributed read past the size threshold (bigann-scale gt)
+    val truth = io.Fvecs.readAutoIvecs(spark, gtPath, k = k)
       .map { case (id, nbrs) => (id, nbrs.map(_.toLong).toSeq) }
-    val truth = spark.createDataset(gt).toDF("id", "nbrs")
+      .toDF("id", "nbrs")
     val approx = io.GraphText.read(spark, graphPath)
     val r = knn.Recall.recall(truth, approx).collect()(0).getDouble(0)
     println(s"Recall: $r")

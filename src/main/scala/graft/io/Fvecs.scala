@@ -170,14 +170,44 @@ object Fvecs {
                            chunkBytes: Long = 128L << 20): Dataset[(Long, Array[Float])] =
     readDistributedFixedDim(spark, path, inputMax, chunkBytes, compBytes = 1)
 
-  /** Shared record-aligned chunked reader for the fixed-dim vecs
-    * layouts: `compBytes` = 4 (fvecs float32) or 1 (bvecs uint8);
-    * record stride = `4 + compBytes·dim`. */
-  private def readDistributedFixedDim(spark: SparkSession, path: String,
-      inputMax: Int, chunkBytes: Long, compBytes: Int): Dataset[(Long, Array[Float])] = {
+  /** [[readDistributed]] for `.ivecs` ground-truth files (record =
+    * `int32 dim` + `dim × int32`); `k > 0` truncates each vector to its
+    * first k neighbor ids, the [[decodeIvecs]] convention. Completes
+    * the splittable route for all three vecs layouts (round-10
+    * verdict: fvecs/bvecs had the distributed path, ivecs still rode
+    * the driver codec). */
+  def readDistributedIvecs(spark: SparkSession, path: String, inputMax: Int = 0,
+                           k: Int = 0,
+                           chunkBytes: Long = 128L << 20): Dataset[(Long, Array[Int])] = {
     import spark.implicits._
+    val sc = spark.sparkContext
+    val (dim, stride, ranges) = planChunks(spark, path, inputMax, chunkBytes,
+      compBytes = 4, fmt = "ivecs")
+    val pathStr = path
+    val kk = k
+    val confHandle = org.apache.spark.graft.HadoopConfBridge
+      .broadcast(sc, sc.hadoopConfiguration)
+    val rdd = sc.parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { case (startRec, nRecs) =>
+        readChunk(pathStr, confHandle, startRec, nRecs, stride).map { case (id, bb) =>
+          val d = bb.getInt
+          require(d == dim,
+            s"corrupt vecs: record $id has dim=$d, expected $dim")
+          val v = new Array[Int](dim)
+          var i = 0
+          while (i < dim) { v(i) = bb.getInt; i += 1 }
+          (id, if (kk > 0 && kk < dim) v.take(kk) else v)
+        }
+      }
+    spark.createDataset(rdd)
+  }
+
+  /** Record-aligned chunk planning shared by the distributed readers:
+    * probe the first record's dim, require fixed-dim, fan out
+    * record-count ranges. Returns (dim, stride, ranges). */
+  private def planChunks(spark: SparkSession, path: String, inputMax: Int,
+      chunkBytes: Long, compBytes: Int, fmt: String): (Int, Long, Seq[(Long, Long)]) = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-    val fmt = if (compBytes == 1) "bvecs" else "fvecs"
     val sc = spark.sparkContext
     val hp = new HPath(path)
     val fs = FileSystem.get(hp.toUri, sc.hadoopConfiguration)
@@ -203,6 +233,42 @@ object Fvecs {
     val recsPerChunk = math.max(1L, chunkBytes / stride)
     val ranges = (0L until totalRecs by recsPerChunk)
       .map(s => (s, math.min(recsPerChunk, totalRecs - s)))
+    (dim, stride, ranges)
+  }
+
+  /** Task-side chunk read: one positioned readFully over the range,
+    * then an iterator of (record id, buffer positioned at the record).
+    * Reads go through the Hadoop FileSystem API with the driver's conf
+    * shipped via the handle, so the same path serves local files, HDFS
+    * and object stores. */
+  private def readChunk(path: String,
+      conf: org.apache.spark.graft.HadoopConfBridge.Handle,
+      startRec: Long, nRecs: Long, stride: Long): Iterator[(Long, ByteBuffer)] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val tfs = FileSystem.get(new java.net.URI(path), conf.conf)
+    val in = tfs.open(new HPath(path))
+    val buf = try {
+      val b = new Array[Byte]((nRecs * stride).toInt)
+      in.readFully(startRec * stride, b)
+      b
+    } finally in.close()
+    val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+    (0L until nRecs).iterator.map { r =>
+      bb.position((r * stride).toInt)
+      (startRec + r, bb)
+    }
+  }
+
+  /** Shared record-aligned chunked reader for the float-valued vecs
+    * layouts: `compBytes` = 4 (fvecs float32) or 1 (bvecs uint8,
+    * promoted to float); record stride = `4 + compBytes·dim`. */
+  private def readDistributedFixedDim(spark: SparkSession, path: String,
+      inputMax: Int, chunkBytes: Long, compBytes: Int): Dataset[(Long, Array[Float])] = {
+    import spark.implicits._
+    val fmt = if (compBytes == 1) "bvecs" else "fvecs"
+    val sc = spark.sparkContext
+    val (dim, stride, ranges) = planChunks(spark, path, inputMax, chunkBytes,
+      compBytes, fmt)
     val pathStr = path
     val cb = compBytes
     // Ship the driver's Hadoop conf (object-store credentials, FS impls)
@@ -211,36 +277,36 @@ object Fvecs {
       .broadcast(sc, sc.hadoopConfiguration)
     val rdd = sc.parallelize(ranges, math.max(1, ranges.size))
       .flatMap { case (startRec, nRecs) =>
-        val tfs = FileSystem.get(new java.net.URI(pathStr), confHandle.conf)
-        val in = tfs.open(new HPath(pathStr))
-        try {
-          val buf = new Array[Byte]((nRecs * stride).toInt)
-          in.readFully(startRec * stride, buf)
-          val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-          (0L until nRecs).map { r =>
-            val d = bb.getInt
-            require(d == dim,
-              s"corrupt vecs: record ${startRec + r} has dim=$d, expected $dim")
-            val v = new Array[Float](dim)
-            var i = 0
-            if (cb == 1) while (i < dim) { v(i) = (bb.get() & 0xff).toFloat; i += 1 }
-            else while (i < dim) { v(i) = bb.getFloat; i += 1 }
-            (startRec + r, v)
-          }
-        } finally in.close()
+        readChunk(pathStr, confHandle, startRec, nRecs, stride).map { case (id, bb) =>
+          val d = bb.getInt
+          require(d == dim,
+            s"corrupt vecs: record $id has dim=$d, expected $dim")
+          val v = new Array[Float](dim)
+          var i = 0
+          if (cb == 1) while (i < dim) { v(i) = (bb.get() & 0xff).toFloat; i += 1 }
+          else while (i < dim) { v(i) = bb.getFloat; i += 1 }
+          (id, v)
+        }
       }
     spark.createDataset(rdd)
   }
 
-  /** Size- and extension-dispatched ingest: distributed chunked read
-    * for large fixed-dim files, driver codec for small or variable-dim
-    * ones; `.bvecs` files route through the uint8 codec pair, anything
-    * else is read as fvecs. */
+  /** Size- and extension-dispatched ingest for the FLOAT-valued
+    * layouts: distributed chunked read for large fixed-dim files,
+    * driver codec for small or variable-dim ones; `.bvecs` files route
+    * through the uint8 codec pair, anything else is read as fvecs —
+    * EXCEPT `.ivecs`, which is int-valued ground truth and would
+    * silently mis-decode as floats (round-10 verdict #5's tripwire):
+    * such paths fail loudly toward [[readAutoIvecs]]. */
   def readAuto(spark: SparkSession, path: String,
                inputMax: Int = 0): Dataset[(Long, Array[Float])] = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     import spark.implicits._
-    val isBvecs = path.toLowerCase(java.util.Locale.ROOT).endsWith(".bvecs")
+    val lower = path.toLowerCase(java.util.Locale.ROOT)
+    require(!lower.endsWith(".ivecs"),
+      s"$path is int-valued ground truth: reading it as float vectors " +
+        "would silently mis-decode every component — use readAutoIvecs")
+    val isBvecs = lower.endsWith(".bvecs")
     def driverDecode(): Dataset[(Long, Array[Float])] = {
       val bytes = Files.readAllBytes(Paths.get(path))
       spark.createDataset(
@@ -257,6 +323,35 @@ object Fvecs {
         // variable-dim: only the driver codec can walk the records
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"falling back to driver vecs decode: ${e.getMessage}")
+        driverDecode()
+      }
+    else driverDecode()
+  }
+
+  /** [[readAuto]]'s int-valued twin for `.ivecs` ground truth: the
+    * distributed chunked read above [[DistributedThresholdBytes]], the
+    * driver codec below it or for variable-dim files. The mirrored
+    * tripwire rejects float-layout extensions (a `.fvecs`/`.bvecs`
+    * path would mis-decode as ints just as silently). */
+  def readAutoIvecs(spark: SparkSession, path: String, inputMax: Int = 0,
+                    k: Int = 0): Dataset[(Long, Array[Int])] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import spark.implicits._
+    val lower = path.toLowerCase(java.util.Locale.ROOT)
+    require(!lower.endsWith(".fvecs") && !lower.endsWith(".bvecs"),
+      s"$path is a float-valued layout: reading it as int ground truth " +
+        "would silently mis-decode every component — use readAuto")
+    def driverDecode(): Dataset[(Long, Array[Int])] =
+      spark.createDataset(
+        decodeIvecs(Files.readAllBytes(Paths.get(path)), inputMax, k))
+    val hp = new HPath(path)
+    val fs = FileSystem.get(hp.toUri, spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(hp).getLen
+    if (len >= DistributedThresholdBytes)
+      try readDistributedIvecs(spark, path, inputMax, k)
+      catch { case e: IllegalArgumentException =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"falling back to driver ivecs decode: ${e.getMessage}")
         driverDecode()
       }
     else driverDecode()

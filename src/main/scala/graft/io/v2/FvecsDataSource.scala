@@ -17,6 +17,25 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+/** Layout descriptor for the three standard ANN vector stream formats
+  * (all `int32 dim` + `dim × component`, little-endian, no header):
+  * fvecs (float32), bvecs (uint8, promoted to float at scan), ivecs
+  * (int32 ground-truth ids). Record stride = `4 + compBytes·dim`. */
+private[v2] final case class VecsKind(name: String, compBytes: Int,
+                                      intElems: Boolean) {
+  def schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vec",
+      ArrayType(if (intElems) IntegerType else FloatType, containsNull = false),
+      nullable = false)))
+}
+
+private[v2] object VecsKind {
+  val Fvecs: VecsKind = VecsKind("fvecs", 4, intElems = false)
+  val Bvecs: VecsKind = VecsKind("bvecs", 1, intElems = false)
+  val Ivecs: VecsKind = VecsKind("ivecs", 4, intElems = true)
+}
+
 /** DataSource V2 fvecs reader: `spark.read.format("fvecs").load(path)`
   * → `(id BIGINT, vec ARRAY<FLOAT>)` — SURVEY §2.1's scalable route as
   * a first-class source (the programmatic twin is
@@ -41,18 +60,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * configuration broadcast to tasks (credentials/FS impls survive on a
   * real cluster, [[org.apache.spark.graft.HadoopConfBridge]]). */
 class FvecsDataSource extends TableProvider with DataSourceRegister {
-  /** Component width: 4 = float32 (fvecs), 1 = uint8 (bvecs). */
-  protected def compBytes: Int = 4
-  override def shortName(): String = "fvecs"
+  protected def kind: VecsKind = VecsKind.Fvecs
+  override def shortName(): String = kind.name
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FvecsTable.Schema
+    kind.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       s"${shortName()} source needs a path: " +
         s"spark.read.format(\"${shortName()}\").load(path)")
-    new FvecsTable(path, compBytes)
+    new FvecsTable(path, kind)
   }
 }
 
@@ -63,31 +81,39 @@ class FvecsDataSource extends TableProvider with DataSourceRegister {
   * keeps them off the driver (the programmatic twin is
   * [[graft.io.Fvecs.readDistributedBvecs]]). */
 class BvecsDataSource extends FvecsDataSource {
-  override protected def compBytes: Int = 1
-  override def shortName(): String = "bvecs"
+  override protected def kind: VecsKind = VecsKind.Bvecs
+}
+
+/** `spark.read.format("ivecs").load(path)` → `(id BIGINT,
+  * vec ARRAY<INT>)` — the int32 ground-truth layout through the same
+  * splittable scan and pushdown contract (round-10 verdict #5: ivecs
+  * previously rode only the driver codec, and an `.ivecs` path fed to
+  * the float sources would mis-decode silently; the programmatic twin
+  * is [[graft.io.Fvecs.readDistributedIvecs]]). */
+class IvecsDataSource extends FvecsDataSource {
+  override protected def kind: VecsKind = VecsKind.Ivecs
 }
 
 object FvecsTable {
-  val Schema: StructType = StructType(Seq(
-    StructField("id", LongType, nullable = false),
-    StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+  /** The fvecs/bvecs schema (float components); kept for source and
+    * spec compatibility — ivecs schemas come from [[VecsKind.schema]]. */
+  val Schema: StructType = VecsKind.Fvecs.schema
 }
 
-class FvecsTable(path: String, compBytes: Int = 4) extends Table with SupportsRead {
-  override def name(): String =
-    s"${if (compBytes == 1) "bvecs" else "fvecs"}:$path"
-  override def schema(): StructType = FvecsTable.Schema
+class FvecsTable(path: String, kind: VecsKind) extends Table with SupportsRead {
+  override def name(): String = s"${kind.name}:$path"
+  override def schema(): StructType = kind.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FvecsScanBuilder(path, compBytes, options)
+    new FvecsScanBuilder(path, kind, options)
 }
 
-class FvecsScanBuilder(path: String, compBytes: Int, options: CaseInsensitiveStringMap)
+class FvecsScanBuilder(path: String, kind: VecsKind, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
 
   private var limit: Long = -1L
-  private var required: StructType = FvecsTable.Schema
+  private var required: StructType = kind.schema
 
   override def pushLimit(l: Int): Boolean = { limit = l.toLong; true }
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -96,22 +122,20 @@ class FvecsScanBuilder(path: String, compBytes: Int, options: CaseInsensitiveStr
   override def build(): Scan = {
     val chunkBytes = Option(options.get("chunkbytes")).map(_.toLong)
       .getOrElse(128L << 20)
-    new FvecsScan(path, compBytes, chunkBytes, limit, required)
+    new FvecsScan(path, kind, chunkBytes, limit, required)
   }
 }
 
 final case class FvecsInputPartition(startRec: Long, nRecs: Long) extends InputPartition
 
-class FvecsScan(path: String, compBytes: Int, chunkBytes: Long, limit: Long,
+class FvecsScan(path: String, kind: VecsKind, chunkBytes: Long, limit: Long,
                 required: StructType)
     extends Scan with Batch {
-
-  private def fmt: String = if (compBytes == 1) "bvecs" else "fvecs"
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"$fmt $path (limit=$limit, columns=${required.fieldNames.mkString(",")})"
+    s"${kind.name} $path (limit=$limit, columns=${required.fieldNames.mkString(",")})"
 
   // (dim, stride, totalRecs) probed once on the driver at planning time
   private lazy val layout: (Int, Long, Long) = {
@@ -119,16 +143,16 @@ class FvecsScan(path: String, compBytes: Int, chunkBytes: Long, limit: Long,
     val hp = new HPath(path)
     val fs = FileSystem.get(hp.toUri, spark.sparkContext.hadoopConfiguration)
     val fileLen = fs.getFileStatus(hp).getLen
-    require(fileLen >= 4, s"empty/truncated $fmt file: $path")
+    require(fileLen >= 4, s"empty/truncated ${kind.name} file: $path")
     val header = new Array[Byte](4)
     val in = fs.open(hp)
     try in.readFully(0L, header) finally in.close()
     val dim = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN).getInt
-    require(dim > 0, s"corrupt $fmt: leading dim=$dim in $path")
-    val stride = 4L + compBytes.toLong * dim
+    require(dim > 0, s"corrupt ${kind.name}: leading dim=$dim in $path")
+    val stride = 4L + kind.compBytes.toLong * dim
     require(fileLen % stride == 0,
       s"$path is not fixed-dim (len=$fileLen, first dim=$dim): " +
-        s"variable-dim $fmt is not splittable; use the graft.io.Fvecs driver codec")
+        s"variable-dim ${kind.name} is not splittable; use the graft.io.Fvecs driver codec")
     val total = fileLen / stride
     (dim, stride, if (limit >= 0) math.min(total, limit) else total)
   }
@@ -148,28 +172,27 @@ class FvecsScan(path: String, compBytes: Int, chunkBytes: Long, limit: Long,
     val conf = org.apache.spark.graft.HadoopConfBridge
       .broadcast(SparkSession.active.sparkContext,
         SparkSession.active.sparkContext.hadoopConfiguration)
-    new FvecsReaderFactory(path, compBytes, dim, stride, required, conf)
+    new FvecsReaderFactory(path, kind, dim, stride, required, conf)
   }
 }
 
-class FvecsReaderFactory(path: String, compBytes: Int, dim: Int, stride: Long,
+class FvecsReaderFactory(path: String, kind: VecsKind, dim: Int, stride: Long,
                          required: StructType,
                          conf: org.apache.spark.graft.HadoopConfBridge.Handle)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[FvecsInputPartition]
-    new FvecsPartitionReader(path, compBytes, dim, stride, required, conf,
+    new FvecsPartitionReader(path, kind, dim, stride, required, conf,
       fp.startRec, fp.nRecs)
   }
 }
 
-class FvecsPartitionReader(path: String, compBytes: Int, dim: Int, stride: Long,
+class FvecsPartitionReader(path: String, kind: VecsKind, dim: Int, stride: Long,
                            required: StructType,
                            conf: org.apache.spark.graft.HadoopConfBridge.Handle,
                            startRec: Long, nRecs: Long)
     extends PartitionReader[InternalRow] {
 
-  private val needVec = required.fieldNames.contains("vec")
   private val fields = required.fieldNames
 
   // The byte range is read only when vectors are projected; an id-only
@@ -196,13 +219,20 @@ class FvecsPartitionReader(path: String, compBytes: Int, dim: Int, stride: Long,
         val d = bb.getInt
         require(d == dim,
           s"corrupt vecs: record ${startRec + rec} has dim=$d, expected $dim")
-        val v = new Array[Float](dim)
-        var i = 0
-        if (compBytes == 1)
-          while (i < dim) { v(i) = (bb.get() & 0xff).toFloat; i += 1 }
-        else
-          while (i < dim) { v(i) = bb.getFloat; i += 1 }
-        ArrayData.toArrayData(v)
+        if (kind.intElems) {
+          val v = new Array[Int](dim)
+          var i = 0
+          while (i < dim) { v(i) = bb.getInt; i += 1 }
+          ArrayData.toArrayData(v)
+        } else {
+          val v = new Array[Float](dim)
+          var i = 0
+          if (kind.compBytes == 1)
+            while (i < dim) { v(i) = (bb.get() & 0xff).toFloat; i += 1 }
+          else
+            while (i < dim) { v(i) = bb.getFloat; i += 1 }
+          ArrayData.toArrayData(v)
+        }
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }

@@ -218,6 +218,75 @@ class IoSpecs extends SparkSpec {
     assert(df.rdd.getNumPartitions == 20)
   }
 
+  test("distributed ivecs read equals the driver codec, k-truncation intact") {
+    val rnd = new scala.util.Random(41)
+    val dim = 10
+    val vecs = (0 until 3000).map(_ => Array.fill(dim)(rnd.nextInt()))
+    val f = Files.createTempFile("graft-dist", ".ivecs").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), Fvecs.encodeIvecs(vecs))
+    // chunkBytes small enough to force many record-aligned chunks
+    val dist = Fvecs.readDistributedIvecs(spark, f, chunkBytes = 16L * (4 + 4 * dim))
+      .collect().sortBy(_._1)
+    assert(dist.length == 3000)
+    dist.foreach { case (id, v) => assert(v.sameElements(vecs(id.toInt)), s"id $id") }
+    // ground-truth k-truncation, same convention as decodeIvecs
+    val k3 = Fvecs.readDistributedIvecs(spark, f, k = 3,
+        chunkBytes = 16L * (4 + 4 * dim))
+      .collect().sortBy(_._1)
+    k3.foreach { case (id, v) => assert(v.sameElements(vecs(id.toInt).take(3))) }
+    // inputMax caps records
+    assert(Fvecs.readDistributedIvecs(spark, f, inputMax = 19,
+      chunkBytes = 16L * (4 + 4 * dim)).count() == 19)
+    // readAutoIvecs: small file → driver codec, same rows either way
+    val auto = Fvecs.readAutoIvecs(spark, f, k = 3).collect().sortBy(_._1)
+    assert(auto.length == 3000)
+    auto.foreach { case (id, v) => assert(v.sameElements(vecs(id.toInt).take(3))) }
+  }
+
+  test("readAuto mis-extension tripwires: .ivecs never decodes as floats, and vice versa") {
+    val f = Files.createTempFile("graft-trip", ".ivecs").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      Fvecs.encodeIvecs(Seq(Array(1, 2, 3))))
+    val e = intercept[IllegalArgumentException](Fvecs.readAuto(spark, f))
+    assert(e.getMessage.contains("readAutoIvecs"), e.getMessage)
+    val g = Files.createTempFile("graft-trip", ".fvecs").toString
+    Fvecs.writeFvecsFile(g, Seq(Array(1f, 2f)))
+    val e2 = intercept[IllegalArgumentException](Fvecs.readAutoIvecs(spark, g))
+    assert(e2.getMessage.contains("readAuto"), e2.getMessage)
+    val b = Files.createTempFile("graft-trip", ".bvecs").toString
+    Fvecs.writeBvecsFile(b, Seq(Array(1, 2)))
+    intercept[IllegalArgumentException](Fvecs.readAutoIvecs(spark, b))
+  }
+
+  test("ivecs DataSource V2: format read, limit + column pruning pushdown") {
+    val rnd = new scala.util.Random(43)
+    val dim = 8
+    val vecs = (0 until 2000).map(_ => Array.fill(dim)(rnd.nextInt()))
+    val f = Files.createTempFile("graft-dsv2", ".ivecs").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), Fvecs.encodeIvecs(vecs))
+    val stride = 4 + 4 * dim
+    val df = spark.read.format("ivecs")
+      .option("chunkbytes", (100 * stride).toString).load(f)
+    // int-element schema, full read equals the driver codec
+    assert(df.schema("vec").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.length == 2000)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1).toArray.sameElements(vecs(r.getLong(0).toInt)))
+    }
+    // same pushdown contract as the fvecs/bvecs sources
+    val limited = df.limit(150)
+    assert(limited.queryExecution.executedPlan.toString.contains("limit=150"))
+    assert(limited.count() == 150)
+    val ids = df.select("id")
+    assert(ids.queryExecution.executedPlan.toString.contains("columns=id"))
+    assert(ids.collect().map(_.getLong(0)).sorted.toSeq == (0L until 2000L))
+    // record-aligned partitioning at the int32 stride
+    assert(df.rdd.getNumPartitions == 20)
+  }
+
   test("salted join equals plain join under key skew") {
     import spark.implicits._
     // 10k rows of one hot key + uniform tail, joined to a small dim
