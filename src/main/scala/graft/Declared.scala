@@ -49,6 +49,7 @@ object Registry {
       graft.text.CorpusOps.declared ++
       graft.text.LineDedup.declared ++
       graft.text.SpanDedup.declared ++
+      graft.text.ExactSubstr.declared ++
       graft.text.Classifier.declared ++
       graft.text.CorpusStats.declared ++
       graft.text.CorpusHygiene.declared ++
