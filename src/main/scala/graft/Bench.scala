@@ -188,45 +188,49 @@ object Bench {
         }
       } else None
 
-    // Per-round SCALED recall gate (round-9 verdict #4): a fixed-seed
-    // 20k-vector Gaussian-mixture build (FvecsGen 64-dim seed 42,
-    // 1000 clusters — the corpus pinned in SCALING.json's
-    // round9_assignment_ab) at the sweep's α=12000, so the MULTI-BLOCK
-    // recall regression class (divide + merge quality at realistic
-    // block counts) surfaces every round instead of only when someone
-    // re-runs Scalability by hand. Untimed, inside the lock, full-suite
-    // runs only (subset runs are for iteration). The measured value is
-    // deterministic for the pinned corpus/seed; the result is stamped
-    // into both the bench line and SCALING.json (`round_gate_20k`).
-    val scaledMin = ScaledGate.Min
-    def evalScaledRecallGate(): Option[(Double, Double, Boolean)] =
+    // Per-round PINNED-corpus recall gates: fixed-seed 20k-vector
+    // builds at the sweep's α=12000, so the MULTI-BLOCK recall
+    // regression class (divide + merge quality at realistic block
+    // counts) surfaces every round instead of only when someone
+    // re-runs Scalability by hand. Two corpora, two failure modes:
+    //  - MIXTURE (round-9 verdict #4): the representative clustered
+    //    regime — measured 0.9794 on round-10 HEAD, gate 0.95;
+    //  - UNIFORM (round-10 verdict #6): the adversarial no-structure
+    //    regime every locality method degrades on — previously
+    //    informational-only in SCALING.json, now pinned against
+    //    regression (measured 0.9097 on round-11 HEAD at 20k, gate
+    //    0.85; the 200k floor stays documented in uniform_adversarial).
+    // Untimed, inside the lock, full-suite runs only (subset runs are
+    // for iteration). Measured values are deterministic for the pinned
+    // corpus/seed; each result is stamped into both the bench line and
+    // SCALING.json (`round_gate_20k` / `round_gate_uniform_20k`).
+    def evalPinnedGate(g: PinnedRecallGate): Option[(Double, Double, Boolean)] =
       if (only.isEmpty &&
           sys.env.getOrElse("SPARK_GRAFT_SCALED_RECALL", "1") != "0") {
         try {
-          val vecs = ScaledGate.corpus(spark)
-          val params = ScaledGate.params
+          val vecs = g.corpus(spark)
+          val params = g.params
           val t0 = System.nanoTime()
           val edges = mrdf.Mrdf.buildGraph(vecs, params)
-          val recall = Scalability.recallVsTruth(vecs, edges, params.k,
-            ScaledGate.Vectors)
+          val recall = Scalability.recallVsTruth(vecs, edges, params.k, g.vectors)
           val wall = (System.nanoTime() - t0) / 1e9
           Checkpoints.release(edges)
-          if (recall < scaledMin)
-            errors.getOrElseUpdate("scaled_recall_gate",
-              f"20k mixture recall $recall%.4f below gate $scaledMin%.2f")
-          stampScaling(recall, wall, recall >= scaledMin)
-          Some((recall, wall, recall >= scaledMin))
+          if (recall < g.min)
+            errors.getOrElseUpdate(s"${g.jsonPrefix}_gate",
+              f"${g.label} recall $recall%.4f below gate ${g.min}%.2f")
+          stampScaling(g, recall, wall, recall >= g.min)
+          Some((recall, wall, recall >= g.min))
         } catch {
           case e: Throwable =>
-            errors.getOrElseUpdate("scaled_recall_gate",
+            errors.getOrElseUpdate(s"${g.jsonPrefix}_gate",
               e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
             Some((-1.0, -1.0, false))
         }
       } else None
 
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val ((passResults, allProbes, remeasured, loadMid, recallGate, scaledGate),
-        lockWait) = HarnessLock.exclusive {
+    val ((passResults, allProbes, remeasured, loadMid, recallGate, scaledGate,
+        uniformGate), lockWait) = HarnessLock.exclusive {
       // Warm the session INSIDE the lock, before timing: first-job costs
       // (executor spin-up, codegen compiler, parquet footer reads)
       // otherwise land on whatever query runs first. The throwaway
@@ -277,7 +281,9 @@ object Bench {
       val loads = osBean.getSystemLoadAverage // right after the timed region
       ((rs, (probes ++ extra.iterator.flatMap(t =>
           Seq(t._2.pb, t._2.pa))).toSeq,
-        extra.toSeq, loads, evalRecallGate(), evalScaledRecallGate()))
+        extra.toSeq, loads, evalRecallGate(),
+        evalPinnedGate(PinnedRecallGate.Mixture20k),
+        evalPinnedGate(PinnedRecallGate.Uniform20k)))
     }
     val loadEnd = loadMid // snapshot taken right after the timed region
 
@@ -335,12 +341,16 @@ object Bench {
       s""""mrdf_recall_value":$vv,"mrdf_recall_min":$recallMin,""" +
         s""""mrdf_recall_gate":${if (ok) "\"PASS\"" else "\"FAIL\""},"""
     }.getOrElse("")
-    val scaledJson = scaledGate.map { case (v, w, ok) =>
-      val vv = String.format(java.util.Locale.ROOT, "%.4f", v)
-      s""""scaled_recall_20k":$vv,"scaled_recall_min":$scaledMin,""" +
-        s""""scaled_recall_wall_sec":${fmt(w)},""" +
-        s""""scaled_recall_gate":${if (ok) "\"PASS\"" else "\"FAIL\""},"""
-    }.getOrElse("")
+    def gateJson(g: PinnedRecallGate,
+        r: Option[(Double, Double, Boolean)]): String =
+      r.map { case (v, w, ok) =>
+        val vv = String.format(java.util.Locale.ROOT, "%.4f", v)
+        s""""${g.jsonPrefix}_20k":$vv,"${g.jsonPrefix}_min":${g.min},""" +
+          s""""${g.jsonPrefix}_wall_sec":${fmt(w)},""" +
+          s""""${g.jsonPrefix}_gate":${if (ok) "\"PASS\"" else "\"FAIL\""},"""
+      }.getOrElse("")
+    val scaledJson = gateJson(PinnedRecallGate.Mixture20k, scaledGate) +
+      gateJson(PinnedRecallGate.Uniform20k, uniformGate)
     val env =
       s""""passes":$passes,"pass_totals":$passTotalsJson,""" +
         s""""pass_load1":$passLoadsJson,""" +
@@ -393,61 +403,76 @@ object Bench {
     System.out.flush()
   }
 
-  /** Single source of truth for the per-round 20k recall gate: the
-    * pinned corpus, the MRDF parameters and the gate threshold used by
-    * BOTH `evalScaledRecallGate` and the SCALING.json stamp (round-10
-    * advice: re-literalizing them in `stampScaling` let the stamp
+  /** One pinned-corpus recall gate: the corpus spec, the MRDF
+    * parameters and the gate threshold used by BOTH the per-round
+    * evaluation and the SCALING.json stamp (round-10 advice:
+    * re-literalizing them in `stampScaling` let the stamp
     * desynchronize from the gate actually applied). */
-  private[graft] object ScaledGate {
-    val Min = 0.95
-    val Vectors = 20000
-    val Dim = 64
-    val Seed = 42L
-    val Clusters = 1000
+  private[graft] final case class PinnedRecallGate(
+      stampKey: String, jsonPrefix: String, label: String,
+      corpusPath: String, vectors: Int, dim: Int, seed: Long, clusters: Int,
+      min: Double) {
     def params: mrdf.Mrdf.Params = mrdf.Mrdf.Params(alpha = 12000)
-    val CorpusPath = "/root/repo/target/scaling/mix20k_seed42.fvecs"
-    /** The pinned FvecsGen mixture corpus, regenerated on demand and
+    /** The pinned FvecsGen corpus, regenerated on demand and
       * size-checked. */
     def corpus(spark: SparkSession): org.apache.spark.sql.DataFrame = {
-      val f = new java.io.File(CorpusPath)
-      val expectBytes = Vectors.toLong * (4L + 4L * Dim)
+      val f = new java.io.File(corpusPath)
+      val expectBytes = vectors.toLong * (4L + 4L * dim)
       if (!f.exists() || f.length() != expectBytes) {
         Option(f.getParentFile).foreach(_.mkdirs())
-        io.FvecsGen.write(CorpusPath, Vectors.toLong, Dim, Seed, Clusters)
+        io.FvecsGen.write(corpusPath, vectors.toLong, dim, seed, clusters)
       }
-      io.Fvecs.readAuto(spark, CorpusPath).toDF("vec_id", "embedding")
+      io.Fvecs.readAuto(spark, corpusPath).toDF("vec_id", "embedding")
     }
   }
 
-  /** Stamp the per-round 20k gate into SCALING.json (`round_gate_20k`),
+  private[graft] object PinnedRecallGate {
+    /** The representative clustered regime (round-9 verdict #4). */
+    val Mixture20k: PinnedRecallGate = PinnedRecallGate(
+      "round_gate_20k", "scaled_recall", "20k mixture",
+      "/root/repo/target/scaling/mix20k_seed42.fvecs",
+      20000, 64, 42L, 1000, min = 0.95)
+    /** The adversarial no-structure regime (round-10 verdict #6):
+      * uniform high-dim noise, every locality method's failure mode —
+      * pinned against regression instead of informational-only.
+      * Measured 0.9097 on round-11 HEAD at 20k / α=12000. */
+    val Uniform20k: PinnedRecallGate = PinnedRecallGate(
+      "round_gate_uniform_20k", "uniform_recall", "20k uniform",
+      "/root/repo/target/scaling/uni20k_seed42.fvecs",
+      20000, 64, 42L, 0, min = 0.85)
+  }
+
+  /** Stamp a per-round gate into SCALING.json (at `g.stampKey`),
     * read-modify-write through jackson so the rest of the artifact
     * survives byte-for-byte in content (formatting normalizes). Every
-    * parameter in the stamp comes from [[ScaledGate]] — the values the
-    * gate actually ran with. */
-  private def stampScaling(recall: Double, wallSec: Double, pass: Boolean): Unit = {
+    * parameter in the stamp comes from the gate definition — the
+    * values the gate actually ran with. */
+  private def stampScaling(g: PinnedRecallGate, recall: Double,
+      wallSec: Double, pass: Boolean): Unit = {
     try {
       val f = new java.io.File("/root/repo/SCALING.json")
       if (!f.exists()) return
-      val p = ScaledGate.params
+      val p = g.params
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(f)
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       val n = om.createObjectNode()
       n.put("what", "per-round multi-block recall gate, stamped by graft.Bench " +
         s"on every full-suite run: MRDF at k=${p.k}/rho=${p.rho}/alpha=${p.alpha} " +
-        s"over the pinned FvecsGen mixture corpus (${ScaledGate.Vectors} x " +
-        s"${ScaledGate.Dim}-dim, seed ${ScaledGate.Seed}, ${ScaledGate.Clusters} " +
-        "clusters), recall vs 256 sampled exact queries (fused TopKJoin)")
-      n.put("vectors", ScaledGate.Vectors)
-      n.put("dim", ScaledGate.Dim)
-      n.put("seed", ScaledGate.Seed)
-      n.put("clusters", ScaledGate.Clusters)
+        s"over the pinned FvecsGen ${g.label} corpus (${g.vectors} x " +
+        s"${g.dim}-dim, seed ${g.seed}, " +
+        (if (g.clusters > 0) s"${g.clusters} clusters" else "uniform noise") +
+        "), recall vs 256 sampled exact queries (fused TopKJoin)")
+      n.put("vectors", g.vectors)
+      n.put("dim", g.dim)
+      n.put("seed", g.seed)
+      n.put("clusters", g.clusters)
       n.put("alpha", p.alpha)
       n.put("recall", math.rint(recall * 10000) / 10000)
       n.put("wall_sec", math.rint(wallSec * 100) / 100)
-      n.put("gate_min", ScaledGate.Min)
+      n.put("gate_min", g.min)
       n.put("gate", if (pass) "PASS" else "FAIL")
-      root.set("round_gate_20k", n)
+      root.set(g.stampKey, n)
       om.writerWithDefaultPrettyPrinter().writeValue(f, root)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] SCALING.json stamp failed: ${e.getMessage}")

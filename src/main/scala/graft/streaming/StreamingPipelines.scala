@@ -550,6 +550,19 @@ object StreamingPipelines {
       .schema("doc_id BIGINT, lang STRING, text STRING, ingest_ts TIMESTAMP")
       .parquet(dir)
 
+  /** [[readDocsStream]] with one FILE per micro-batch — the reader the
+    * N-batch docs replays must use: without `maxFilesPerTrigger = 1`
+    * an AvailableNow file source drains EVERY available file into one
+    * micro-batch, silently collapsing the multi-batch replay (and its
+    * cross-batch state claim) to a single batch. Mirrors
+    * [[readEventsBatches]]; batch counts are asserted in the replay
+    * executors, not assumed. */
+  def readDocsBatches(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id BIGINT, lang STRING, text STRING, ingest_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
   /** File-source streaming read of events-shaped parquet. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
@@ -688,6 +701,20 @@ object StreamingPipelines {
     val finished = try q.awaitTermination(timeoutMs) finally q.stop()
     if (!finished)
       sys.error(s"streaming replay did not finish within ${timeoutMs} ms")
+  }
+
+  /** [[awaitOrFail]] + an executed-batch-count assertion: a multi-batch
+    * replay whose source silently drained in fewer data micro-batches
+    * than declared would still produce correct rows (the contracts are
+    * N-invariant) but falsify the cross-batch-state claim — assert it
+    * instead of assuming it. */
+  private def awaitBatches(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long, expectDataBatches: Int): Unit = {
+    awaitOrFail(q, timeoutMs)
+    val got = q.recentProgress.count(_.numInputRows > 0)
+    if (got != expectDataBatches)
+      sys.error(s"replay executed $got data micro-batches, " +
+        s"declared $expectDataBatches — multi-batch claim violated")
   }
 
   /** Per-user EWMA computed THROUGH streaming execution: the events
@@ -1200,12 +1227,12 @@ object StreamingPipelines {
       sentinelFinalBatch = false)
     val name = s"curate_declared_${declaredRuns.incrementAndGet()}"
     withReplayPartitions(spark) {
-      val q = curateStream(readDocsStream(spark, src))
+      val q = curateStream(readDocsBatches(spark, src))
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      awaitOrFail(q, 180000)
+      awaitBatches(q, 180000, expectDataBatches = 3)
     }
     val canon = graft.Tables.load(spark, dir, "documents")
       .groupBy(xxhash64(col("text")).as("content_hash"))
@@ -1232,12 +1259,12 @@ object StreamingPipelines {
     val name = s"decon_declared_${declaredRuns.incrementAndGet()}"
     withReplayPartitions(spark) {
       val q = decontaminateStream(
-          readDocsStream(spark, src).filter(col("doc_id") % 10 =!= 0), bench)
+          readDocsBatches(spark, src).filter(col("doc_id") % 10 =!= 0), bench)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      awaitOrFail(q, 180000)
+      awaitBatches(q, 180000, expectDataBatches = 3)
     }
     spark.table(name).orderBy(col("doc_id"))
   }
@@ -1261,13 +1288,14 @@ object StreamingPipelines {
     val name = s"incdedup_declared_${declaredRuns.incrementAndGet()}"
     try {
       withReplayPartitions(spark) {
-        val q = incrementalDedupStream(readDocsStream(spark, src),
+        val q = incrementalDedupStream(readDocsBatches(spark, src),
             posting, sizes, threshold = 0.1)
           .writeStream.format("memory").queryName(name)
           .outputMode(OutputMode.Append())
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 180000)
+        // two real arrival splits + the sentinel arrival
+        awaitBatches(q, 180000, expectDataBatches = 3)
       }
       // the memory sink holds the emitted rows; the posting blocks are
       // no longer referenced once the replay has terminated

@@ -256,10 +256,13 @@ class TwoBatchStreamSpec extends SparkSpec {
     val src = StreamingPipelines.buildDocsReplay(spark, docs,
       "graft-horizon-spec", batches = 2, sentinelFinalBatch = false)
     val q = StreamingPipelines.curateStream(
-        StreamingPipelines.readDocsStream(spark, src))
+        StreamingPipelines.readDocsBatches(spark, src))
       .writeStream.format("memory").queryName("horizon2b")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     assert(q.awaitTermination(120000))
+    // the duplicate pair straddles the batch boundary: the first-seen
+    // claim below is only meaningful under real multi-batch execution
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2)
     val got = spark.table("horizon2b")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     // first-seen survivor of the duplicate pair is doc 0 (it arrives in
