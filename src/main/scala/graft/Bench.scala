@@ -71,6 +71,39 @@ object Bench {
   private def Timed(wall: Double, cpu: Double, pb: Double, pa: Double): Timed =
     BenchAdjudicator.M(wall, cpu, pb, pa)
 
+  /** Execute a declared query for timing. `count()` is the cheap
+    * default, but Catalyst eliminates work under it that the query
+    * DECLARES — a final left-join decoration onto a unique-keyed
+    * aggregate is dropped entirely when only the row count is needed
+    * (caught round 11: q214's count() optimized to `count(documents)`,
+    * timing a bare parquet scan as 0.27 s while Verify ran the real
+    * pipeline). When counting eliminates any JOIN from the optimized
+    * plan, materialize every output row through `toRdd` instead, so
+    * the published number measures the declared work. Final global
+    * sorts remain excluded for the count()-measured majority (the
+    * presentation ORDER BY exists for the oracle diff, and excluding
+    * it keeps per-query numbers comparable with earlier rounds). */
+  /** Queries whose count() plan eliminated declared joins this run —
+    * measured via full row materialization instead; published in
+    * bench_detail so the action switch is visible in the artifact. */
+  private val rowMaterialized =
+    scala.collection.mutable.LinkedHashSet.empty[String]
+
+  private def materialize(name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def joins(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      p.collect { case j: Join => j }.size
+    val counted = df.groupBy().count()
+    if (joins(counted.queryExecution.optimizedPlan) <
+        joins(df.queryExecution.optimizedPlan)) {
+      rowMaterialized += name
+      df.queryExecution.toRdd.count(); ()
+    } else {
+      counted.collect(); ()
+    }
+  }
+
   private def runOne(spark: SparkSession, sfDir: String,
       name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       errors: scala.collection.mutable.LinkedHashMap[String, String])
@@ -80,7 +113,7 @@ object Bench {
     // Failures are recorded, not timed: a broken query must not
     // masquerade as a fast one in the benchmark output.
     var failed = false
-    try fn(spark, sfDir).count()
+    try materialize(name, fn(spark, sfDir))
     catch { case e: Throwable =>
       failed = true
       errors.getOrElseUpdate(name,
@@ -380,7 +413,10 @@ object Bench {
         ",",
         s""","lock_wait_sec":${fmt(lockWait)},"probe_sec_min":${fmt(probeMin)},""" +
           s""""pass_load1":$passLoadsJson,"load1_start":${fmt(loadStart)},""" +
-          s""""load1_end":${fmt(loadEnd)}}""")
+          s""""load1_end":${fmt(loadEnd)},""" +
+          // queries timed via full row materialization because count()
+          // eliminated their declared joins (action visible per artifact)
+          rowMaterialized.map(jq).mkString(""""row_materialized":[""", ",", "]}"))
     Files.writeString(Paths.get("/root/repo/bench_detail.json"), detail)
 
     spark.stop()
