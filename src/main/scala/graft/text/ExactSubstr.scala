@@ -113,8 +113,14 @@ object ExactSubstr {
     * Output: (doc_id, n_tokens, n_removed, text_dedup) for EVERY
     * document, order by doc_id. */
   def substrDedupText(docs: DataFrame, n: Int = MinTokens,
-                      maxOcc: Int = MaxOcc): DataFrame = {
-    val removed = sharedSubstrings(docs, n, maxOcc)
+                      maxOcc: Int = MaxOcc): DataFrame =
+    substrDedupTextFrom(docs, sharedSubstrings(docs, n, maxOcc))
+
+  /** [[substrDedupText]] over a PRECOMPUTED pair-span table — the
+    * declared q213/q214 share one [[graft.Materialized]] span build
+    * instead of running the gram/pair/chain pipeline twice. */
+  def substrDedupTextFrom(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val removed = spans
       .select(col("doc_b").as("doc_id"), col("b_start").as("s"),
         col("b_end").as("e"))
       .distinct() // the same occurrence may pair with several earlier docs
@@ -217,17 +223,26 @@ object ExactSubstr {
        |FROM w LEFT JOIN ka ON w.doc_id = ka.doc_id
        |ORDER BY w.doc_id""".stripMargin
 
+  /** The q213/q214-shared maximal-span table, built once per
+    * (process, sfDir) like the other shared family inputs. */
+  private def sharedSpansTable(s: org.apache.spark.sql.SparkSession,
+                               dir: String): DataFrame =
+    graft.Materialized.table(s, dir, "substr_spans")(
+      sharedSubstrings(Tables.load(s, dir, "documents")))
+
   val declared: Seq[Declared] = Seq(
     Declared(
       "q213_shared_substrings",
-      (s, dir) => sharedSubstrings(Tables.load(s, dir, "documents")),
+      (s, dir) => sharedSpansTable(s, dir)
+        .orderBy(col("doc_a"), col("a_start"), col("doc_b"), col("b_start")),
       Some(sharedSubstringsOracle(MinTokens, MaxOcc)),
       doc = "Maximal shared token substrings >= 50 tokens between document occurrence pairs (Lee et al. ExactSubstr, diagonal chain-merge over duplicated positional 50-grams) - the maximal-span rule is stated verbatim in the oracle's island CTEs"),
 
     Declared(
       "q214_substr_dedup_text",
-      (s, dir) => substrDedupText(Tables.load(s, dir, "documents")),
+      (s, dir) => substrDedupTextFrom(Tables.load(s, dir, "documents"),
+        sharedSpansTable(s, dir)),
       Some(substrDedupTextOracle(MinTokens, MaxOcc)),
-      doc = "Remove-span output of exact substring dedup: per-document surviving text after cutting every non-canonical (non-corpus-first) occurrence of each shared >= 50-token substring, overlapping ranges merged")
+      doc = "Remove-span output of exact substring dedup: per-document surviving text after cutting every non-canonical (non-corpus-first) occurrence of each shared >= 50-token substring, overlapping ranges merged; shares q213's materialized span table")
   )
 }
