@@ -161,4 +161,48 @@ class PlanSpecs extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "pair generation must be blocked on the learned cluster id")
   }
+
+  test("q213 exact-substring spans: pair generation is a gram-key equi-join, chain windows per diagonal") {
+    // audit the UNDERLYING pipeline (the declared query reads the
+    // materialized snapshot, whose plan is just a parquet scan)
+    val qe = graft.text.ExactSubstr.sharedSubstrings(
+      Tables.load(spark, sf0001, "documents")).queryExecution
+    val p = qe.executedPlan.toString
+    // occurrence pairs come from equi-joins on the gram hash — never a
+    // nested loop over positions, never an unblocked doc self-join
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "pair generation must equi-join on the gram key")
+    // the duplicated-gram filter is a COUNT aggregate (map-side
+    // combined), not a posting list
+    assert(!p.contains("collect_list"), "no posting lists ship")
+    // chain-merge windows partition by (doc_a, doc_b, d) — bounded by
+    // document length, never global
+    val global = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.forall(_.foldable) => w
+    }
+    assert(global.isEmpty, "diagonal chain windows must partition by pair+diagonal")
+    // the declared q213 reads the shared snapshot: one scan, no rebuild
+    val declared = Registry.byName("q213_shared_substrings")
+      .run(spark, sf0001).queryExecution.executedPlan.toString
+    assert(declared.contains("Scan parquet") || declared.contains("FileScan"),
+      "q213 must read the materialized span table")
+  }
+
+  test("q214 remove-span output: range cut is an anti-join keyed on doc_id, merge windows per doc") {
+    val qe = Registry.byName("q214_substr_dedup_text")
+      .run(spark, sf0001).queryExecution
+    val p = qe.executedPlan.toString
+    // the token cut anti-joins tokens against merged ranges WITH the
+    // doc_id equality — a pure nested-loop anti over (tokens × ranges)
+    // would be quadratic in corpus size
+    assert(p.contains("LeftAnti"), "span cut must be an anti join")
+    assert(!p.contains("BroadcastNestedLoopJoin LeftAnti"),
+      "anti join must key on doc_id (hash/broadcast-hash), not scan all ranges per token")
+    val global = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.forall(_.foldable) => w
+    }
+    assert(global.isEmpty, "range-merge windows must partition by doc_id")
+  }
 }
