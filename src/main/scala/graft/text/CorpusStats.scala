@@ -129,22 +129,39 @@ object CorpusStats {
     * BOUNDED key space (depth × width), so the whole sketch — build,
     * merge, probe — is one map-side-combined aggregation plus a probe
     * join, and nothing can drift cross-engine. The built-in-sketch
-    * form (q74) stays the throughput path. */
+    * form (q74) stays the throughput path.
+    *
+    * Row buckets derive Kirsch–Mitzenmacher-style from ONE md5 per
+    * token (two 56-bit lanes, `b_r = (h1 + r·h2) mod width`) — the
+    * same hoisted-lane convention as the portable Bloom
+    * ([[LineDedup.bloomDecontaminatePortable]]); the earlier form paid
+    * `depth` md5 computations per token, which the round-11 honest
+    * bench action exposed as the query's dominant cost. CMS's
+    * overestimate-only property is UNconditional (every row's counter
+    * includes the true count, min can only over-count); only the ε/δ
+    * independence analysis weakens under correlated rows — acceptable
+    * for the twin whose purpose is cross-engine replayability, proven
+    * by the overestimate/wide-exact spec either way. */
   def cmsPortable(docs: DataFrame, probes: Seq[String],
                   depth: Int = 4, width: Int = 1024): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def bucket(wCol: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
-      pmod(conv(substring(md5(concat(r.cast("string"), lit("|"), wCol)),
-        1, 15), 16, 10).cast("long"), lit(width.toLong))
-    val counters = docs
-      .select(explode(split(lower(col("text")), " ")).as("w"))
-      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("w"))
-      .select(col("r"), bucket(col("w"), col("r")).as("b"))
+    def lanes(df: DataFrame, wCol: String): DataFrame = df
+      .withColumn("cms_md5", md5(concat(lit("cms|"), col(wCol))))
+      .select(col(wCol),
+        conv(substring(col("cms_md5"), 1, 14), 16, 10).cast("long").as("h1"),
+        conv(substring(col("cms_md5"), 17, 14), 16, 10).cast("long").as("h2"))
+    def rowBuckets: org.apache.spark.sql.Column = posexplode(array(
+      (0 until depth).map(r =>
+        pmod(col("h1") + lit(r.toLong) * col("h2"), lit(width.toLong))): _*))
+    val counters = lanes(
+        docs.select(explode(split(lower(col("text")), " ")).as("w")), "w")
+      .select(rowBuckets)
+      .select(col("pos").as("r"), col("col").as("b"))
       .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
-    val probeRows = probes.toDF("word")
-      .select(col("word"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .select(col("word"), col("r"), bucket(col("word"), col("r")).as("b"))
+    val probeRows = lanes(probes.toDF("word"), "word")
+      .select(col("word"), rowBuckets)
+      .select(col("word"), col("pos").as("r"), col("col").as("b"))
     probeRows.join(counters, Seq("r", "b"), "left")
       .groupBy(col("word"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
@@ -156,13 +173,18 @@ object CorpusStats {
     val vals = probes.map(w => s"('$w')").mkString(", ")
     s"""WITH toks AS MATERIALIZED (
        |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+       |lanes AS MATERIALIZED (
+       |  SELECT CAST(('0x' || substr(md5('cms|' || w), 1, 14)) AS BIGINT) AS h1,
+       |         CAST(('0x' || substr(md5('cms|' || w), 17, 14)) AS BIGINT) AS h2
+       |  FROM toks),
        |cnts AS MATERIALIZED (
-       |  SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || w),
-       |           1, 15)) AS BIGINT) % $width AS b, count(*) AS cnt
-       |  FROM toks, range($depth) t(r) GROUP BY 1, 2),
+       |  SELECT r, (h1 + r * h2) % $width AS b, count(*) AS cnt
+       |  FROM lanes, range($depth) t(r) GROUP BY 1, 2),
        |p AS (
-       |  SELECT word, r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' ||
-       |           word), 1, 15)) AS BIGINT) % $width AS b
+       |  SELECT word, r,
+       |    (CAST(('0x' || substr(md5('cms|' || word), 1, 14)) AS BIGINT)
+       |     + r * CAST(('0x' || substr(md5('cms|' || word), 17, 14)) AS BIGINT))
+       |    % $width AS b
        |  FROM (VALUES $vals) v(word), range($depth) t(r))
        |SELECT word, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
        |FROM p LEFT JOIN cnts USING (r, b)
