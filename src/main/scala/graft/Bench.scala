@@ -89,20 +89,26 @@ object Bench {
   private val rowMaterialized =
     scala.collection.mutable.LinkedHashSet.empty[String]
 
-  private def materialize(name: String,
-      df: org.apache.spark.sql.DataFrame): Unit = {
+  /** True iff counting `df` would let Catalyst eliminate a declared
+    * join — the predicate deciding row-materialization; exposed for
+    * the spec that pins it against the q214 class. */
+  private[graft] def countEliminatesJoins(
+      df: org.apache.spark.sql.DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     def joins(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
       p.collect { case j: Join => j }.size
-    val counted = df.groupBy().count()
-    if (joins(counted.queryExecution.optimizedPlan) <
-        joins(df.queryExecution.optimizedPlan)) {
+    joins(df.groupBy().count().queryExecution.optimizedPlan) <
+      joins(df.queryExecution.optimizedPlan)
+  }
+
+  private def materialize(name: String,
+      df: org.apache.spark.sql.DataFrame): Unit =
+    if (countEliminatesJoins(df)) {
       rowMaterialized += name
       df.queryExecution.toRdd.count(); ()
     } else {
-      counted.collect(); ()
+      df.groupBy().count().collect(); ()
     }
-  }
 
   private def runOne(spark: SparkSession, sfDir: String,
       name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,

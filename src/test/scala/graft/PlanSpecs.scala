@@ -189,6 +189,22 @@ class PlanSpecs extends SparkSpec {
       "q213 must read the materialized span table")
   }
 
+  test("bench action dispatch: count()-eliminable decoration joins are row-materialized, plain plans are not") {
+    // q214's final left join onto a unique-keyed aggregate disappears
+    // under count() — Bench must time it via full materialization
+    assert(Bench.countEliminatesJoins(
+      Registry.byName("q214_substr_dedup_text").run(spark, sf0001)),
+      "q214's decoration join must trigger row-materialization")
+    // a join whose cardinality count() genuinely needs keeps the cheap
+    // count action (q03's fact join determines the row count)
+    assert(!Bench.countEliminatesJoins(
+      Registry.byName("q03_join_agg").run(spark, sf0001)),
+      "q03 must stay on the count() action")
+    // no-join plans trivially stay on count()
+    assert(!Bench.countEliminatesJoins(
+      Registry.byName("q01_pricing_summary").run(spark, sf0001)))
+  }
+
   test("q214 remove-span output: range cut is an anti-join keyed on doc_id, merge windows per doc") {
     val qe = Registry.byName("q214_substr_dedup_text")
       .run(spark, sf0001).queryExecution
