@@ -61,6 +61,7 @@ object Registry {
       graft.similarity.SemDeDup.declared ++
       graft.similarity.ContrastiveMining.declared ++
       graft.similarity.EmbeddingStats.declared ++
+      graft.similarity.VectorSearch.declared ++
       graft.multimodal.Multimodal.declared ++
       graft.mrdf.MrdfQueries.declared ++
       graft.SqlApi.declared

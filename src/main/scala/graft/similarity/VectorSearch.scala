@@ -1,0 +1,206 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, DuckSql, Tables}
+import graft.linalg.Distances
+
+/** Retrieval-side vector search operators: metadata-FILTERED top-k
+  * (the "search within a filter" query every vector store serves) and
+  * MMR diversified re-ranking (Carbonell & Goldstein 1998 — the
+  * standard redundancy-removal pass over an ANN shortlist).
+  *
+  * Both are exact and fully oracle-mirrorable: filtered search is the
+  * fused [[org.apache.spark.sql.graft.TopKJoin]] over a pre-filtered
+  * candidate side; MMR is a fixed-depth greedy loop whose every
+  * selection step is replayed as an unrolled CTE in the DuckDB oracle
+  * (the Lloyd's-loop convention — q175/q177).
+  */
+object VectorSearch {
+
+  private val K = 10
+
+  /** Top-k cosine neighbors per query among ONLY the candidates
+    * satisfying `candPred` — the pre-filter strategy, which is always
+    * exact regardless of the filter's selectivity.
+    *
+    * Why an operator and not "q30 with a WHERE": the naive alternative
+    * (post-filtering an UNfiltered top-k shortlist) silently under-fills
+    * or empties the result set as the filter sharpens — the planted
+    * spec demonstrates the miss. At scale the pre-filter composes with
+    * any ANN index that partitions by the filter column (label-blocked
+    * IVF lists); here the exact fused form is the oracle anchor.
+    *
+    * Scale shape: identical to q30 — the filtered candidate side
+    * broadcasts into the fused top-k node, the shuffle carries ≤ k rows
+    * per query; the candidate filter prunes BEFORE the broadcast, so a
+    * selective filter makes the operator cheaper, never broader. */
+  def filteredCosineTopK(emb: DataFrame, k: Int,
+      queryPred: Column, candPred: Column): DataFrame =
+    org.apache.spark.sql.graft.TopKJoin
+      .cosineTopK(emb.filter(queryPred), emb.filter(candPred), k)
+
+  /** Maximal-Marginal-Relevance re-rank: from each query's `kCand`
+    * exact-cosine shortlist, greedily select `kSel` results maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — relevance traded
+    * against redundancy with the already-picked set. First pick is pure
+    * relevance (empty selected set ⇒ diversity term 0). Ties break on
+    * (score desc, nbr asc); all sims are 6-dp-rounded BEFORE the
+    * combination, and the combination itself stays in raw doubles —
+    * identical IEEE ops on identical inputs — because RE-rounding a
+    * computed double at 6 dp is exactly where Spark's BigDecimal
+    * HALF_UP and DuckDB's double round diverge (a 0.2600395-class
+    * boundary value flipped the first replay of this oracle).
+    *
+    * Scale shape: the shortlist is k-bounded per query (localCheckpoint
+    * so the greedy steps re-plan over ≤ kCand rows per query, not the
+    * ANN join); each step is an anti-join + a per-(qid,nbr) max over
+    * ≤ kSel selected rows + a qid-partitioned argmax window — work
+    * per query is O(kCand·kSel), embarrassingly parallel across
+    * queries, nothing global. */
+  def mmrRerank(emb: DataFrame, kCand: Int = 2 * K, kSel: Int = 5,
+      lambda: Double = 0.7,
+      queryPred: Column = col("vec_id") < 20): DataFrame = {
+    require(kSel >= 1 && kCand >= kSel, s"need kCand >= kSel >= 1, got $kCand/$kSel")
+    val cands0 = org.apache.spark.sql.graft.TopKJoin
+      .cosineTopK(emb.filter(queryPred), emb, kCand)
+    val vecs = emb.select(col("vec_id").as("nbr"), col("embedding").as("cvec"))
+    val cands = cands0.join(vecs, "nbr")
+      .select(col("qid"), col("nbr"), col("sim"), col("cvec"))
+      .localCheckpoint()
+    val lam = lit(lambda)
+    val omLam = lit(1.0 - lambda)
+    val bySim = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nbr"))
+    val byScore = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nbr"))
+    val first = cands
+      .withColumn("rnk", row_number().over(bySim))
+      .filter(col("rnk") === 1)
+      .select(col("qid"), col("nbr"), col("sim"),
+        (lam * col("sim")).as("score"),
+        lit(1).as("mmr_rank"), col("cvec"))
+      .localCheckpoint()
+    var picks = List(first)
+    for (t <- 2 to kSel) {
+      val sel = picks.map(_.select(col("qid"), col("nbr"), col("cvec")))
+        .reduce(_ unionAll _)
+      val rem = cands.join(sel.select(col("qid"), col("nbr")),
+        Seq("qid", "nbr"), "left_anti")
+      val maxp = rem
+        .join(sel.select(col("qid"), col("nbr").as("snbr"),
+          col("cvec").as("svec")), Seq("qid"))
+        .groupBy(col("qid"), col("nbr"))
+        .agg(max(round(Distances.cosineSimilarity(col("cvec"), col("svec")), 6))
+          .as("maxp"))
+      val pick = rem.join(maxp, Seq("qid", "nbr"))
+        .withColumn("score",
+          lam * col("sim") - omLam * col("maxp"))
+        .withColumn("rnk", row_number().over(byScore))
+        .filter(col("rnk") === 1)
+        .select(col("qid"), col("nbr"), col("sim"), col("score"),
+          lit(t).as("mmr_rank"), col("cvec"))
+        .localCheckpoint()
+      picks = picks :+ pick
+    }
+    picks.map(_.drop("cvec")).reduce(_ unionAll _)
+      .orderBy(col("qid"), col("mmr_rank"))
+  }
+
+  private def filteredOracle(k: Int): String = {
+    val sim = DuckSql.cosineSimilarity("a.embedding", "b.embedding")
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nbr, round($sim, 6) AS sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 20 AND b.label % 2 = 0
+       |), ranked AS (
+       |  SELECT qid, nbr, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS rn
+       |  FROM pairs)
+       |SELECT qid, nbr, sim, CAST(rn AS INTEGER) AS rn
+       |FROM ranked WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
+  /** Generated mirror of [[mmrRerank]]: the `kCand` shortlist and the
+    * candidate-pairwise sims as CTEs, then every greedy step unrolled —
+    * step t scores the not-yet-selected candidates against sel(t−1)
+    * (max of 6-dp pairwise sims), argmax by (score desc, nbr). Same
+    * doubles on both engines: λ and 1−λ are printed with full
+    * precision, the combination is two multiplies and a subtract over
+    * 6-dp-rounded sims — NOT re-rounded (see [[mmrRerank]] doc). */
+  private def mmrOracle(kCand: Int, kSel: Int, lambda: Double): String = {
+    val cos = DuckSql.cosineSimilarity("a.embedding", "b.embedding")
+    val cosE = DuckSql.cosineSimilarity("e1.embedding", "e2.embedding")
+    // CAST keeps DuckDB from reading the constants as DECIMAL (its
+    // default for fractional literals) — the combination must run in
+    // IEEE doubles to match Spark's lit() arithmetic bit-for-bit;
+    // toString prints the full-precision value (1−0.7 is NOT 0.3).
+    val lam = s"CAST(${lambda.toString} AS DOUBLE)"
+    val om = s"CAST(${(1.0 - lambda).toString} AS DOUBLE)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH cand AS MATERIALIZED (
+         |  SELECT qid, nbr, sim FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nbr, round($cos, 6) AS sim,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round($cos, 6) DESC, b.vec_id) AS rn
+         |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |    WHERE a.vec_id < 20)
+         |  WHERE rn <= $kCand),
+         |psim AS MATERIALIZED (
+         |  SELECT c1.qid, c1.nbr AS n1, c2.nbr AS n2, round($cosE, 6) AS ps
+         |  FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.nbr <> c2.nbr
+         |  JOIN embeddings e1 ON e1.vec_id = c1.nbr
+         |  JOIN embeddings e2 ON e2.vec_id = c2.nbr),
+         |s1 AS MATERIALIZED (
+         |  SELECT qid, nbr, sim, $lam * sim AS score, 1 AS mmr_rank FROM (
+         |    SELECT qid, nbr, sim,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |sel1 AS (SELECT qid, nbr FROM s1)""".stripMargin)
+    for (t <- 2 to kSel) {
+      sb.append(
+        s""",
+           |sc$t AS (
+           |  SELECT c.qid, c.nbr, c.sim,
+           |    $lam * c.sim - $om * max(p.ps) AS score
+           |  FROM cand c
+           |  JOIN psim p ON p.qid = c.qid AND p.n1 = c.nbr
+           |  JOIN sel${t - 1} s ON s.qid = p.qid AND s.nbr = p.n2
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+           |                    WHERE x.qid = c.qid AND x.nbr = c.nbr)
+           |  GROUP BY c.qid, c.nbr, c.sim),
+           |s$t AS MATERIALIZED (
+           |  SELECT qid, nbr, sim, score, $t AS mmr_rank FROM (
+           |    SELECT qid, nbr, sim, score,
+           |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nbr) AS rn
+           |    FROM sc$t) WHERE rn = 1),
+           |sel$t AS (SELECT qid, nbr FROM sel${t - 1}
+           |          UNION ALL SELECT qid, nbr FROM s$t)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT qid, nbr, sim, score, CAST(mmr_rank AS INT) AS mmr_rank FROM (
+         |${(1 to kSel).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")})
+         |ORDER BY qid, mmr_rank""".stripMargin)
+    sb.toString
+  }
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q215_filtered_ann",
+      (s, dir) => filteredCosineTopK(Tables.load(s, dir, "embeddings"), K,
+        queryPred = col("vec_id") < 20, candPred = col("label") % 2 === 0)
+        .orderBy(col("qid"), col("rn")),
+      Some(filteredOracle(K)),
+      doc = "Metadata-filtered vector search: exact cosine top-k among only the candidates passing the filter (pre-filter strategy through the fused TopKJoin; post-filtering an unfiltered shortlist under-fills - planted spec)"),
+
+    Declared(
+      "q216_mmr_rerank",
+      (s, dir) => mmrRerank(Tables.load(s, dir, "embeddings")),
+      Some(mmrOracle(kCand = 2 * K, kSel = 5, lambda = 0.7)),
+      doc = "MMR diversified re-rank over the exact top-20 shortlist: greedy lambda*sim - (1-lambda)*max-redundancy selection of 5, every step replayed as an unrolled oracle CTE (6-dp sims, (score desc, nbr) ties)")
+  )
+}

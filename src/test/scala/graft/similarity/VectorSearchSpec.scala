@@ -1,0 +1,129 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.{Registry, SparkSpec, Tables}
+
+class VectorSearchSpec extends SparkSpec {
+
+  test("q215: neighbors pass the filter, ranks contiguous, equals the compositional window form") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val out = Registry.byName("q215_filtered_ann").run(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val evenIds = emb.filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    out.foreach { r =>
+      assert(r.getLong(0) < 20)
+      assert(evenIds.contains(r.getLong(1)),
+        s"nbr ${r.getLong(1)} fails the candidate filter")
+    }
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to 10), s"qid $q ranks")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = emb.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("nbr"), col("embedding").as("cv"))
+    val expect = q.join(c, col("qid") =!= col("nbr"))
+      .select(col("qid"), col("nbr"),
+        round(graft.linalg.Distances.cosineSimilarity(col("qv"), col("cv")), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got == expect)
+  }
+
+  test("q215 planted: post-filtering an unfiltered shortlist under-fills; pre-filter finds the true answer") {
+    import spark.implicits._
+    // query 100; its single nearest neighbor (1) fails the filter, a
+    // farther candidate (3) passes it. Pre-filter search must return 3;
+    // the naive post-filter of the unfiltered top-1 returns NOTHING —
+    // the failure mode that makes filtered search an operator, not a
+    // WHERE clause on the output.
+    val emb = Seq(
+      (100L, Seq(1f, 0f), 1),
+      (1L, Seq(0.99f, 0.14f), 1),
+      (2L, Seq(0.98f, 0.2f), 1),
+      (3L, Seq(0.5f, 0.86f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val filtered = VectorSearch.filteredCosineTopK(emb, 1,
+      queryPred = col("vec_id") === 100, candPred = col("label") % 2 === 0)
+      .collect()
+    assert(filtered.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 3L)))
+    val post = org.apache.spark.sql.graft.TopKJoin
+      .cosineTopK(emb.filter(col("vec_id") === 100), emb, 1)
+      .join(emb.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("nbr")), Seq("nbr"))
+    assert(post.count() == 0, "unfiltered-top1-then-filter must come back empty here")
+  }
+
+  test("q216 planted: the diversity term flips the second pick away from a redundant twin") {
+    import spark.implicits._
+    // candidates 1 and 2 are EXACT duplicates (mutual sim 1.0) close to
+    // the query; 3 is less relevant but diverse. Pure relevance order
+    // is 1,2,3; MMR at lambda=0.7 must pick 1, then 3 (twin 2's score
+    // 0.7*0.950 - 0.3*1.0 = 0.365 loses to 3's 0.7*0.900 - 0.3*0.719 =
+    // 0.414), then 2.
+    val emb = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(0.95f, 0.312f)),
+      (2L, Seq(0.95f, 0.312f)),
+      (3L, Seq(0.9f, -0.436f))
+    ).toDF("vec_id", "embedding")
+    val out = VectorSearch.mmrRerank(emb, kCand = 3, kSel = 3, lambda = 0.7,
+      queryPred = col("vec_id") === 0)
+      .collect().map(r => (r.getInt(4), r.getLong(1))).toMap
+    assert(out == Map(1 -> 1L, 2 -> 3L, 3 -> 2L),
+      s"expected MMR order 1,3,2 got $out")
+  }
+
+  test("q216 matches an independent local greedy reference (sf0.001, all 20 queries)") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = vecs.keys.filter(_ < 20).toSeq.sorted.flatMap { q =>
+      val cands = vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, r6(cos(vecs(q), vecs(n)))))
+        .sortBy { case (n, s) => (-s, n) }.take(20)
+      // pick 1 orders by (sim desc, nbr) — both engines special-case it
+      var selected = List(cands.head._1)
+      val picks = scala.collection.mutable.ArrayBuffer(
+        (q, cands.head._1, 1))
+      for (t <- 2 to 5) {
+        val scored = cands
+          .filterNot { case (n, _) => selected.contains(n) }
+          .map { case (n, s) =>
+            val maxRedundancy =
+              selected.map(sn => r6(cos(vecs(n), vecs(sn)))).max
+            // raw-double combination, mirroring both engines (no
+            // re-round — see the mmrRerank determinism note)
+            (n, 0.7 * s - (1.0 - 0.7) * maxRedundancy)
+          }
+        val (pick, _) = scored.minBy { case (n, sc) => (-sc, n) }
+        picks += ((q, pick, t))
+        selected = selected :+ pick
+      }
+      picks
+    }.toSet
+    val out = Registry.byName("q216_mmr_rerank").run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(out == expected)
+  }
+}
