@@ -221,4 +221,38 @@ class PlanSpecs extends SparkSpec {
     }
     assert(global.isEmpty, "range-merge windows must partition by doc_id")
   }
+
+  test("q215 filtered search runs through the fused TopKJoin, filter applied BEFORE the broadcast") {
+    val p = plan("q215_filtered_ann")
+    assert(p.contains("TopKJoin"),
+      s"filtered search must use the fused top-k node, not a pair window:\n$p")
+    assert(!p.contains("Window"),
+      "selection must be the fused aggregation, not a window over the pair stream")
+    // the label filter prunes BELOW the broadcast (a modulo predicate
+    // can't be a parquet PushedFilter, but it must evaluate at the
+    // candidate scan, before rows ship) — a selective filter makes the
+    // operator cheaper, never rides on the output
+    val bx = p.indexOf("BroadcastExchange")
+    val flt = p.indexOf("% 2) = 0")
+    assert(bx >= 0 && flt > bx,
+      s"candidate filter must sit under the broadcast side:\n$p")
+  }
+
+  test("q216 MMR greedy steps: qid-partitioned argmax windows only, shortlist never rebuilt") {
+    // the declared query's final frame is a union of checkpointed
+    // picks; audit the greedy machinery by rebuilding it on sf0.001
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val qe = graft.similarity.VectorSearch.mmrRerank(emb, kCand = 5,
+      kSel = 3, queryPred = org.apache.spark.sql.functions.col("vec_id") < 5)
+      .queryExecution
+    val global = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.forall(_.foldable) => w
+    }
+    assert(global.isEmpty, "MMR argmax windows must partition by qid")
+    // every greedy step replans over the CHECKPOINTED shortlist — the
+    // ANN join must not reappear in the final plan
+    assert(!qe.executedPlan.toString.contains("TopKJoin"),
+      "greedy steps must read the checkpointed shortlist, not re-run the ANN join")
+  }
 }
