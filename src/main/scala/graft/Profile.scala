@@ -85,6 +85,17 @@ object Profile {
     t("knn.fused") {
       org.apache.spark.sql.graft.TopKJoin.knn(vecs, vecs, 10).count()
     }
+    // retrieval family at FULL query scale (every vector a query, vs
+    // the declared 20-query subset) — the per-query-bounded claim of
+    // q215/q216 measured, for the SCALING.json retrieval entry
+    t("filtered.all-queries") {
+      graft.similarity.VectorSearch.filteredCosineTopK(vecs, 10,
+        queryPred = lit(true), candPred = col("label") % 2 === 0).count()
+    }
+    t("mmr.all-queries") {
+      graft.similarity.VectorSearch.mmrRerank(vecs, queryPred = lit(true))
+        .count()
+    }
     spark.stop()
   }
 }
