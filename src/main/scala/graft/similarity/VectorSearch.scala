@@ -63,11 +63,24 @@ object VectorSearch {
   def mmrRerank(emb: DataFrame, kCand: Int = 2 * K, kSel: Int = 5,
       lambda: Double = 0.7,
       queryPred: Column = col("vec_id") < 20): DataFrame = {
-    require(kSel >= 1 && kCand >= kSel, s"need kCand >= kSel >= 1, got $kCand/$kSel")
-    val cands0 = org.apache.spark.sql.graft.TopKJoin
-      .cosineTopK(emb.filter(queryPred), emb, kCand)
+    require(kCand >= kSel, s"need kCand >= kSel, got $kCand/$kSel")
+    mmrRerankFrom(emb,
+      org.apache.spark.sql.graft.TopKJoin
+        .cosineTopK(emb.filter(queryPred), emb, kCand),
+      kSel, lambda)
+  }
+
+  /** [[mmrRerank]] over a PRECOMPUTED shortlist — the production
+    * composition: any ANN index (IVF/LSH/PQ — their top-k outputs all
+    * share the (qid, nbr, sim) contract with 6-dp sims) feeds the same
+    * greedy diversifier the exact declared query anchors. `emb`
+    * supplies the candidate vectors for the pairwise redundancy term. */
+  def mmrRerankFrom(emb: DataFrame, shortlist: DataFrame,
+      kSel: Int = 5, lambda: Double = 0.7): DataFrame = {
+    require(kSel >= 1, s"need kSel >= 1, got $kSel")
     val vecs = emb.select(col("vec_id").as("nbr"), col("embedding").as("cvec"))
-    val cands = cands0.join(vecs, "nbr")
+    val cands = shortlist.select(col("qid"), col("nbr"), col("sim"))
+      .join(vecs, "nbr")
       .select(col("qid"), col("nbr"), col("sim"), col("cvec"))
       .localCheckpoint()
     val lam = lit(lambda)

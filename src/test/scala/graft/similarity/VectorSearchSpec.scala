@@ -126,4 +126,32 @@ class VectorSearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
     assert(out == expected)
   }
+
+  test("mmrRerankFrom composes with an ANN shortlist (the production path)") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val shortlist = Ann.ivfTopKOracled(emb, 20, queryPred = col("vec_id") < 20)
+      .select(col("qid"), col("nbr"), col("sim")).localCheckpoint()
+    val out = VectorSearch.mmrRerankFrom(emb, shortlist).collect()
+    // 5 picks per query, all drawn from the shortlist, rank 1 = the
+    // shortlist's relevance argmax
+    val slSet = shortlist.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 20)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(4)).sorted.toSeq == (1 to 5), s"qid $q ranks")
+      rows.foreach(r => assert(slSet.contains((q, r.getLong(1))),
+        s"pick outside the shortlist for qid $q"))
+    }
+    val top = shortlist.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r.getLong(1), r.getDouble(2)))
+          .minBy { case (n, s) => (-s, n) }._1
+      }
+    out.filter(_.getInt(4) == 1).foreach { r =>
+      assert(r.getLong(1) == top(r.getLong(0)),
+        s"rank-1 must be the shortlist relevance argmax for qid ${r.getLong(0)}")
+    }
+  }
 }
