@@ -63,7 +63,10 @@ object VectorSearch {
   def mmrRerank(emb: DataFrame, kCand: Int = 2 * K, kSel: Int = 5,
       lambda: Double = 0.7,
       queryPred: Column = col("vec_id") < 20): DataFrame = {
-    require(kCand >= kSel, s"need kCand >= kSel, got $kCand/$kSel")
+    // kCand < kSel (or a query with fewer than kSel candidates) is
+    // legal: the greedy loop exhausts the shortlist and the query
+    // yields min(kSel, candidates) ranks — pinned by the randomized
+    // truncation spec.
     mmrRerankFrom(emb,
       org.apache.spark.sql.graft.TopKJoin
         .cosineTopK(emb.filter(queryPred), emb, kCand),

@@ -127,6 +127,60 @@ class VectorSearchSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("q216 randomized: every pick maximizes the MMR objective given the previous picks; short shortlists truncate cleanly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(216)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // three corpora: normal, clustered (tie-rich: duplicated vectors),
+    // and one SMALLER than kSel+1 (truncation edge)
+    val corpora = Seq(
+      (0 until 30).map(i => i.toLong -> Array.fill(8)(rnd.nextGaussian().toFloat)),
+      (0 until 24).map { i =>
+        val base = Array.fill(8)((i % 3).toFloat + 1f)
+        i.toLong -> base.map(x => x + (if (i < 12) 0f else 0.01f * rnd.nextGaussian().toFloat))
+      },
+      (0 until 4).map(i => i.toLong -> Array.fill(8)(rnd.nextGaussian().toFloat)))
+    corpora.zipWithIndex.foreach { case (rows, ci) =>
+      val vecs = rows.toMap
+      val emb = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      val kSel = 5
+      val out = VectorSearch.mmrRerank(emb, kCand = rows.size - 1, kSel = kSel,
+          queryPred = col("vec_id") < 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+      (0L until 3L).foreach { q =>
+        val picks = out.filter(_._1 == q).sortBy(_._3).map(_._2).toSeq
+        val expectN = math.min(kSel, rows.size - 1)
+        assert(picks.size == expectN, s"corpus $ci qid $q pick count")
+        assert(picks.distinct == picks, s"corpus $ci qid $q duplicate pick")
+        // shortlist = all non-self candidates (kCand = n-1), rounded sims
+        val sims = vecs.keys.filter(_ != q).toSeq
+          .map(n => n -> r6(cos(vecs(q), vecs(n)))).toMap
+        picks.zipWithIndex.foreach { case (p, idx) =>
+          val selected = picks.take(idx)
+          val remaining = sims.keySet -- selected
+          def score(n: Long): Double =
+            if (selected.isEmpty) sims(n) // pick 1 = pure relevance
+            else 0.7 * sims(n) -
+              (1.0 - 0.7) * selected.map(s => r6(cos(vecs(n), vecs(s)))).max
+          val best = remaining.toSeq.minBy(n => (-score(n), n))
+          assert(p == best,
+            s"corpus $ci qid $q step ${idx + 1}: picked $p, objective argmax is $best")
+        }
+      }
+    }
+  }
+
   test("mmrRerankFrom composes with an ANN shortlist (the production path)") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val shortlist = Ann.ivfTopKOracled(emb, 20, queryPred = col("vec_id") < 20)
