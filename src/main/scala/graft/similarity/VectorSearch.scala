@@ -125,6 +125,68 @@ object VectorSearch {
       .orderBy(col("qid"), col("mmr_rank"))
   }
 
+  /** Group space for packing (qid, group) into the one Long key
+    * [[graft.agg.TopKByWeight.perId]] reduces over — guarded per-row
+    * (raise_error) so an out-of-range group can never silently alias
+    * another query's bucket. */
+  private val GroupSpace = 1L << 20
+
+  /** Field-collapsed top-k — the "at most `m` results per group"
+    * rule every search engine applies to keep one domain/source from
+    * monopolizing a result page (Elasticsearch field collapsing).
+    * Exact semantics: per (query, group) keep the `m` most similar
+    * candidates, then rank the survivors per query and keep `k`.
+    *
+    * Scale shape: the pair stream feeds the TopKByWeight k-min
+    * AGGREGATION keyed by the packed (qid, group) — map-side partial
+    * combine ships ≤ m rows per (query, group), never the candidate
+    * stream (the knn_bruteforce shape with a compound key); the final
+    * rank window runs over ≤ m·|groups| survivors per query. */
+  def collapsedCosineTopK(emb: DataFrame, k: Int, m: Int,
+      queryPred: Column): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("nbr"), col("embedding").as("cv"),
+      col("label").cast("long").as("grp"))
+    val pairs = q.join(broadcast(c), col("qid") =!= col("nbr"))
+      .select(col("qid"),
+        when(col("grp") >= 0 && col("grp") < GroupSpace, col("grp"))
+          .otherwise(raise_error(concat(lit("collapse group out of packing range: "),
+            col("grp")))).as("grp"),
+        col("nbr"),
+        round(Distances.cosineSimilarity(col("qv"), col("cv")), 6).as("sim"))
+    val perGroup = graft.agg.TopKByWeight.perId(
+        pairs.select((col("qid") * GroupSpace + col("grp")).as("id"),
+          col("nbr"), (-col("sim")).as("dist")), m)
+      .select(floor(col("id") / GroupSpace).cast("long").as("qid"),
+        (col("id") % GroupSpace).as("grp"), col("nbr"),
+        (-col("dist")).as("sim"))
+    graft.agg.TopKByWeight
+      .topKBySimilarity(perGroup.select(col("qid"), col("nbr"), col("sim")), k)
+      .join(perGroup.select(col("qid"), col("nbr"), col("grp")), Seq("qid", "nbr"))
+      .select(col("qid"), col("nbr"), col("grp"), col("sim"), col("rn"))
+  }
+
+  private def collapsedOracle(k: Int, m: Int): String = {
+    val sim = DuckSql.cosineSimilarity("a.embedding", "b.embedding")
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS qid, CAST(b.label AS BIGINT) AS grp,
+       |         b.vec_id AS nbr, round($sim, 6) AS sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 20),
+       |pg AS (
+       |  SELECT qid, grp, nbr, sim,
+       |    row_number() OVER (PARTITION BY qid, grp
+       |      ORDER BY sim DESC, nbr) AS gr
+       |  FROM pairs),
+       |top AS (
+       |  SELECT qid, nbr, grp, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS rn
+       |  FROM pg WHERE gr <= $m)
+       |SELECT qid, nbr, grp, sim, CAST(rn AS INT) AS rn
+       |FROM top WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
   private def filteredOracle(k: Int): String = {
     val sim = DuckSql.cosineSimilarity("a.embedding", "b.embedding")
     s"""WITH pairs AS (
@@ -212,6 +274,14 @@ object VectorSearch {
         .orderBy(col("qid"), col("rn")),
       Some(filteredOracle(K)),
       doc = "Metadata-filtered vector search: exact cosine top-k among only the candidates passing the filter (pre-filter strategy through the fused TopKJoin; post-filtering an unfiltered shortlist under-fills - planted spec)"),
+
+    Declared(
+      "q217_collapsed_topk",
+      (s, dir) => collapsedCosineTopK(Tables.load(s, dir, "embeddings"),
+        K, m = 2, queryPred = col("vec_id") < 20)
+        .orderBy(col("qid"), col("rn")),
+      Some(collapsedOracle(K, m = 2)),
+      doc = "Field-collapsed vector search: top-k with at most 2 results per label group (search-engine field collapsing) - per-(query,group) k-min via the packed-key TopKByWeight aggregation (<= m rows shuffle per group), global rank over the survivors"),
 
     Declared(
       "q216_mmr_rerank",

@@ -181,6 +181,60 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("q217: per-group cap holds, equals the compositional two-window form (sf0.001)") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val out = Registry.byName("q217_collapsed_topk").run(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // <= 2 per (qid, grp); ranks contiguous from 1
+    out.groupBy(r => (r.getLong(0), r.getLong(2))).foreach { case (k, rows) =>
+      assert(rows.size <= 2, s"group cap violated at $k")
+    }
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(4)).sorted.toSeq == (1 to rows.size), s"qid $q ranks")
+    }
+    // compositional reference: two windows over the raw pair stream
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"), col("grp")).orderBy(col("sim").desc, col("nbr"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("nbr"), col("embedding").as("cv"),
+      col("label").cast("long").as("grp"))
+    val expect = q.join(c, col("qid") =!= col("nbr"))
+      .select(col("qid"), col("grp"), col("nbr"),
+        round(graft.linalg.Distances.cosineSimilarity(col("qv"), col("cv")), 6)
+          .as("sim"))
+      .withColumn("gr", row_number().over(w1)).filter(col("gr") <= 2)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= 10)
+      .select(col("qid"), col("nbr"), col("grp"), col("sim"), col("rn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toSet
+    val got = out
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toSet
+    assert(got == expect)
+  }
+
+  test("q217 planted: the collapse swaps in a lower-sim candidate from another group") {
+    import spark.implicits._
+    // group 0 has the 3 most similar candidates; with m=2 the third
+    // must yield its slot to the best group-1 candidate
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 9),
+      (1L, Seq(0.99f, 0.1f), 0),
+      (2L, Seq(0.98f, 0.15f), 0),
+      (3L, Seq(0.97f, 0.2f), 0),
+      (4L, Seq(0.5f, 0.85f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorSearch.collapsedCosineTopK(emb, k = 3, m = 2,
+        queryPred = col("vec_id") === 0)
+      .orderBy(col("rn")).collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 0L), (2L, 0L), (4L, 1L)),
+      s"expected group-0 cap to admit candidate 4, got $out")
+  }
+
   test("mmrRerankFrom composes with an ANN shortlist (the production path)") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val shortlist = Ann.ivfTopKOracled(emb, 20, queryPred = col("vec_id") < 20)
