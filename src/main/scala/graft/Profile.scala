@@ -96,6 +96,10 @@ object Profile {
       graft.similarity.VectorSearch.mmrRerank(vecs, queryPred = lit(true))
         .count()
     }
+    t("collapsed.all-queries") {
+      graft.similarity.VectorSearch.collapsedCosineTopK(vecs, 10, 2,
+        queryPred = lit(true)).count()
+    }
     spark.stop()
   }
 }

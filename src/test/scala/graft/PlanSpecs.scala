@@ -238,6 +238,31 @@ class PlanSpecs extends SparkSpec {
       s"candidate filter must sit under the broadcast side:\n$p")
   }
 
+  test("q217 collapse: per-group top-m is the k-min aggregation over the pair stream, not a window") {
+    val p = plan("q217_collapsed_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "pair stream must come from the broadcast NL join")
+    // the per-(qid,group) reduction ships <= m rows per packed key —
+    // the typed TopKByWeight aggregate, with map-side partial combine
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"per-group top-m must be the typed k-min aggregation:\n$p")
+    // the only windows rank the ALREADY-REDUCED survivors: every
+    // Window node must sit above the aggregate, none over the raw
+    // pair join output
+    val qe = Registry.byName("q217_collapsed_topk").run(spark, sf0001)
+      .queryExecution
+    val badWindow = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.collectLeaves().size > 1 &&
+          w.collect {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            case o if o.getClass.getSimpleName.contains("SerializeFromObject") => o
+          }.isEmpty => w
+    }
+    assert(badWindow.isEmpty,
+      "no window may rank the raw pair stream - reduction must come first")
+  }
+
   test("q216 MMR greedy steps: qid-partitioned argmax windows only, shortlist never rebuilt") {
     // the declared query's final frame is a union of checkpointed
     // picks; audit the greedy machinery by rebuilding it on sf0.001
