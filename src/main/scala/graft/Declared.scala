@@ -62,6 +62,7 @@ object Registry {
       graft.similarity.ContrastiveMining.declared ++
       graft.similarity.EmbeddingStats.declared ++
       graft.similarity.VectorSearch.declared ++
+      graft.similarity.IvfIndexStore.declared ++
       graft.multimodal.Multimodal.declared ++
       graft.mrdf.MrdfQueries.declared ++
       graft.SqlApi.declared

@@ -318,7 +318,7 @@ object Ann {
   /** Exact cosine re-rank of (qid, qv, nbr, cv) candidates → top-k,
     * via the TopKByWeight partial aggregation (≤ k per query cross the
     * shuffle, not the whole candidate set). */
-  private def rerank(cands: DataFrame, k: Int): DataFrame =
+  private[similarity] def rerank(cands: DataFrame, k: Int): DataFrame =
     graft.agg.TopKByWeight.topKBySimilarity(
       cands.select(col("qid"), col("nbr"),
         round(Distances.cosineSimilarity(col("qv"), col("cv")), 6).as("sim")),

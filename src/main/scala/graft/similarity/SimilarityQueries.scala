@@ -241,7 +241,7 @@ object SimilarityQueries {
     sb.toString
   }
 
-  private def ivfKmeansPortableOracle(k: Int, nlist: Int, nprobe: Int,
+  private[similarity] def ivfKmeansPortableOracle(k: Int, nlist: Int, nprobe: Int,
                                       iters: Int): String = {
     def eucl(a: String, b: String) = DuckSql.euclidean(a, b)
     val sb = new StringBuilder
