@@ -126,10 +126,16 @@ object VectorSearch {
   }
 
   /** Group space for packing (qid, group) into the one Long key
-    * [[graft.agg.TopKByWeight.perId]] reduces over — guarded per-row
-    * (raise_error) so an out-of-range group can never silently alias
-    * another query's bucket. */
+    * [[graft.agg.TopKByWeight.perId]] reduces over — BOTH halves
+    * guarded per-row (raise_error) so an out-of-range group OR a
+    * negative/oversized qid can never silently alias another query's
+    * bucket (round-11 advice: a negative qid corrupted the packing
+    * through Spark's negative `%` remainder before the guard covered
+    * it). */
   private val GroupSpace = 1L << 20
+
+  /** Max packable qid: qid·GroupSpace + grp must not overflow Long. */
+  private val QidSpace = Long.MaxValue / GroupSpace
 
   /** Field-collapsed top-k — the "at most `m` results per group"
     * rule every search engine applies to keep one domain/source from
@@ -149,17 +155,22 @@ object VectorSearch {
     val c = emb.select(col("vec_id").as("nbr"), col("embedding").as("cv"),
       col("label").cast("long").as("grp"))
     val pairs = q.join(broadcast(c), col("qid") =!= col("nbr"))
-      .select(col("qid"),
+      .select(
+        when(col("qid") >= 0 && col("qid") < QidSpace, col("qid"))
+          .otherwise(raise_error(concat(lit("collapse qid out of packing range: "),
+            col("qid")))).as("qid"),
         when(col("grp") >= 0 && col("grp") < GroupSpace, col("grp"))
           .otherwise(raise_error(concat(lit("collapse group out of packing range: "),
             col("grp")))).as("grp"),
         col("nbr"),
         round(Distances.cosineSimilarity(col("qv"), col("cv")), 6).as("sim"))
+    // unpack in INTEGER ops (div/pmod): floor(id / const) routes the
+    // packed key through double division, which misrounds above 2^53
     val perGroup = graft.agg.TopKByWeight.perId(
         pairs.select((col("qid") * GroupSpace + col("grp")).as("id"),
           col("nbr"), (-col("sim")).as("dist")), m)
-      .select(floor(col("id") / GroupSpace).cast("long").as("qid"),
-        (col("id") % GroupSpace).as("grp"), col("nbr"),
+      .select(expr(s"id div ${GroupSpace}L").as("qid"),
+        pmod(col("id"), lit(GroupSpace)).as("grp"), col("nbr"),
         (-col("dist")).as("sim"))
     graft.agg.TopKByWeight
       .topKBySimilarity(perGroup.select(col("qid"), col("nbr"), col("sim")), k)

@@ -231,11 +231,30 @@ class PlanSpecs extends SparkSpec {
     // the label filter prunes BELOW the broadcast (a modulo predicate
     // can't be a parquet PushedFilter, but it must evaluate at the
     // candidate scan, before rows ship) — a selective filter makes the
-    // operator cheaper, never rides on the output
-    val bx = p.indexOf("BroadcastExchange")
-    val flt = p.indexOf("% 2) = 0")
-    assert(bx >= 0 && flt > bx,
-      s"candidate filter must sit under the broadcast side:\n$p")
+    // operator cheaper, never rides on the output. Assert on the TREE
+    // (round-11 advice: comparing flat-string offsets of the first
+    // BroadcastExchange could match the wrong node once a plan carries
+    // several): find the TopKJoinExec, take ITS broadcast child, and
+    // require the modulo filter inside that subtree.
+    val exec = Registry.byName("q215_filtered_ann").run(spark, sf0001)
+      .queryExecution.executedPlan
+    val unwrapped = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val topk = unwrapped.collect {
+      case t: org.apache.spark.sql.graft.TopKJoinExec => t
+    }
+    assert(topk.size == 1, s"expected exactly one TopKJoinExec:\n$p")
+    val bxs = topk.head.right.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bxs.nonEmpty,
+      s"candidate side must arrive through a BroadcastExchange:\n$p")
+    assert(bxs.head.toString.contains("% 2) = 0"),
+      s"the modulo candidate filter must sit under the TopKJoin's own " +
+        s"broadcast side:\n${bxs.head}")
   }
 
   test("q217 collapse: per-group top-m is the k-min aggregation over the pair stream, not a window") {

@@ -235,6 +235,34 @@ class VectorSearchSpec extends SparkSpec {
       s"expected group-0 cap to admit candidate 4, got $out")
   }
 
+  test("q217 packing guards: negative qid and out-of-range group both raise, never alias") {
+    import spark.implicits._
+    // round-11 advice: the grp guard existed but a negative qid slid
+    // through Spark's negative % into another query's bucket — both
+    // halves of the packed key must refuse out-of-range values loudly
+    val badQid = Seq(
+      (-1L, Seq(1f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.8f, 0.2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val e1 = intercept[Exception] {
+      VectorSearch.collapsedCosineTopK(badQid, k = 2, m = 1,
+        queryPred = col("vec_id") < 2).collect()
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("qid out of packing range"),
+      s"negative qid must raise the packing guard, got: ${e1.getMessage}")
+    val badGrp = Seq(
+      (0L, Seq(1f, 0f), -3),
+      (1L, Seq(0.9f, 0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val e2 = intercept[Exception] {
+      VectorSearch.collapsedCosineTopK(badGrp, k = 2, m = 1,
+        queryPred = col("vec_id") < 2).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("group out of packing range"),
+      s"negative group must raise the packing guard, got: ${e2.getMessage}")
+  }
+
   test("mmrRerankFrom composes with an ANN shortlist (the production path)") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val shortlist = Ann.ivfTopKOracled(emb, 20, queryPred = col("vec_id") < 20)
