@@ -268,8 +268,7 @@ object Bench {
       } else None
 
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val ((passResults, allProbes, remeasured, loadMid, recallGate, scaledGate,
-        uniformGate), lockWait) = HarnessLock.exclusive {
+    HarnessLock.exclusiveWithWait { lockWait =>
       // Warm the session INSIDE the lock, before timing: first-job costs
       // (executor spin-up, codegen compiler, parquet footer reads)
       // otherwise land on whatever query runs first. The throwaway
@@ -278,7 +277,7 @@ object Bench {
       Tables.load(spark, sfDir, "region").count()
       probe(spark, nCpus)
       val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val rs = (1 to passes).map { p =>
+      val passResults = (1 to passes).map { p =>
         passLoads += osBean.getSystemLoadAverage
         if (p > 1) Materialized.reset() // later passes re-pay shared tables
         val (r, pr) = runPass(spark, sfDir, nCpus, only, errors)
@@ -297,7 +296,7 @@ object Bench {
       def minProbe: Double = (probes ++ extra.iterator.flatMap(t =>
         Seq(t._2.pb, t._2.pa))).min
       def suspects: Seq[String] = {
-        val byName = (rs.flatten ++ extra).groupBy(_._1)
+        val byName = (passResults.flatten ++ extra).groupBy(_._1)
         byName.collect { case (n, ms)
           if BenchAdjudicator.isSuspect(ms.map(_._2), minProbe, SuspectFloorSec)
           => n
@@ -317,132 +316,191 @@ object Bench {
           extra += name -> Timed(w, c, pb, pa)
         }
       }
-      val loads = osBean.getSystemLoadAverage // right after the timed region
-      ((rs, (probes ++ extra.iterator.flatMap(t =>
-          Seq(t._2.pb, t._2.pa))).toSeq,
-        extra.toSeq, loads, evalRecallGate(),
-        evalPinnedGate(PinnedRecallGate.Mixture20k),
-        evalPinnedGate(PinnedRecallGate.Uniform20k)))
+      val loadEnd = osBean.getSystemLoadAverage // right after the timed region
+      val remeasured = extra.toSeq
+      val allProbes = (probes ++ remeasured.iterator.flatMap(t =>
+        Seq(t._2.pb, t._2.pa))).toSeq
+
+      val probeMin = allProbes.min
+      val allByName: Map[String, Seq[Timed]] =
+        (passResults.flatten ++ remeasured).groupBy(_._1)
+          .map { case (n, ms) => n -> ms.map(_._2) }
+      // headline per query: the adjudicated publish value — min wall over
+      // measurements that pass BOTH noise signals when that min agrees
+      // with the global min; the global min (flagged below) otherwise;
+      // -1 if any pass failed (round-10 verdict #1: the previous
+      // min-across-everything could publish a probe-dirty value)
+      val order = passResults.head.map(_._1)
+      val published: Seq[(String, (Double, Boolean))] = order.map { name =>
+        name -> BenchAdjudicator.publish(allByName(name), probeMin)
+      }
+      val pmin: Seq[(String, Double)] = published.map { case (n, (v, _)) => n -> v }
+      // noise_suspect: queries with NO publishable clean measurement —
+      // their headline numbers are unadjudicated bounds, not clean
+      // measurements (sub-floor queries exempt: their absolute error is
+      // bounded by their own size)
+      val noiseSuspect = order.filter { n =>
+        BenchAdjudicator.isSuspect(allByName(n), probeMin, SuspectFloorSec)
+      }
+      // count of headline values provably from a clean window — with
+      // noise_suspect and the sub-floor exemption this reconciles the
+      // whole artifact: published_clean_n + |noise_suspect| + sub-floor
+      // + failed = query count
+      val publishedCleanN = published.count(_._2._2)
+      val cpuTotal = (passResults.flatten ++ remeasured).map(_._2.cpu).sum
+
+      val qs = pmin.map { case (k, v) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+      val total = pmin.collect { case (_, v) if v >= 0 => v }.sum
+      def passTotal(r: Seq[(String, Timed)]): Double =
+        r.collect { case (_, t) if t.wall >= 0 => t.wall }.sum
+      val passTotalsJson = passResults.map(r => fmt(passTotal(r))).mkString("[", ",", "]")
+      val passLoadsJson = passLoads.map(fmt).mkString("[", ",", "]")
+      val noiseJson =
+        if (noiseSuspect.isEmpty) ""
+        else noiseSuspect.map(jq).mkString(""""noise_suspect":[""", ",", "],")
+
+      // The full line goes to bench_out.json and stdout for humans;
+      // the length-budgeted COMPACT line prints LAST for the driver's
+      // ~2000-char stdout tail parser ([[renderCompact]]).
+      def emit(gateFields: String): Unit = {
+        val errJson =
+          if (errors.isEmpty) ""
+          else errors.map { case (k, v) => jq(k) + ":" + jq(v) }
+            .mkString(""""failed":{""", ",", "},")
+        val env = envString(passes, passTotalsJson, passLoadsJson,
+          probeMin, allProbes.max, remeasured.size, publishedCleanN,
+          noiseJson, lockWait, cpuTotal, loadStart, loadEnd, gateFields, cpus)
+        val line = fullLine(total, qs, env, errJson, sfDir)
+        Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
+        println(line)
+        println(renderCompact(pmin, total, env, errJson, sfDir))
+        System.out.flush()
+      }
+
+      // EMIT BEFORE THE GATES (round-11 verdict #8): the ~2-minute
+      // untimed recall gates below can never delay, distort or — if
+      // one hangs or kills the JVM — destroy the query artifact the
+      // driver parses. The pre-gate lines are a complete artifact; the
+      // post-gate re-emission (same line + gate fields + any gate
+      // errors) supersedes it as the final stdout tail on success.
+      emit("")
+
+      // Untimed per-round gates — still INSIDE the harness lock
+      // (round-8 advice: a post-lock gate could co-run with a
+      // concurrent Verify). Results stamp SCALING.json as they run.
+      val recallGate = evalRecallGate()
+      val scaledGate = evalPinnedGate(PinnedRecallGate.Mixture20k)
+      val uniformGate = evalPinnedGate(PinnedRecallGate.Uniform20k)
+      val gateFields = recallGate.map { case (v, ok) =>
+        recallGateJson(v, recallMin, ok)
+      }.getOrElse("") +
+        pinnedGateJson(PinnedRecallGate.Mixture20k, scaledGate) +
+        pinnedGateJson(PinnedRecallGate.Uniform20k, uniformGate)
+      emit(gateFields)
+
+      // Full per-pass detail (wall + process-CPU + probe brackets per
+      // query per pass, plus the re-measure rows) for post-hoc contention
+      // adjudication; not parsed by the driver.
+      def detailMap(r: Seq[(String, Timed)]): String =
+        r.map { case (k, t) =>
+          jq(k) + s""":{"wall":${fmt(t.wall)},"cpu":${fmt(t.cpu)},""" +
+            s""""pb":${fmt(t.pb)},"pa":${fmt(t.pa)}}"""
+        }.mkString("{", ",", "}")
+      val detail = (passResults.zipWithIndex.map { case (r, i) =>
+        s""""pass${i + 1}":${detailMap(r)}"""
+      } :+ s""""remeasure":${detailMap(remeasured)}""")
+        .mkString("{",
+          ",",
+          s""","lock_wait_sec":${fmt(lockWait)},"probe_sec_min":${fmt(probeMin)},""" +
+            s""""pass_load1":$passLoadsJson,"load1_start":${fmt(loadStart)},""" +
+            s""""load1_end":${fmt(loadEnd)},""" +
+            // queries timed via full row materialization because count()
+            // eliminated their declared joins (action visible per artifact)
+            rowMaterialized.map(jq).mkString(""""row_materialized":[""", ",", "]}"))
+      Files.writeString(Paths.get("/root/repo/bench_detail.json"), detail)
     }
-    val loadEnd = loadMid // snapshot taken right after the timed region
-
-    val probeMin = allProbes.min
-    val allByName: Map[String, Seq[Timed]] =
-      (passResults.flatten ++ remeasured).groupBy(_._1)
-        .map { case (n, ms) => n -> ms.map(_._2) }
-    // headline per query: the adjudicated publish value — min wall over
-    // measurements that pass BOTH noise signals when that min agrees
-    // with the global min; the global min (flagged below) otherwise;
-    // -1 if any pass failed (round-10 verdict #1: the previous
-    // min-across-everything could publish a probe-dirty value)
-    val order = passResults.head.map(_._1)
-    val published: Seq[(String, (Double, Boolean))] = order.map { name =>
-      name -> BenchAdjudicator.publish(allByName(name), probeMin)
-    }
-    val pmin: Seq[(String, Double)] = published.map { case (n, (v, _)) => n -> v }
-    // noise_suspect: queries with NO publishable clean measurement —
-    // their headline numbers are unadjudicated bounds, not clean
-    // measurements (sub-floor queries exempt: their absolute error is
-    // bounded by their own size)
-    val noiseSuspect = order.filter { n =>
-      BenchAdjudicator.isSuspect(allByName(n), probeMin, SuspectFloorSec)
-    }
-    // count of headline values provably from a clean window — with
-    // noise_suspect and the sub-floor exemption this reconciles the
-    // whole artifact: published_clean_n + |noise_suspect| + sub-floor
-    // + failed = query count
-    val publishedCleanN = published.count(_._2._2)
-    val cpuTotal = (passResults.flatten ++ remeasured).map(_._2.cpu).sum
-
-    def jq(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString) + "\""
-    // 2-decimal timings keep the whole line well under the driver's
-    // ~2000-char stdout tail window at any query count; "failed" is
-    // emitted only when non-empty for the same reason. Locale.ROOT:
-    // a comma-decimal default locale would emit invalid JSON.
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
-
-    val qs = pmin.map { case (k, v) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
-    val errJson =
-      if (errors.isEmpty) ""
-      else errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString(""""failed":{""", ",", "},")
-    val total = pmin.collect { case (_, v) if v >= 0 => v }.sum
-    def passTotal(r: Seq[(String, Timed)]): Double =
-      r.collect { case (_, t) if t.wall >= 0 => t.wall }.sum
-    val passTotalsJson = passResults.map(r => fmt(passTotal(r))).mkString("[", ",", "]")
-    val passLoadsJson = passLoads.map(fmt).mkString("[", ",", "]")
-    val noiseJson =
-      if (noiseSuspect.isEmpty) ""
-      else noiseSuspect.map(jq).mkString(""""noise_suspect":[""", ",", "],")
-    val recallJson = recallGate.map { case (v, ok) =>
-      val vv = String.format(java.util.Locale.ROOT, "%.4f", v)
-      s""""mrdf_recall_value":$vv,"mrdf_recall_min":$recallMin,""" +
-        s""""mrdf_recall_gate":${if (ok) "\"PASS\"" else "\"FAIL\""},"""
-    }.getOrElse("")
-    def gateJson(g: PinnedRecallGate,
-        r: Option[(Double, Double, Boolean)]): String =
-      r.map { case (v, w, ok) =>
-        val vv = String.format(java.util.Locale.ROOT, "%.4f", v)
-        s""""${g.jsonPrefix}_20k":$vv,"${g.jsonPrefix}_min":${g.min},""" +
-          s""""${g.jsonPrefix}_wall_sec":${fmt(w)},""" +
-          s""""${g.jsonPrefix}_gate":${if (ok) "\"PASS\"" else "\"FAIL\""},"""
-      }.getOrElse("")
-    val scaledJson = gateJson(PinnedRecallGate.Mixture20k, scaledGate) +
-      gateJson(PinnedRecallGate.Uniform20k, uniformGate)
-    val env =
-      s""""passes":$passes,"pass_totals":$passTotalsJson,""" +
-        s""""pass_load1":$passLoadsJson,""" +
-        s""""probe_sec_min":${fmt(probeMin)},"probe_sec_max":${fmt(allProbes.max)},""" +
-        s""""remeasured_n":${remeasured.size},"published_clean_n":$publishedCleanN,""" +
-        noiseJson +
-        s""""lock_wait_sec":${fmt(lockWait)},"cpu_sec":${fmt(cpuTotal)},""" +
-        s""""load1_start":${fmt(loadStart)},"load1_end":${fmt(loadEnd)},""" +
-        recallJson + scaledJson +
-        s""""cpus":$cpus,"""
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$env$errJson"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
-
-    // Full per-pass detail (wall + process-CPU + probe brackets per
-    // query per pass, plus the re-measure rows) for post-hoc contention
-    // adjudication; not parsed by the driver.
-    def detailMap(r: Seq[(String, Timed)]): String =
-      r.map { case (k, t) =>
-        jq(k) + s""":{"wall":${fmt(t.wall)},"cpu":${fmt(t.cpu)},""" +
-          s""""pb":${fmt(t.pb)},"pa":${fmt(t.pa)}}"""
-      }.mkString("{", ",", "}")
-    val detail = (passResults.zipWithIndex.map { case (r, i) =>
-      s""""pass${i + 1}":${detailMap(r)}"""
-    } :+ s""""remeasure":${detailMap(remeasured)}""")
-      .mkString("{",
-        ",",
-        s""","lock_wait_sec":${fmt(lockWait)},"probe_sec_min":${fmt(probeMin)},""" +
-          s""""pass_load1":$passLoadsJson,"load1_start":${fmt(loadStart)},""" +
-          s""""load1_end":${fmt(loadEnd)},""" +
-          // queries timed via full row materialization because count()
-          // eliminated their declared joins (action visible per artifact)
-          rowMaterialized.map(jq).mkString(""""row_materialized":[""", ",", "]}"))
-    Files.writeString(Paths.get("/root/repo/bench_detail.json"), detail)
 
     spark.stop()
-    // The driver parses the LAST ~2000 stdout chars; at 127 queries the
-    // full per-query map is ~3 kB and would truncate mid-line. Print
-    // the full line first (and persist it in bench_out.json), then a
-    // COMPACT, self-reconciling JSON line LAST: the slowest `keep`
-    // queries verbatim plus the remainder folded into "other_sec" /
-    // "other_n" — same schema, guaranteed under the tail window.
-    println(line)
-    val keep = 50
-    val (slow, rest) = pmin.sortBy { case (_, v) => -v }.splitAt(keep)
-    val compactQs = slow.map { case (k, v) => jq(k) + ":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val restSum = rest.collect { case (_, v) if v >= 0 => v }.sum
-    val compact =
+  }
+
+  /** JSON string literal. */
+  private[graft] def jq(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString) + "\""
+
+  /** 2-decimal seconds; Locale.ROOT because a comma-decimal default
+    * locale would emit invalid JSON. */
+  private[graft] def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", v)
+
+  /** The shared environment fields of both summary lines. */
+  private[graft] def envString(passes: Int, passTotalsJson: String,
+      passLoadsJson: String, probeMin: Double, probeMax: Double,
+      remeasuredN: Int, publishedCleanN: Int, noiseJson: String,
+      lockWait: Double, cpuSec: Double, load1Start: Double,
+      load1End: Double, gateFields: String, cpus: String): String =
+    s""""passes":$passes,"pass_totals":$passTotalsJson,""" +
+      s""""pass_load1":$passLoadsJson,""" +
+      s""""probe_sec_min":${fmt(probeMin)},"probe_sec_max":${fmt(probeMax)},""" +
+      s""""remeasured_n":$remeasuredN,"published_clean_n":$publishedCleanN,""" +
+      noiseJson +
+      s""""lock_wait_sec":${fmt(lockWait)},"cpu_sec":${fmt(cpuSec)},""" +
+      s""""load1_start":${fmt(load1Start)},"load1_end":${fmt(load1End)},""" +
+      gateFields +
+      s""""cpus":$cpus,"""
+
+  private[graft] def recallGateJson(v: Double, min: Double, ok: Boolean): String = {
+    val vv = String.format(java.util.Locale.ROOT, "%.4f", v)
+    s""""mrdf_recall_value":$vv,"mrdf_recall_min":$min,""" +
+      s""""mrdf_recall_gate":${if (ok) "\"PASS\"" else "\"FAIL\""},"""
+  }
+
+  private[graft] def pinnedGateJson(g: PinnedRecallGate,
+      r: Option[(Double, Double, Boolean)]): String =
+    r.map { case (v, w, ok) =>
+      val vv = String.format(java.util.Locale.ROOT, "%.4f", v)
+      s""""${g.jsonPrefix}_20k":$vv,"${g.jsonPrefix}_min":${g.min},""" +
+        s""""${g.jsonPrefix}_wall_sec":${fmt(w)},""" +
+        s""""${g.jsonPrefix}_gate":${if (ok) "\"PASS\"" else "\"FAIL\""},"""
+    }.getOrElse("")
+
+  private[graft] def fullLine(total: Double, qs: String, env: String,
+      errJson: String, sfDir: String): String =
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$env$errJson"sf":"$sfDir"}"""
+
+  /** Driver tail budget for the compact line, in chars. The driver
+    * parses the LAST ~2000 stdout chars; a fixed keep=50 overran it in
+    * round 11 (1,849 chars in r10 → >1,999 after the uniform-gate quad
+    * and `published_clean_n` landed) and BENCH_r11.parsed came back
+    * null — the BENCH_r01–r03 failure class recurring. 1,800 leaves
+    * headroom for the trailing newline and any sbt epilogue chars. */
+  private[graft] val CompactBudgetChars = 1800
+  private val CompactKeepMax = 50
+
+  /** The driver-facing COMPACT summary line: the slowest `keep`
+    * queries verbatim plus the remainder folded into `other_sec` /
+    * `other_n` — and `keep` now AUTO-SHRINKS until the rendered line
+    * fits the budget, so adding queries or gate fields can never push
+    * the line past the tail window again (round-11 verdict #1; the
+    * bound is pinned by BenchLineSpec at 300-query scale). */
+  private[graft] def renderCompact(pmin: Seq[(String, Double)], total: Double,
+      env: String, errJson: String, sfDir: String,
+      budgetChars: Int = CompactBudgetChars): String = {
+    def render(keep: Int): String = {
+      val (slow, rest) = pmin.sortBy { case (_, v) => -v }.splitAt(keep)
+      val compactQs = slow.map { case (k, v) => jq(k) + ":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val restSum = rest.collect { case (_, v) if v >= 0 => v }.sum
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,""" +
         s""""other_n":${rest.size},"other_sec":${fmt(restSum)},$env$errJson"sf":"$sfDir"}"""
-    println(compact)
-    System.out.flush()
+    }
+    var keep = math.min(CompactKeepMax, pmin.size)
+    var line = render(keep)
+    while (line.length > budgetChars && keep > 0) {
+      keep -= 1
+      line = render(keep)
+    }
+    line
   }
 
   /** One pinned-corpus recall gate: the corpus spec, the MRDF

@@ -19,6 +19,15 @@ object HarnessLock {
 
   /** Run `f` holding the lock; returns (result, seconds spent waiting). */
   def exclusive[T](f: => T): (T, Double) = {
+    val r = exclusiveWithWait(w => (f, w))
+    r
+  }
+
+  /** Run `f(waitedSeconds)` holding the lock — the wait is handed INTO
+    * the block, so a caller that must emit artifacts before its block
+    * ends (Bench: the driver line goes out before the untimed gates
+    * run) can include it. */
+  def exclusiveWithWait[T](f: Double => T): T = {
     val ch = FileChannel.open(Paths.get(LockPath),
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     val t0 = System.nanoTime()
@@ -27,7 +36,7 @@ object HarnessLock {
     if (waited > 1.0)
       System.err.println(f"[harness-lock] waited $waited%.1f s for a " +
         "concurrent Bench/Verify to finish")
-    try (f, waited)
+    try f(waited)
     finally { lock.release(); ch.close() }
   }
 }

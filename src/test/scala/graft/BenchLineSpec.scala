@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver-artifact contract of the COMPACT bench summary
+  * line: the driver parses the LAST ~2000 stdout chars, and a fixed
+  * keep=50 overran that window in round 11 (after the uniform-gate
+  * quad + `published_clean_n` landed), nulling BENCH_r11.parsed — the
+  * third recurrence of the BENCH_r01–r03 failure class. The line now
+  * auto-shrinks its verbatim-query count until it fits
+  * [[Bench.CompactBudgetChars]]; these tests assert the bound at
+  * 300-query scale with EVERY optional field present, so growth in
+  * queries or gate fields can never silently push the artifact past
+  * the tail window again. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def allGateFields: String =
+    Bench.recallGateJson(0.8089, 0.75, ok = true) +
+      Bench.pinnedGateJson(Bench.PinnedRecallGate.Mixture20k,
+        Some((0.9794, 72.93, true))) +
+      Bench.pinnedGateJson(Bench.PinnedRecallGate.Uniform20k,
+        Some((0.9097, 66.21, true)))
+
+  private def envAllFields(noiseJson: String): String =
+    Bench.envString(passes = 3,
+      passTotalsJson = "[342.10,224.00,219.30]",
+      passLoadsJson = "[5.70,1.20,0.80]",
+      probeMin = 0.41, probeMax = 23.20,
+      remeasuredN = 12, publishedCleanN = 300,
+      noiseJson = noiseJson,
+      lockWait = 123.45, cpuSec = 4200.55,
+      load1Start = 5.70, load1End = 0.80,
+      gateFields = allGateFields, cpus = "32")
+
+  test("compact line fits the tail budget at 300 queries with every gate field present") {
+    val pmin = (1 to 300).map(i =>
+      (f"q$i%03d_reasonably_long_query_name", 300.37 - i * 0.37))
+    val total = pmin.collect { case (_, v) if v >= 0 => v }.sum
+    val line = Bench.renderCompact(pmin, total, envAllFields(""), "",
+      "/root/testdata/sf0.1")
+    assert(line.length <= Bench.CompactBudgetChars,
+      s"compact line is ${line.length} chars > budget ${Bench.CompactBudgetChars}")
+    val root = om.readTree(line)
+    assert(root.get("metric").asText() == "total")
+    assert(root.get("unit").asText() == "sec")
+    // self-reconciling: shown queries + folded remainder = all queries
+    assert(root.get("queries").size() + root.get("other_n").asInt() == 300)
+    assert(root.get("queries").size() > 0,
+      "the budget must still leave room for the slowest queries verbatim")
+    // the gate fields survived the shrink — they are part of the artifact
+    assert(root.get("mrdf_recall_gate").asText() == "PASS")
+    assert(root.get("scaled_recall_gate").asText() == "PASS")
+    assert(root.get("uniform_recall_gate").asText() == "PASS")
+    assert(root.get("published_clean_n").asInt() == 300)
+    // value reconciles with shown + folded (within 2-dp rendering slack)
+    val shown = {
+      val it = root.get("queries").elements()
+      var s = 0.0
+      while (it.hasNext) s += it.next().asDouble()
+      s
+    }
+    assert(math.abs(shown + root.get("other_sec").asDouble()
+      - root.get("value").asDouble()) < 0.01 * 300)
+  }
+
+  test("noise_suspect and failed maps still shrink the line under budget") {
+    val pmin = (1 to 300).map(i =>
+      (f"q$i%03d_reasonably_long_query_name", 300.37 - i * 0.37))
+    val total = pmin.map(_._2).sum
+    val noise = (1 to 8).map(i => Bench.jq(f"q$i%03d_reasonably_long_query_name"))
+      .mkString(""""noise_suspect":[""", ",", "],")
+    val err = (1 to 3).map(i =>
+      Bench.jq(s"q_broken_$i") + ":" + Bench.jq("SparkException: boom " + "x" * 40))
+      .mkString(""""failed":{""", ",", "},")
+    val line = Bench.renderCompact(pmin, total, envAllFields(noise), err,
+      "/root/testdata/sf0.1")
+    assert(line.length <= Bench.CompactBudgetChars,
+      s"compact line is ${line.length} chars > budget ${Bench.CompactBudgetChars}")
+    val root = om.readTree(line)
+    assert(root.get("failed").size() == 3)
+    assert(root.get("noise_suspect").size() == 8)
+    assert(root.get("queries").size() + root.get("other_n").asInt() == 300)
+  }
+
+  test("small suites keep every query verbatim (no needless folding)") {
+    val pmin = (1 to 20).map(i => (f"q$i%02d_name", i * 1.0))
+    val line = Bench.renderCompact(pmin, pmin.map(_._2).sum,
+      envAllFields(""), "", "/root/testdata/sf0.01")
+    val root = om.readTree(line)
+    assert(root.get("queries").size() == 20)
+    assert(root.get("other_n").asInt() == 0)
+  }
+}
