@@ -53,10 +53,14 @@ object IvfIndexStore {
         col("cid").as("cid"), col("embedding").as("v")).as("cand"))
       .groupBy(col("vec_id")).agg(min(col("cand")).as("m"))
       .select(col("m.cid").as("cid"), col("vec_id"), col("m.v").as("embedding"))
+    // coalesce: bit_xor over zero rows is NULL — an empty corpus must
+    // produce a definite (0-row, fingerprint 0) index, not a null meta
+    // that makes isFreshFor throw later (round-11 advice).
     val meta = pts.agg(
       count(lit(1)).as("n_vectors"),
       max(size(col("embedding"))).cast("int").as("dim"),
-      bit_xor(xxhash64(col("vec_id"), col("embedding"))).as("fingerprint"))
+      coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L))
+        .as("fingerprint"))
       .select(col("n_vectors"), col("dim"), lit(nlist).as("nlist"),
         lit(kmeansIters).as("kmeans_iters"), col("fingerprint"))
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -69,7 +73,8 @@ object IvfIndexStore {
   def isFreshFor(spark: SparkSession, dir: String, emb: DataFrame): Boolean = {
     val m = spark.read.parquet(s"$dir/meta").collect()(0)
     val c = emb.agg(count(lit(1)),
-      bit_xor(xxhash64(col("vec_id"), col("embedding")))).collect()(0)
+      coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)))
+      .collect()(0)
     m.getAs[Long]("n_vectors") == c.getLong(0) &&
       m.getAs[Long]("fingerprint") == c.getLong(1)
   }
@@ -98,15 +103,209 @@ object IvfIndexStore {
 
   /** Full persisted cycle for the declared row: build → write → load →
     * search, a FRESH index dir per invocation so every bench/verify
-    * run pays the whole cycle (no cross-run cache can stale). */
-  def buildAndSearch(emb: DataFrame, k: Int = K, nprobe: Int = 3): DataFrame = {
+    * run pays the whole cycle (no cross-run cache can stale).
+    *
+    * `indexDir`: any Hadoop-path string — on a cluster the index MUST
+    * live on shared storage (executors don't see the driver's /tmp);
+    * the driver-local temp default exists only for local-mode
+    * bench/verify runs, and that ephemeral dir is recursively deleted
+    * once the search result is materialized (round-11 advice: the old
+    * deleteOnExit could never remove a non-empty dir, so every
+    * invocation leaked a full corpus copy). */
+  def buildAndSearch(emb: DataFrame, k: Int = K, nprobe: Int = 3,
+                     indexDir: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
-    val dir = Files.createTempDirectory("graft-ivfidx-")
-    dir.toFile.deleteOnExit()
-    write(emb, dir.toString)
-    require(isFreshFor(spark, dir.toString, emb),
+    val (dir, ephemeral) = indexDir match {
+      case Some(d) => (d, false)
+      case None => (Files.createTempDirectory("graft-ivfidx-").toString, true)
+    }
+    write(emb, dir)
+    require(isFreshFor(spark, dir, emb),
       "index fingerprint must match the corpus it was just built from")
-    search(spark, dir.toString, emb.filter(col("vec_id") < 20), k, nprobe)
+    val res = search(spark, dir, emb.filter(col("vec_id") < 20), k, nprobe)
+    if (ephemeral) {
+      // localCheckpoint materializes the result off the parquet files,
+      // so the temp index dir can be reclaimed immediately
+      val out = res.localCheckpoint()
+      deleteRecursively(new java.io.File(dir))
+      out
+    } else res
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Upsert `delta` into the persisted index at `dir` WITHOUT a
+    * rebuild (round-11 verdict #3 / SURVEY frontier #2): each new
+    * vector is assigned to its nearest EXISTING centroid (the coarse
+    * quantizer is not retrained — the standard IVF maintenance
+    * contract; FAISS's `add` after `train` does exactly this), the
+    * assignments APPEND to `lists/`, and the meta fingerprint CHAINS:
+    * bit_xor is associative and commutative, so
+    * `old_fp XOR fp(delta) = fp(base ∪ delta)` EXACTLY — `isFreshFor`
+    * validates the combined corpus without ever rescanning base.
+    *
+    * `maxListSize > 0` additionally splits any inverted list that grew
+    * past the bound ([[splitOversized]]).
+    *
+    * Scale shape: one broadcast-argmin pass over delta only (base is
+    * untouched — the whole point), an append write partitioned like
+    * the original lists, and a single-row meta rewrite. */
+  def upsert(spark: SparkSession, dir: String, delta: DataFrame,
+             maxListSize: Long = 0L): Unit = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val pts = delta.select(col("vec_id"), col("embedding"))
+    val newLists = pts.join(broadcast(cent))
+      .select(col("vec_id"), struct(
+        Distances.euclidean(col("embedding"), col("cvec")).as("d"),
+        col("cid").as("cid"), col("embedding").as("v")).as("cand"))
+      .groupBy(col("vec_id")).agg(min(col("cand")).as("m"))
+      .select(col("m.cid").as("cid"), col("vec_id"), col("m.v").as("embedding"))
+    newLists.write.mode("append").parquet(s"$dir/lists")
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    val d = pts.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)))
+      .collect()(0)
+    import spark.implicits._
+    Seq((m.getAs[Long]("n_vectors") + d.getLong(0), m.getAs[Int]("dim"),
+        m.getAs[Int]("nlist"), m.getAs[Int]("kmeans_iters"),
+        m.getAs[Long]("fingerprint") ^ d.getLong(1)))
+      .toDF("n_vectors", "dim", "nlist", "kmeans_iters", "fingerprint")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    if (maxListSize > 0L) splitOversized(spark, dir, maxListSize)
+  }
+
+  /** Split every inverted list larger than `maxListSize`: the list's
+    * members are re-quantized by a portable 2-means over just that
+    * list ([[Ann.kmeansCentroidsPortable]] — deterministic md5 init,
+    * ordered folds), the parent centroid is replaced by the two
+    * children (fresh cids above the current max, parent order then
+    * child cid — deterministic), and the split lists rewrite. The
+    * fingerprint is untouched: a split moves vectors between lists but
+    * the indexed CORPUS is unchanged.
+    *
+    * Search contract after a split: probing every list still returns
+    * exactly the pre-split rows (the probed universe is the union of
+    * lists either way — pinned by the spec); at fixed nprobe the finer
+    * quantizer is the standard recall/latency trade every IVF engine
+    * makes when lists split.
+    *
+    * Maintenance-job shape: the oversized-cid set is at most nlist
+    * rows (a bounded scalar collect, not data), and each split is one
+    * bounded k=2 Lloyd's run over a single list — rare-event
+    * housekeeping, not a per-row path. */
+  def splitOversized(spark: SparkSession, dir: String,
+                     maxListSize: Long): Unit = {
+    val lists = spark.read.parquet(s"$dir/lists")
+    val oversized = lists.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxListSize)
+      .select(col("cid")).collect().map(_.getInt(0)).sorted
+    if (oversized.isEmpty) return
+    val cent = spark.read.parquet(s"$dir/centroids")
+    var nextCid = cent.agg(max(col("cid"))).collect()(0).getInt(0) + 1
+    var keepLists = lists.filter(!col("cid").isin(oversized.map(Int.box): _*))
+    var keepCent = cent.filter(!col("cid").isin(oversized.map(Int.box): _*))
+    oversized.foreach { cid =>
+      val members = lists.filter(col("cid") === cid)
+        .select(col("vec_id"), col("embedding"))
+      val sub = Ann.kmeansCentroidsPortable(members, 2, iters = 3)
+        .withColumn("cid", col("cid") + lit(nextCid))
+      val assigned = members.join(broadcast(sub))
+        .select(col("vec_id"), struct(
+          Distances.euclidean(col("embedding"), col("cvec")).as("d"),
+          col("cid").as("cid"), col("embedding").as("v")).as("cand"))
+        .groupBy(col("vec_id")).agg(min(col("cand")).as("m"))
+        .select(col("m.cid").as("cid"), col("vec_id"),
+          col("m.v").as("embedding"))
+      keepLists = keepLists.unionByName(assigned)
+      keepCent = keepCent.unionByName(sub.select(col("cid"), col("cvec")))
+      nextCid += 2
+    }
+    // materialize off the old files before overwriting them
+    val newLists = keepLists.localCheckpoint()
+    val newCent = keepCent.localCheckpoint()
+    newLists.write.mode("overwrite").parquet(s"$dir/lists")
+    newCent.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** The q220 declared cycle: build on the base slice, upsert the
+    * delta slice, PROVE the chained fingerprint validates the combined
+    * corpus (the require is the driver-exercised staleness proof),
+    * then search — row-for-row equal to an index whose lists were
+    * built over the combined corpus with the same base-trained
+    * quantizer, which is exactly what the oracle replays in SQL. */
+  def upsertCycle(emb: DataFrame, k: Int = K, nprobe: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    val dir = Files.createTempDirectory("graft-ivfidx-up-").toString
+    write(emb.filter(col("vec_id") % 4 =!= 3), dir)
+    upsert(spark, dir, emb.filter(col("vec_id") % 4 === 3))
+    require(isFreshFor(spark, dir, emb),
+      "chained fingerprint must validate base + delta as the combined corpus")
+    val res = search(spark, dir, emb.filter(col("vec_id") < 20), k, nprobe)
+      .localCheckpoint()
+    deleteRecursively(new java.io.File(dir))
+    res
+  }
+
+  /** Per-(process, sfDir) SERVED index for the q218b search-only row:
+    * built and written once, then every invocation only reads the
+    * parquet index and searches — the production build/serve
+    * separation measured as serving latency. Deliberately NOT a
+    * [[graft.Materialized]] table: that cache resets between bench
+    * passes (so each pass re-pays producers), but here re-paying the
+    * build would defeat the row's whole purpose — q218 already
+    * measures the full cycle every invocation; this cache follows the
+    * streaming replay-source precedent (one build per process, the
+    * dir reclaimed at JVM exit). */
+  private val servedIdx =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def servedIndexDir(spark: SparkSession, dir: String): String =
+    servedIdx.getOrElseUpdate(dir, {
+      val d = Files.createTempDirectory("graft-ivfidx-served-")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(d.toFile)))
+      write(Tables.load(spark, dir, "embeddings"), d.toString)
+      d.toString
+    })
+
+  /** Generated mirror of [[upsertCycle]]: the portable Lloyd's loop
+    * trained on the BASE slice only (`ptsWhere` — the quantizer the
+    * upsert does not retrain), then lists and probes over the FULL
+    * corpus — exactly the state the persisted index holds after
+    * `write(base); upsert(delta)`. */
+  private def upsertOracle(k: Int, nlist: Int, nprobe: Int,
+                           iters: Int): String = {
+    def eucl(a: String, b: String) = graft.DuckSql.euclidean(a, b)
+    val cos = graft.DuckSql.cosineSimilarity("qe.embedding", "ce.embedding")
+    s"""WITH ${SimilarityQueries.kmeansPortableCtes(nlist, iters,
+        " WHERE vec_id % 4 <> 3")},
+       |allpts AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |lists AS MATERIALIZED (
+       |  SELECT cid, id AS nbr, vec AS cv FROM (
+       |    SELECT p.id, p.vec, c.cid,
+       |      row_number() OVER (PARTITION BY p.id
+       |        ORDER BY ${eucl("p.vec", "c.cvec")}, c.cid) AS rn
+       |    FROM allpts p CROSS JOIN k$iters c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.id AS qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${eucl("q.vec", "c.cvec")}, c.cid) AS pr
+       |    FROM allpts q CROSS JOIN k$iters c WHERE q.id < 20) WHERE pr <= $nprobe),
+       |icand AS (
+       |  SELECT p.qid, l.nbr FROM probes p JOIN lists l ON l.cid = p.cid
+       |  WHERE l.nbr <> p.qid)
+       |SELECT qid, nbr, sim, CAST(rn AS INT) AS rn FROM (
+       |  SELECT icand.qid, icand.nbr, round($cos, 6) AS sim,
+       |    row_number() OVER (PARTITION BY icand.qid
+       |      ORDER BY round($cos, 6) DESC, icand.nbr) AS rn
+       |  FROM icand JOIN embeddings qe ON qe.vec_id = icand.qid
+       |             JOIN embeddings ce ON ce.vec_id = icand.nbr)
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
   }
 
   val declared: Seq[Declared] = Seq(
@@ -116,6 +315,22 @@ object IvfIndexStore {
         .orderBy(col("qid"), col("rn")),
       Some(SimilarityQueries.ivfKmeansPortableOracle(K, nlist = 8,
         nprobe = 3, iters = 5)),
-      doc = "Persistent IVF index: build -> parquet (centroids/lists/meta+fingerprint) -> reload -> search, serving WITHOUT the training corpus; the oracle is q175's in-memory pipeline SQL, proving the persisted round-trip lossless")
+      doc = "Persistent IVF index: build -> parquet (centroids/lists/meta+fingerprint) -> reload -> search, serving WITHOUT the training corpus; the oracle is q175's in-memory pipeline SQL, proving the persisted round-trip lossless"),
+
+    Declared(
+      "q218b_ann_index_search",
+      (s, dir) => search(s, servedIndexDir(s, dir),
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 20))
+        .orderBy(col("qid"), col("rn")),
+      Some(SimilarityQueries.ivfKmeansPortableOracle(K, nlist = 8,
+        nprobe = 3, iters = 5)),
+      doc = "Search-only SERVING over the persisted IVF index: built + written once per process, every invocation pays only reload -> probe -> re-rank (round-11 verdict #4: the serving-latency half measured apart from q218's per-invocation full build cycle); same oracle - the index contents are identical"),
+
+    Declared(
+      "q220_ann_index_upsert",
+      (s, dir) => upsertCycle(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("qid"), col("rn")),
+      Some(upsertOracle(K, nlist = 8, nprobe = 3, iters = 5)),
+      doc = "Incremental IVF maintenance (round-11 verdict #3): build on the 75% base slice, upsert the delta slice into the persisted lists WITHOUT retraining the quantizer, fingerprint chained by xor (the in-cycle require proves isFreshFor validates base+delta) - oracled as lists-over-combined-corpus with base-trained centroids, the exact post-upsert index state")
   )
 }
