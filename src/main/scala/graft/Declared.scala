@@ -22,6 +22,7 @@ object Registry {
     * inventory order (knn flagship first). */
   lazy val all: Seq[Declared] =
     graft.knn.KnnQueries.declared ++
+      graft.knn.GraphSearch.declared ++
       graft.knn.GraphAnalytics.declared ++
       graft.relational.Relational.declared ++
       graft.relational.EventAnalytics.declared ++
