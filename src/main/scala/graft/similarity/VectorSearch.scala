@@ -212,37 +212,33 @@ object VectorSearch {
        |FROM ranked WHERE rn <= $k ORDER BY qid, rn""".stripMargin
   }
 
-  /** Generated mirror of [[mmrRerank]]: the `kCand` shortlist and the
-    * candidate-pairwise sims as CTEs, then every greedy step unrolled —
-    * step t scores the not-yet-selected candidates against sel(t−1)
+  /** The candidate-pairwise-sims CTE — assumes a `cand(qid, nbr, sim)`
+    * CTE is already in scope (exact shortlist for q216, IVF shortlist
+    * for the composed q221). */
+  private def psimCte: String = {
+    val cosE = DuckSql.cosineSimilarity("e1.embedding", "e2.embedding")
+    s"""psim AS MATERIALIZED (
+       |  SELECT c1.qid, c1.nbr AS n1, c2.nbr AS n2, round($cosE, 6) AS ps
+       |  FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.nbr <> c2.nbr
+       |  JOIN embeddings e1 ON e1.vec_id = c1.nbr
+       |  JOIN embeddings e2 ON e2.vec_id = c2.nbr)""".stripMargin
+  }
+
+  /** Every greedy MMR step unrolled over in-scope `cand` + `psim` CTEs
+    * — step t scores the not-yet-selected candidates against sel(t−1)
     * (max of 6-dp pairwise sims), argmax by (score desc, nbr). Same
     * doubles on both engines: λ and 1−λ are printed with full
     * precision, the combination is two multiplies and a subtract over
-    * 6-dp-rounded sims — NOT re-rounded (see [[mmrRerank]] doc). */
-  private def mmrOracle(kCand: Int, kSel: Int, lambda: Double): String = {
-    val cos = DuckSql.cosineSimilarity("a.embedding", "b.embedding")
-    val cosE = DuckSql.cosineSimilarity("e1.embedding", "e2.embedding")
-    // CAST keeps DuckDB from reading the constants as DECIMAL (its
-    // default for fractional literals) — the combination must run in
-    // IEEE doubles to match Spark's lit() arithmetic bit-for-bit;
-    // toString prints the full-precision value (1−0.7 is NOT 0.3).
+    * 6-dp-rounded sims — NOT re-rounded (see [[mmrRerank]] doc). CAST
+    * keeps DuckDB from reading the constants as DECIMAL (its default
+    * for fractional literals); toString prints the full-precision
+    * value (1−0.7 is NOT 0.3). */
+  private def mmrTailSql(kSel: Int, lambda: Double): String = {
     val lam = s"CAST(${lambda.toString} AS DOUBLE)"
     val om = s"CAST(${(1.0 - lambda).toString} AS DOUBLE)"
     val sb = new StringBuilder
     sb.append(
-      s"""WITH cand AS MATERIALIZED (
-         |  SELECT qid, nbr, sim FROM (
-         |    SELECT a.vec_id AS qid, b.vec_id AS nbr, round($cos, 6) AS sim,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY round($cos, 6) DESC, b.vec_id) AS rn
-         |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-         |    WHERE a.vec_id < 20)
-         |  WHERE rn <= $kCand),
-         |psim AS MATERIALIZED (
-         |  SELECT c1.qid, c1.nbr AS n1, c2.nbr AS n2, round($cosE, 6) AS ps
-         |  FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.nbr <> c2.nbr
-         |  JOIN embeddings e1 ON e1.vec_id = c1.nbr
-         |  JOIN embeddings e2 ON e2.vec_id = c2.nbr),
+      s""",
          |s1 AS MATERIALIZED (
          |  SELECT qid, nbr, sim, $lam * sim AS score, 1 AS mmr_rank FROM (
          |    SELECT qid, nbr, sim,
@@ -277,6 +273,71 @@ object VectorSearch {
     sb.toString
   }
 
+  /** Generated mirror of [[mmrRerank]]: the exact `kCand` shortlist as
+    * the `cand` CTE, then [[psimCte]] + the [[mmrTailSql]] unroll. */
+  private def mmrOracle(kCand: Int, kSel: Int, lambda: Double): String = {
+    val cos = DuckSql.cosineSimilarity("a.embedding", "b.embedding")
+    s"""WITH cand AS MATERIALIZED (
+       |  SELECT qid, nbr, sim FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS nbr, round($cos, 6) AS sim,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($cos, 6) DESC, b.vec_id) AS rn
+       |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 20)
+       |  WHERE rn <= $kCand),
+       |$psimCte""".stripMargin + mmrTailSql(kSel, lambda)
+  }
+
+  /** Generated mirror of the COMPOSED pipeline (round-11 verdict #6):
+    * metadata filter → portable IVF shortlist → MMR diversify, every
+    * stage in one SQL text — the Lloyd's CTEs train on the FILTERED
+    * corpus (`ptsWhere`), the shortlist caps at `kCand`, and the same
+    * greedy unroll as q216 runs over it. */
+  private def composedOracle(kCand: Int, kSel: Int, lambda: Double,
+                             nlist: Int, nprobe: Int, iters: Int): String = {
+    def eucl(a: String, b: String) = DuckSql.euclidean(a, b)
+    val cos = DuckSql.cosineSimilarity("qe.embedding", "ce.embedding")
+    s"""WITH ${SimilarityQueries.kmeansPortableCtes(nlist, iters,
+        " WHERE label % 2 = 0")},
+       |lists AS MATERIALIZED (
+       |  SELECT cid, id AS nbr FROM (
+       |    SELECT p.id, c.cid,
+       |      row_number() OVER (PARTITION BY p.id
+       |        ORDER BY ${eucl("p.vec", "c.cvec")}, c.cid) AS rn
+       |    FROM pts p CROSS JOIN k$iters c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.id AS qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${eucl("q.vec", "c.cvec")}, c.cid) AS pr
+       |    FROM pts q CROSS JOIN k$iters c WHERE q.id < 20) WHERE pr <= $nprobe),
+       |icand AS (
+       |  SELECT p.qid, l.nbr FROM probes p JOIN lists l ON l.cid = p.cid
+       |  WHERE l.nbr <> p.qid),
+       |cand AS MATERIALIZED (
+       |  SELECT qid, nbr, sim FROM (
+       |    SELECT icand.qid, icand.nbr, round($cos, 6) AS sim,
+       |      row_number() OVER (PARTITION BY icand.qid
+       |        ORDER BY round($cos, 6) DESC, icand.nbr) AS rn
+       |    FROM icand JOIN embeddings qe ON qe.vec_id = icand.qid
+       |               JOIN embeddings ce ON ce.vec_id = icand.nbr)
+       |  WHERE rn <= $kCand),
+       |$psimCte""".stripMargin + mmrTailSql(kSel, lambda)
+  }
+
+  /** The composed production pipeline the declared q221 anchors:
+    * metadata pre-filter, IVF-probed shortlist (the portable
+    * quantizer trained on the filtered corpus only — filtered search
+    * at scale partitions its index by the filter), MMR diversify over
+    * the shortlist. Queries are the filtered vec_id < 20 subset. */
+  def composedSearch(emb: DataFrame, kCand: Int = 2 * K, kSel: Int = 5,
+                     lambda: Double = 0.7): DataFrame = {
+    val cands = emb.filter(col("label") % 2 === 0)
+    val shortlist = Ann.ivfKmeansTopKPortable(cands, kCand,
+      queryPred = col("vec_id") < 20, nlist = 8, nprobe = 3, kmeansIters = 5)
+    mmrRerankFrom(cands, shortlist, kSel, lambda)
+  }
+
   val declared: Seq[Declared] = Seq(
     Declared(
       "q215_filtered_ann",
@@ -298,6 +359,13 @@ object VectorSearch {
       "q216_mmr_rerank",
       (s, dir) => mmrRerank(Tables.load(s, dir, "embeddings")),
       Some(mmrOracle(kCand = 2 * K, kSel = 5, lambda = 0.7)),
-      doc = "MMR diversified re-rank over the exact top-20 shortlist: greedy lambda*sim - (1-lambda)*max-redundancy selection of 5, every step replayed as an unrolled oracle CTE (6-dp sims, (score desc, nbr) ties)")
+      doc = "MMR diversified re-rank over the exact top-20 shortlist: greedy lambda*sim - (1-lambda)*max-redundancy selection of 5, every step replayed as an unrolled oracle CTE (6-dp sims, (score desc, nbr) ties)"),
+
+    Declared(
+      "q221_composed_search",
+      (s, dir) => composedSearch(Tables.load(s, dir, "embeddings")),
+      Some(composedOracle(kCand = 2 * K, kSel = 5, lambda = 0.7,
+        nlist = 8, nprobe = 3, iters = 5)),
+      doc = "Composed retrieval pipeline end-to-end (round-11 verdict #6): metadata filter -> portable IVF shortlist (quantizer trained on the filtered corpus) -> MMR diversify; one oracle text replays the Lloyd's training, the probe, the 6-dp shortlist AND every greedy step cross-engine")
   )
 }

@@ -263,6 +263,33 @@ class VectorSearchSpec extends SparkSpec {
       s"negative group must raise the packing guard, got: ${e2.getMessage}")
   }
 
+  test("q221 composed pipeline: results respect the filter, picks come from the IVF shortlist, first pick is pure relevance") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val out = Registry.byName("q221_composed_search").run(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val evenIds = emb.filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val shortlist = Ann.ivfKmeansTopKPortable(
+        emb.filter(col("label") % 2 === 0), 20,
+        queryPred = col("vec_id") < 20, nlist = 8, nprobe = 3, kmeansIters = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val shortSet = shortlist.map(t => (t._1, t._2)).toSet
+    out.foreach { r =>
+      val (qid, nbr) = (r.getLong(0), r.getLong(1))
+      assert(evenIds.contains(nbr), s"nbr $nbr fails the metadata filter")
+      assert(shortSet.contains((qid, nbr)),
+        s"pick ($qid,$nbr) not in the IVF shortlist - MMR must diversify, not re-search")
+    }
+    // first MMR pick per qid = the shortlist's max-sim member (ties nbr)
+    val best = shortlist.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.minBy(t => (-t._3, t._2))._2 }
+    out.filter(_.getInt(4) == 1).foreach { r =>
+      assert(best(r.getLong(0)) == r.getLong(1),
+        s"first pick for qid ${r.getLong(0)} must be pure relevance")
+    }
+  }
+
   test("mmrRerankFrom composes with an ANN shortlist (the production path)") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val shortlist = Ann.ivfTopKOracled(emb, 20, queryPred = col("vec_id") < 20)
