@@ -42,6 +42,7 @@ object Registry {
       graft.text.Bpe.declared ++
       graft.streaming.TimeWindows.declared ++
       graft.streaming.StreamingPipelines.declared ++
+      graft.streaming.StreamSubstr.declared ++
       graft.text.TextQueries.declared ++
       graft.text.Dedup.declared ++
       graft.text.CorpusPipeline.declared ++

@@ -570,13 +570,13 @@ object StreamingPipelines {
         "event_type STRING, value DOUBLE")
       .parquet(dir)
 
-  private val declaredRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[streaming] val declaredRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Temp dir removed recursively at JVM exit (ADVICE r5: the replay
     * cache leaked one dir per JVM run). Within-process staleness is
     * impossible by contract — testdata dirs are immutable for a
     * process lifetime (driver regenerates them only between rounds). */
-  private def tempDirCleanedOnExit(prefix: String): String = {
+  private[streaming] def tempDirCleanedOnExit(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
@@ -614,7 +614,7 @@ object StreamingPipelines {
     * arrivals by mtime, and the multi-batch replay oracles depend on
     * batch k sorting strictly before batch k+1, so a refused mtime
     * change must fail loudly, not silently reorder the batches. */
-  private def writeReplayBatch(part: DataFrame, srcDir: String, n: Int): Unit = {
+  private[streaming] def writeReplayBatch(part: DataFrame, srcDir: String, n: Int): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-replay-stage")
     part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val f = tmp.toFile.listFiles()
@@ -686,7 +686,7 @@ object StreamingPipelines {
     * the testdata batch; the setting is scoped to the eager replay and
     * restored before the memory-sink read. At production scale this is
     * the same knob a real deployment tunes per stateful query. */
-  private def withReplayPartitions[T](spark: SparkSession)(f: => T): T = {
+  private[streaming] def withReplayPartitions[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "8")
@@ -708,7 +708,7 @@ object StreamingPipelines {
     * than declared would still produce correct rows (the contracts are
     * N-invariant) but falsify the cross-batch-state claim — assert it
     * instead of assuming it. */
-  private def awaitBatches(q: org.apache.spark.sql.streaming.StreamingQuery,
+  private[streaming] def awaitBatches(q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutMs: Long, expectDataBatches: Int): Unit = {
     awaitOrFail(q, timeoutMs)
     val got = q.recentProgress.count(_.numInputRows > 0)
@@ -989,7 +989,7 @@ object StreamingPipelines {
 
   /** Run `f` with the RocksDB state store provider (required by
     * `transformWithState`), restoring the previous provider after. */
-  private def withRocksDbStateStore[T](spark: SparkSession)(f: => T): T = {
+  private[streaming] def withRocksDbStateStore[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
@@ -1130,7 +1130,7 @@ object StreamingPipelines {
 
   /** Replay epoch for the synthetic ingest timeline, in µs (the old
     * 1600000000000 ms constant). */
-  private val DocsEpochUs: Long = 1600000000000000L
+  private[streaming] val DocsEpochUs: Long = 1600000000000000L
 
   /** Documents as an ingest-timestamped N-batch replay source:
     * `ingest_ts = epoch + doc_id · step`, step DERIVED from the corpus

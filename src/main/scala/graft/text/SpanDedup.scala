@@ -39,7 +39,7 @@ object SpanDedup {
   /** Positional (NOT distinct) word n-grams: (doc_id, p, g) with p
     * 1-based and g the xxhash64 of the n words — a doc repeating a
     * phrase must keep every occurrence. Shared with [[ExactSubstr]]. */
-  private[text] def positionalGrams(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def positionalGrams(docs: DataFrame, n: Int): DataFrame = {
     val ws = col("ws")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.{Registry, SparkSpec, Tables}
+
+/** Gates for the streaming exact-substring span operator (q222): the
+  * declared row is oracled at 3 SFs; these specs pin the two claims
+  * the oracle cannot see — that a maximal run really STRADDLES the
+  * chunked micro-batch boundaries in keyed state, and that both
+  * emission paths (gap-close inside a batch, watermark-timer flush at
+  * stream end) produce exactly the batch rule's spans. */
+class StreamSubstrSpec extends SparkSpec {
+
+  private def toks(r: Range, tag: String) = r.map(i => s"$tag$i").mkString(" ")
+
+  test("a run spanning all three chunk arrivals emits ONE maximal span (cross-batch state)") {
+    import spark.implicits._
+    val shared = toks(0 until 150, "s")
+    // corpus doc 0 carries the 150-token run at positions 11..160;
+    // arriving doc 1 at positions 31..180 — doc 1's ~131 gram starts
+    // split across the 3 chunk arrivals, so the diagonal run is OPEN
+    // in state at both batch boundaries and flushes via the timer
+    val corpus = Seq((0L, "en",
+      toks(0 until 10, "a") + " " + shared + " " + toks(0 until 10, "z")))
+      .toDF("doc_id", "lang", "text")
+    val arriving = Seq((1L, "en",
+      toks(0 until 30, "b") + " " + shared + " " + toks(0 until 40, "y")))
+      .toDF("doc_id", "lang", "text")
+    val out = StreamSubstr.runReplay(spark, corpus, arriving)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq((0L, 11L, 160L, 1L, 31L, 180L, 150L)),
+      s"expected one maximal 150-token span, got ${out.toSeq}")
+  }
+
+  test("two runs with a gap: one closes on the gap mid-stream, one flushes via the timer") {
+    import spark.implicits._
+    val s1 = toks(0 until 60, "p")
+    val s2 = toks(0 until 55, "q")
+    // doc 2 = s1 ++ filler ++ s2: two distinct shared runs on DIFFERENT
+    // diagonals of the same pair (the filler differs), the second
+    // extending to the end of the arriving doc (timer-only emission)
+    val corpus = Seq((10L, "en", s1 + " " + toks(0 until 20, "cfill") + " " + s2))
+      .toDF("doc_id", "lang", "text")
+    val arriving = Seq((2L, "en", s1 + " " + toks(0 until 7, "dfill") + " " + s2))
+      .toDF("doc_id", "lang", "text")
+    val out = StreamSubstr.runReplay(spark, corpus, arriving)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    // s1: corpus 1..60, arriving 1..60; s2: corpus 81..135, arriving 68..122
+    assert(out == Set(
+      (10L, 1L, 60L, 2L, 1L, 60L, 60L),
+      (10L, 81L, 135L, 2L, 68L, 122L, 55L)),
+      s"expected the two maximal spans, got $out")
+  }
+
+  test("q222 equals the batch q213 rule restricted to (static, arriving) on sf0.001") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val streamed = Registry.byName("q222_stream_substr_spans")
+      .run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    // batch mirror: the full q213 span table, filtered to cross-slice
+    // pairs in EITHER orientation (q213 orders pairs by doc id; the
+    // stream orients them (static, arriving))
+    val spans = graft.text.ExactSubstr.sharedSubstrings(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val batch = spans.flatMap { case (da, as, ae, db, bs, be, len) =>
+      if (da % 10 == 0 && db % 10 != 0) Some((da, as, ae, db, bs, be, len))
+      else if (db % 10 == 0 && da % 10 != 0) Some((db, bs, be, da, as, ae, len))
+      else None
+    }.toSet
+    assert(streamed == batch,
+      s"streamed spans must equal the batch rule: extra=" +
+        s"${streamed -- batch}, missing=${batch -- streamed}")
+  }
+}
