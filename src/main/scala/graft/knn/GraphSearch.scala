@@ -56,40 +56,62 @@ object GraphSearch {
     * `hops` rounds of expand-the-best-`beam`-unexpanded, and return
     * the k nearest visited nodes (self excluded) as
     * (qid, nbr, dist, rn). */
-  def beamSearch(vectors: DataFrame, edges: DataFrame, queries: DataFrame,
-                 k: Int = K, beam: Int = Beam, hops: Int = Hops,
-                 nSeeds: Int = NSeeds): DataFrame = {
+  private def byQ = Window.partitionBy(col("qid")).orderBy(col("dist"), col("node"))
+
+  /** Score candidate (qid, node) rows: exact 6-dp euclidean against
+    * the query vector, both sides joined by id (equi). */
+  private def scored(cand: DataFrame, vecs: DataFrame, q: DataFrame): DataFrame =
+    cand.join(vecs, "node").join(q, "qid")
+      .select(col("qid"), col("node"),
+        round(Distances.euclidean(col("qv"), col("nvec")), 6).as("dist"))
+
+  /** Initial visited state: every query × the entry seeds, scored.
+    * The crossJoin broadcasts the ≤ nSeeds-row seed table — the one
+    * deliberately non-equi join in the operator. */
+  private[graft] def initState(vectors: DataFrame, queries: DataFrame,
+      nSeeds: Int): DataFrame = {
+    val vecs = vectors.select(col("vec_id").as("node"), col("embedding").as("nvec"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    scored(q.select(col("qid")).crossJoin(broadcast(entrySeeds(vectors, nSeeds))),
+        vecs, q)
+      .withColumn("exp", lit(false))
+  }
+
+  /** One hop, un-checkpointed (exposed so the plan gate can audit it):
+    * frontier = best `beam` unexpanded per query, fresh neighbors
+    * through the adjacency equi-join, scored and appended, frontier
+    * marked expanded. Every join is an equi-join; every window
+    * partitions by qid over the bounded visited state. */
+  private[graft] def expand(state: DataFrame, edges: DataFrame,
+      vectors: DataFrame, queries: DataFrame, beam: Int): DataFrame = {
     val vecs = vectors.select(col("vec_id").as("node"), col("embedding").as("nvec"))
     val adj = edges.select(col("id").as("node"), col("nbr").as("next"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    def scored(cand: DataFrame): DataFrame =
-      cand.join(vecs, "node").join(q, "qid")
-        .select(col("qid"), col("node"),
-          round(Distances.euclidean(col("qv"), col("nvec")), 6).as("dist"))
-    val byQ = Window.partitionBy(col("qid")).orderBy(col("dist"), col("node"))
+    val frontier = state.filter(!col("exp"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= beam)
+      .select(col("qid"), col("node"))
+    val fresh = frontier.join(adj, "node")
+      .select(col("qid"), col("next").as("node"))
+      .distinct()
+      .join(state.select(col("qid"), col("node")), Seq("qid", "node"),
+        "left_anti")
+    state
+      .join(frontier.withColumn("f", lit(true)), Seq("qid", "node"), "left")
+      .select(col("qid"), col("node"), col("dist"),
+        (col("exp") || coalesce(col("f"), lit(false))).as("exp"))
+      .unionByName(scored(fresh, vecs, q).withColumn("exp", lit(false)))
+  }
+
+  def beamSearch(vectors: DataFrame, edges: DataFrame, queries: DataFrame,
+                 k: Int = K, beam: Int = Beam, hops: Int = Hops,
+                 nSeeds: Int = NSeeds): DataFrame = {
     // hop state: every visited node with its exact distance and an
     // expanded flag; localCheckpoint per hop so each round replans
     // over the bounded state, not the whole search lineage
-    var state = scored(
-        q.select(col("qid")).crossJoin(broadcast(entrySeeds(vectors, nSeeds))))
-      .withColumn("exp", lit(false))
-      .localCheckpoint()
+    var state = initState(vectors, queries, nSeeds).localCheckpoint()
     for (_ <- 1 to hops) {
-      val frontier = state.filter(!col("exp"))
-        .withColumn("rn", row_number().over(byQ))
-        .filter(col("rn") <= beam)
-        .select(col("qid"), col("node"))
-      val fresh = frontier.join(adj, "node")
-        .select(col("qid"), col("next").as("node"))
-        .distinct()
-        .join(state.select(col("qid"), col("node")), Seq("qid", "node"),
-          "left_anti")
-      val next = state
-        .join(frontier.withColumn("f", lit(true)), Seq("qid", "node"), "left")
-        .select(col("qid"), col("node"), col("dist"),
-          (col("exp") || coalesce(col("f"), lit(false))).as("exp"))
-        .unionByName(scored(fresh).withColumn("exp", lit(false)))
-        .localCheckpoint()
+      val next = expand(state, edges, vectors, queries, beam).localCheckpoint()
       graft.Checkpoints.release(state)
       state = next
     }

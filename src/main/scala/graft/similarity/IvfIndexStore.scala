@@ -40,6 +40,20 @@ object IvfIndexStore {
 
   private val K = 10
 
+  /** Nearest-centroid assignment of (vec_id, embedding) points — the
+    * broadcast argmin-as-min(struct) shape shared by build, upsert and
+    * list splits: the centroid table broadcasts (≤ nlist rows), the
+    * per-point reduction is a map-side-combined aggregation, so ONE
+    * row per point crosses the shuffle, never N×nlist (plan-gated). */
+  private[graft] def assignToCentroids(pts: DataFrame,
+      cent: DataFrame): DataFrame =
+    pts.join(broadcast(cent))
+      .select(col("vec_id"), struct(
+        Distances.euclidean(col("embedding"), col("cvec")).as("d"),
+        col("cid").as("cid"), col("embedding").as("v")).as("cand"))
+      .groupBy(col("vec_id")).agg(min(col("cand")).as("m"))
+      .select(col("m.cid").as("cid"), col("vec_id"), col("m.v").as("embedding"))
+
   /** Build the portable IVF index over `emb` and write it under `dir`.
     * Deterministic for a given corpus (md5 bottom-k init, ordered-fold
     * means — [[Ann.kmeansCentroidsPortable]]). */
@@ -47,12 +61,7 @@ object IvfIndexStore {
             kmeansIters: Int = 5): Unit = {
     val cent = Ann.kmeansCentroidsPortable(emb, nlist, kmeansIters)
     val pts = emb.select(col("vec_id"), col("embedding"))
-    val lists = pts.join(broadcast(cent))
-      .select(col("vec_id"), struct(
-        Distances.euclidean(col("embedding"), col("cvec")).as("d"),
-        col("cid").as("cid"), col("embedding").as("v")).as("cand"))
-      .groupBy(col("vec_id")).agg(min(col("cand")).as("m"))
-      .select(col("m.cid").as("cid"), col("vec_id"), col("m.v").as("embedding"))
+    val lists = assignToCentroids(pts, cent)
     // coalesce: bit_xor over zero rows is NULL — an empty corpus must
     // produce a definite (0-row, fingerprint 0) index, not a null meta
     // that makes isFreshFor throw later (round-11 advice).
@@ -158,13 +167,7 @@ object IvfIndexStore {
              maxListSize: Long = 0L): Unit = {
     val cent = spark.read.parquet(s"$dir/centroids")
     val pts = delta.select(col("vec_id"), col("embedding"))
-    val newLists = pts.join(broadcast(cent))
-      .select(col("vec_id"), struct(
-        Distances.euclidean(col("embedding"), col("cvec")).as("d"),
-        col("cid").as("cid"), col("embedding").as("v")).as("cand"))
-      .groupBy(col("vec_id")).agg(min(col("cand")).as("m"))
-      .select(col("m.cid").as("cid"), col("vec_id"), col("m.v").as("embedding"))
-    newLists.write.mode("append").parquet(s"$dir/lists")
+    assignToCentroids(pts, cent).write.mode("append").parquet(s"$dir/lists")
     val m = spark.read.parquet(s"$dir/meta").collect()(0)
     val d = pts.agg(count(lit(1)),
       coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)))
@@ -213,14 +216,7 @@ object IvfIndexStore {
         .select(col("vec_id"), col("embedding"))
       val sub = Ann.kmeansCentroidsPortable(members, 2, iters = 3)
         .withColumn("cid", col("cid") + lit(nextCid))
-      val assigned = members.join(broadcast(sub))
-        .select(col("vec_id"), struct(
-          Distances.euclidean(col("embedding"), col("cvec")).as("d"),
-          col("cid").as("cid"), col("embedding").as("v")).as("cand"))
-        .groupBy(col("vec_id")).agg(min(col("cand")).as("m"))
-        .select(col("m.cid").as("cid"), col("vec_id"),
-          col("m.v").as("embedding"))
-      keepLists = keepLists.unionByName(assigned)
+      keepLists = keepLists.unionByName(assignToCentroids(members, sub))
       keepCent = keepCent.unionByName(sub.select(col("cid"), col("cvec")))
       nextCid += 2
     }

@@ -257,6 +257,40 @@ class PlanSpecs extends SparkSpec {
         s"broadcast side:\n${bxs.head}")
   }
 
+  test("q219 hop expansion: adjacency/scoring joins stay equi-joins, windows partition by qid") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val edges = graft.knn.KnnQueries.knn10(spark, sf0001)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    // isolate ONE hop's plan behind a checkpointed initial state (the
+    // declared query's per-hop localCheckpoints hide the hop internals)
+    val st = graft.knn.GraphSearch.initState(emb, queries, 4).localCheckpoint()
+    val qe = graft.knn.GraphSearch.expand(st, edges, emb, queries, beam = 4)
+      .queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"hop expansion must be equi-joins only (the one crossJoin lives in " +
+        s"the seeds init, not the per-hop path):\n$p")
+    val global = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.forall(_.foldable) => w
+    }
+    assert(global.isEmpty, "frontier ranking must partition by qid")
+  }
+
+  test("q218/q220 centroid assignment: broadcast argmin aggregation, one row per point past the shuffle") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val cent = graft.similarity.Ann.kmeansCentroidsPortable(emb, 8, 2)
+    val p = graft.similarity.IvfIndexStore
+      .assignToCentroids(emb.select("vec_id", "embedding"), cent)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the nlist-row centroid table must broadcast into the pair stream:\n$p")
+    assert(!p.contains("Window"),
+      "the per-point argmin must be the min(struct) aggregation, not a window")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"assignment must map-side combine before the shuffle:\n$p")
+  }
+
   test("q217 collapse: per-group top-m is the k-min aggregation over the pair stream, not a window") {
     val p = plan("q217_collapsed_topk")
     assert(p.contains("BroadcastNestedLoopJoin"),
