@@ -103,13 +103,14 @@ object GraphSearch {
       .unionByName(scored(fresh, vecs, q).withColumn("exp", lit(false)))
   }
 
-  def beamSearch(vectors: DataFrame, edges: DataFrame, queries: DataFrame,
-                 k: Int = K, beam: Int = Beam, hops: Int = Hops,
-                 nSeeds: Int = NSeeds): DataFrame = {
+  /** The shared hop loop + final ranking over any initial state. */
+  private def runHops(state0: DataFrame, edges: DataFrame,
+      vectors: DataFrame, queries: DataFrame,
+      k: Int, beam: Int, hops: Int): DataFrame = {
     // hop state: every visited node with its exact distance and an
     // expanded flag; localCheckpoint per hop so each round replans
     // over the bounded state, not the whole search lineage
-    var state = initState(vectors, queries, nSeeds).localCheckpoint()
+    var state = state0.localCheckpoint()
     for (_ <- 1 to hops) {
       val next = expand(state, edges, vectors, queries, beam).localCheckpoint()
       graft.Checkpoints.release(state)
@@ -121,35 +122,103 @@ object GraphSearch {
       .select(col("qid"), col("node").as("nbr"), col("dist"), col("rn"))
   }
 
-  /** Generated DuckDB mirror of [[beamSearch]] over the exact k-NN
-    * graph: the graph CTE is the knn_bruteforce oracle shape, then
-    * every hop unrolls as (frontier, fresh-neighbors, new-state) CTEs
-    * with identical rounding and (dist, node) ties. */
-  private def beamSearchOracle(k: Int, kGraph: Int, beam: Int, hops: Int,
-                               nSeeds: Int): String = {
+  def beamSearch(vectors: DataFrame, edges: DataFrame, queries: DataFrame,
+                 k: Int = K, beam: Int = Beam, hops: Int = Hops,
+                 nSeeds: Int = NSeeds): DataFrame =
+    runHops(initState(vectors, queries, nSeeds), edges, vectors, queries,
+      k, beam, hops)
+
+  /** ROUTED entry (the two-level pattern — NSG's medoid entry
+    * generalized): a coarse k-means router picks each query's nprobe
+    * nearest clusters and the search enters at those clusters' own
+    * `seedsPerList` md5-ranked members, instead of a flat
+    * coverage-sized seed set. Same hop machinery; the entry cost drops
+    * from O(nSeeds) scored seeds per query (nSeeds ≫ #clusters for
+    * coverage, the q219 flat recipe) to one nlist-row broadcast probe
+    * plus ≤ nprobe·seedsPerList scored entries — and the per-hop
+    * anti-joins run against a state that starts 100× smaller.
+    *
+    * `portableQuantizer` = true uses the ordered-fold Lloyd's
+    * ([[Ann.kmeansCentroidsPortable]]) so the whole pipeline —
+    * training, routing, entries, every hop — replays as the q223
+    * oracle; false uses the order-free [[Ann.kmeansCentroids]], the
+    * shape you want at scale (the q175/q36b convention). */
+  def routedBeamSearch(vectors: DataFrame, edges: DataFrame,
+      queries: DataFrame, k: Int = K, beam: Int = Beam, hops: Int = Hops,
+      nlist: Int = 8, nprobe: Int = 2, seedsPerList: Int = 4,
+      kmeansIters: Int = 5, portableQuantizer: Boolean = true): DataFrame = {
+    val cent =
+      if (portableQuantizer)
+        graft.similarity.Ann.kmeansCentroidsPortable(vectors, nlist, kmeansIters)
+      else graft.similarity.Ann.kmeansCentroids(vectors, nlist, kmeansIters)
+    routedWithCentroids(vectors, edges, queries, cent,
+      clusterSeeds(vectors, cent, seedsPerList), k, beam, hops, nprobe)
+  }
+
+  /** Per-cluster entry seeds — an INDEX-BUILD artifact (it assigns
+    * the whole corpus to the router once): each cluster's
+    * bottom-`seedsPerList` members by the same portable md5 rank as
+    * the flat seeds; ≤ nlist·seedsPerList rows, broadcastable, and
+    * persistable next to the router like IVF lists. */
+  def clusterSeeds(vectors: DataFrame, cent: DataFrame,
+      seedsPerList: Int): DataFrame =
+    graft.similarity.IvfIndexStore.assignToCentroids(
+        vectors.select(col("vec_id"), col("embedding")), cent)
+      .withColumn("hk", conv(substring(
+        md5(concat(lit("gs|"), col("vec_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("hk"), col("vec_id"))))
+      .filter(col("srn") <= seedsPerList)
+      .select(col("cid"), col("vec_id").as("node"))
+
+  /** [[routedBeamSearch]] over a PRECOMPUTED router + seed table — the
+    * serving-side call: a scale deployment trains the router and
+    * derives [[clusterSeeds]] once at index-build time (the corpus
+    * assignment lives there, measured apart), then every query batch
+    * pays only the nlist-row probe, ≤ nprobe·seedsPerList scored
+    * entries, and the hops. */
+  def routedWithCentroids(vectors: DataFrame, edges: DataFrame,
+      queries: DataFrame, cent: DataFrame, cseeds: DataFrame,
+      k: Int = K, beam: Int = Beam, hops: Int = Hops,
+      nprobe: Int = 2): DataFrame = {
+    val vecs = vectors.select(col("vec_id").as("node"), col("embedding").as("nvec"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("cd", Distances.euclidean(col("qv"), col("cvec")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cd"), col("cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("cid"))
+    val entries = probes.join(broadcast(cseeds), "cid")
+      .select(col("qid"), col("node")).distinct()
+    val state0 = scored(entries, vecs, q).withColumn("exp", lit(false))
+    runHops(state0, edges, vectors, queries, k, beam, hops)
+  }
+
+  private val dQE = DuckSql.euclidean("q.qv", "e.embedding")
+
+  /** The exact k-NN adjacency CTE (`graph`) + query CTE (`q`) shared
+    * by both graph-search oracles. */
+  private def graphAndQueryCtes(kGraph: Int): String = {
     val dAB = DuckSql.euclidean("a.embedding", "b.embedding")
-    val dQE = DuckSql.euclidean("q.qv", "e.embedding")
+    s"""graph AS MATERIALIZED (
+       |  SELECT id, nbr FROM (
+       |    SELECT a.vec_id AS id, b.vec_id AS nbr,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($dAB, 6), b.vec_id) AS rn
+       |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+       |  WHERE rn <= $kGraph),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id < 20)""".stripMargin
+  }
+
+  /** Every hop unrolled over in-scope `graph`, `q`, `s0` CTEs —
+    * (frontier, fresh-neighbors, new-state) per hop with identical
+    * rounding and (dist, node) ties — plus the final rank SELECT. */
+  private def hopUnrollSql(k: Int, beam: Int, hops: Int): String = {
     val sb = new StringBuilder
-    sb.append(
-      s"""WITH graph AS MATERIALIZED (
-         |  SELECT id, nbr FROM (
-         |    SELECT a.vec_id AS id, b.vec_id AS nbr,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY round($dAB, 6), b.vec_id) AS rn
-         |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
-         |  WHERE rn <= $kGraph),
-         |seeds AS (
-         |  SELECT vec_id AS node FROM (
-         |    SELECT vec_id,
-         |      CAST(('0x' || substr(md5('gs|' || CAST(vec_id AS VARCHAR)),
-         |        1, 15)) AS BIGINT) AS hk
-         |    FROM embeddings) ORDER BY hk, vec_id LIMIT $nSeeds),
-         |q AS MATERIALIZED (
-         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
-         |  WHERE vec_id < 20),
-         |s0 AS MATERIALIZED (
-         |  SELECT q.qid, s.node, round($dQE, 6) AS dist, FALSE AS exp
-         |  FROM q CROSS JOIN seeds s JOIN embeddings e ON e.vec_id = s.node)""".stripMargin)
     for (t <- 1 to hops) {
       sb.append(s""",
         |f$t AS (
@@ -182,6 +251,59 @@ object GraphSearch {
     sb.toString
   }
 
+  /** Generated DuckDB mirror of [[beamSearch]] over the exact k-NN
+    * graph: flat md5 entry seeds, then [[hopUnrollSql]]. */
+  private def beamSearchOracle(k: Int, kGraph: Int, beam: Int, hops: Int,
+                               nSeeds: Int): String =
+    s"""WITH ${graphAndQueryCtes(kGraph)},
+       |seeds AS (
+       |  SELECT vec_id AS node FROM (
+       |    SELECT vec_id,
+       |      CAST(('0x' || substr(md5('gs|' || CAST(vec_id AS VARCHAR)),
+       |        1, 15)) AS BIGINT) AS hk
+       |    FROM embeddings) ORDER BY hk, vec_id LIMIT $nSeeds),
+       |s0 AS MATERIALIZED (
+       |  SELECT q.qid, s.node, round($dQE, 6) AS dist, FALSE AS exp
+       |  FROM q CROSS JOIN seeds s JOIN embeddings e ON e.vec_id = s.node)""".stripMargin +
+      hopUnrollSql(k, beam, hops)
+
+  /** Generated DuckDB mirror of [[routedBeamSearch]]: the portable
+    * Lloyd's router, per-cluster md5 seeds, per-query probes and
+    * entries, then the SAME hop unroll. */
+  private def routedOracle(k: Int, kGraph: Int, beam: Int, hops: Int,
+      nlist: Int, nprobe: Int, seedsPerList: Int, iters: Int): String = {
+    def eucl(a: String, b: String) = DuckSql.euclidean(a, b)
+    s"""WITH ${graft.similarity.SimilarityQueries.kmeansPortableCtes(nlist, iters)},
+       |${graphAndQueryCtes(kGraph)},
+       |assign AS MATERIALIZED (
+       |  SELECT cid, id FROM (
+       |    SELECT p.id, c.cid,
+       |      row_number() OVER (PARTITION BY p.id
+       |        ORDER BY ${eucl("p.vec", "c.cvec")}, c.cid) AS rn
+       |    FROM pts p CROSS JOIN k$iters c) WHERE rn = 1),
+       |cseeds AS (
+       |  SELECT cid, id AS node FROM (
+       |    SELECT cid, id,
+       |      row_number() OVER (PARTITION BY cid ORDER BY hk, id) AS srn
+       |    FROM (SELECT cid, id,
+       |            CAST(('0x' || substr(md5('gs|' || CAST(id AS VARCHAR)),
+       |              1, 15)) AS BIGINT) AS hk
+       |          FROM assign)) WHERE srn <= $seedsPerList),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${eucl("q.qv", "c.cvec")}, c.cid) AS pr
+       |    FROM q CROSS JOIN k$iters c) WHERE pr <= $nprobe),
+       |ent AS (SELECT DISTINCT p.qid, cs.node
+       |        FROM probes p JOIN cseeds cs ON cs.cid = p.cid),
+       |s0 AS MATERIALIZED (
+       |  SELECT en.qid, en.node, round($dQE, 6) AS dist, FALSE AS exp
+       |  FROM ent en JOIN q ON q.qid = en.qid
+       |  JOIN embeddings e ON e.vec_id = en.node)""".stripMargin +
+      hopUnrollSql(k, beam, hops)
+  }
+
   val declared: Seq[Declared] = Seq(
     Declared(
       "q219_graph_ann_search",
@@ -192,7 +314,18 @@ object GraphSearch {
         .orderBy(col("qid"), col("rn")),
       Some(beamSearchOracle(K, kGraph = K, beam = Beam, hops = Hops,
         nSeeds = NSeeds)),
-      doc = "Graph-based greedy ANN search (HNSW-family serving over the built KNN graph - the reference's product finally SEARCHED, mrdf.py:199-215 + getrecall.py:14-35): md5-seeded entry points, 3 hops of expand-best-4 through the k=10 adjacency, top-10 of visited; every hop replayed verbatim in the oracle's CTE unroll. The MRDF-graph serving path is the same operator, recall-gated in GraphSearchSpec and SCALING.json")
+      doc = "Graph-based greedy ANN search (HNSW-family serving over the built KNN graph - the reference's product finally SEARCHED, mrdf.py:199-215 + getrecall.py:14-35): md5-seeded entry points, 3 hops of expand-best-4 through the k=10 adjacency, top-10 of visited; every hop replayed verbatim in the oracle's CTE unroll. The MRDF-graph serving path is the same operator, recall-gated in GraphSearchSpec and SCALING.json"),
+
+    Declared(
+      "q223_graph_ann_routed",
+      (s, dir) => routedBeamSearch(
+        Tables.load(s, dir, "embeddings"),
+        KnnQueries.knn10(s, dir),
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 20))
+        .orderBy(col("qid"), col("rn")),
+      Some(routedOracle(K, kGraph = K, beam = Beam, hops = Hops,
+        nlist = 8, nprobe = 2, seedsPerList = 4, iters = 5)),
+      doc = "ROUTED-entry graph search (NSG medoid entry generalized): a portable k-means router picks each query's 2 nearest clusters, the search enters at those clusters' own md5 seeds, then the same hop machinery - entry cost falls from O(coverage seeds) to one nlist-row probe + <= nprobe*seedsPerList scored entries; router training, routing, entries and every hop replayed in ONE oracle text")
   )
 }
 
@@ -247,6 +380,32 @@ object GraphSearchScale {
       println(f"[graph-search-scale] n=$n edges=$nEdges buildSec=$buildSec%.1f " +
         f"queries=${queries.count()} nSeeds=$nSeeds beam=$beam hops=$hops " +
         f"searchSec=$searchSec%.1f recall@10=$recall%.4f")
+      // ROUTED arm on the same graph: the router AND its seed table
+      // are index-build artifacts (trained + corpus-assigned once,
+      // measured apart); serving pays only probe + entries + hops
+      val nlist = 1024
+      val t2 = System.nanoTime()
+      val cent = graft.similarity.Ann.kmeansCentroids(vecs, nlist, iters = 3)
+        .localCheckpoint()
+      val cseeds = GraphSearch.clusterSeeds(vecs, cent, seedsPerList = 4)
+        .localCheckpoint()
+      val routerSec = (System.nanoTime() - t2) / 1e9
+      // one untimed warmup pays the routed plan's codegen, so the
+      // per-nprobe numbers measure steady-state serving
+      GraphSearch.routedWithCentroids(vecs, edges, queries, cent, cseeds,
+        k = 10, beam = beam, hops = hops, nprobe = 2).count()
+      Seq(2, 3).foreach { nprobe =>
+        val t3 = System.nanoTime()
+        val got2 = GraphSearch.routedWithCentroids(vecs, edges, queries,
+            cent, cseeds, k = 10, beam = beam, hops = hops, nprobe = nprobe)
+          .select(col("qid"), col("nbr")).collect()
+        val routedSec = (System.nanoTime() - t3) / 1e9
+        val got2Set = got2.map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall2 = truth.count(got2Set.contains).toDouble / truth.length
+        println(f"[graph-search-scale] routed: nlist=$nlist nprobe=$nprobe " +
+          f"seedsPerList=4 routerBuildSec=$routerSec%.1f " +
+          f"searchSec=$routedSec%.1f recall@10=$recall2%.4f")
+      }
       spark.stop()
     }
   }

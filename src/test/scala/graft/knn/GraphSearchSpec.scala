@@ -77,6 +77,25 @@ class GraphSearchSpec extends SparkSpec {
     assert(r0 < 0.2, f"seeds-only recall $r0%.4f unexpectedly high")
   }
 
+  test("routed entry matches flat coverage recall on clustered MRDF graph with 8x fewer entries") {
+    // same corpus/graph claim as the coverage test, but the router
+    // enters at the query's OWN cluster: <= nprobe*seedsPerList = 8
+    // scored entries per query instead of the 64-seed coverage set
+    val vecs = plantedCorpus(2000, 32, clusters = 16, seed = 7L)
+    val edges = graft.mrdf.Mrdf.buildGraph(vecs, graft.mrdf.MrdfQueries.testParams)
+    try {
+      val queries = vecs.filter(col("vec_id") % 20 === 0)
+      val got = GraphSearch.routedBeamSearch(vecs, edges, queries,
+        k = 10, beam = 8, hops = 4, nlist = 32, nprobe = 2,
+        seedsPerList = 4, kmeansIters = 3, portableQuantizer = false)
+      val truth = org.apache.spark.sql.graft.TopKJoin.knn(queries, vecs, 10)
+        .select(col("id").as("qid"), col("nbr"))
+      val r = recallAt10(got, truth)
+      info(f"routed-entry beam-search recall@10 = $r%.4f")
+      assert(r >= 0.9, f"recall@10 $r%.4f below the 0.9 serving gate")
+    } finally graft.Checkpoints.release(edges)
+  }
+
   test("q219 contract: deterministic reruns, contiguous ranks, no self, correct dists") {
     val out1 = Registry.byName("q219_graph_ann_search").run(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
