@@ -103,6 +103,60 @@ object GraphSearch {
       .unionByName(scored(fresh, vecs, q).withColumn("exp", lit(false)))
   }
 
+  /** LONG LINKS — the HNSW upper layer flattened into the one graph
+    * (Watts–Strogatz shortcut rewiring): a small md5-ranked HUB POOL
+    * (`poolSize` nodes, the entrySeeds sampler at larger n), and every
+    * node gains `perNode` extra out-edges to hash-chosen pool members.
+    * Greedy search from a handful of seeds can then (a) cross
+    * components of a clustered corpus's otherwise-DISCONNECTED kNN
+    * graph whenever the touched-hub set covers the query's cluster
+    * (pool ≫ clusters — the honest scope; at cluster counts past
+    * that, route entries instead: q223), and (b) shortcut the
+    * diameter of connected graphs, cutting the hops needed for a
+    * given recall (both gated in GraphSearchSpec).
+    *
+    * Deterministic + portable: pool = bottom-`poolSize` by the
+    * md5("gs|") rank; node i's l-th link = the pool member at rank
+    * md5("ll|i|l") mod poolSize. The only windows rank the
+    * poolSize-row pool (bounded); the link join is a broadcast
+    * equi-join on the pool index. */
+  def longLinks(vectors: DataFrame, poolSize: Int, perNode: Int): DataFrame = {
+    val pool = vectors
+      .withColumn("hk", conv(substring(
+        md5(concat(lit("gs|"), col("vec_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"))
+      .orderBy(col("hk"), col("vec_id")).limit(poolSize)
+      .withColumn("pi",
+        row_number().over(Window.orderBy(col("hk"), col("vec_id"))) - 1)
+      .select(col("pi"), col("vec_id").as("nbr"))
+    val picks = vectors.select(col("vec_id").as("id"))
+      .crossJoin(spark_range(perNode))
+      .select(col("id"), pmod(conv(substring(
+        md5(concat(lit("ll|"), col("id").cast("string"), lit("|"),
+          col("l").cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(poolSize.toLong)).as("pi"))
+    picks.join(broadcast(pool), "pi")
+      .filter(col("id") =!= col("nbr"))
+      .select(col("id"), col("nbr"))
+      .distinct()
+  }
+
+  /** 0..n-1 as a `l` column (a literal inline table, not a range scan
+    * — n is the per-node link count, single digits). */
+  private def spark_range(n: Int): DataFrame = {
+    val rows = (0 until n).map(i => s"($i)").mkString(", ")
+    // built via the active session's SQL — callers always have one
+    org.apache.spark.sql.SparkSession.active.sql(
+      s"SELECT l FROM VALUES $rows AS t(l)")
+  }
+
+  /** Adjacency ∪ long links — the navigable serving graph. */
+  def withLongLinks(vectors: DataFrame, edges: DataFrame,
+      poolSize: Int, perNode: Int): DataFrame =
+    edges.select(col("id"), col("nbr"))
+      .unionByName(longLinks(vectors, poolSize, perNode))
+      .distinct()
+
   /** The shared hop loop + final ranking over any initial state. */
   private def runHops(state0: DataFrame, edges: DataFrame,
       vectors: DataFrame, queries: DataFrame,
@@ -200,9 +254,10 @@ object GraphSearch {
 
   /** The exact k-NN adjacency CTE (`graph`) + query CTE (`q`) shared
     * by both graph-search oracles. */
-  private def graphAndQueryCtes(kGraph: Int): String = {
+  private def graphAndQueryCtes(kGraph: Int,
+      graphName: String = "graph"): String = {
     val dAB = DuckSql.euclidean("a.embedding", "b.embedding")
-    s"""graph AS MATERIALIZED (
+    s"""$graphName AS MATERIALIZED (
        |  SELECT id, nbr FROM (
        |    SELECT a.vec_id AS id, b.vec_id AS nbr,
        |      row_number() OVER (PARTITION BY a.vec_id
@@ -256,6 +311,41 @@ object GraphSearch {
   private def beamSearchOracle(k: Int, kGraph: Int, beam: Int, hops: Int,
                                nSeeds: Int): String =
     s"""WITH ${graphAndQueryCtes(kGraph)},
+       |seeds AS (
+       |  SELECT vec_id AS node FROM (
+       |    SELECT vec_id,
+       |      CAST(('0x' || substr(md5('gs|' || CAST(vec_id AS VARCHAR)),
+       |        1, 15)) AS BIGINT) AS hk
+       |    FROM embeddings) ORDER BY hk, vec_id LIMIT $nSeeds),
+       |s0 AS MATERIALIZED (
+       |  SELECT q.qid, s.node, round($dQE, 6) AS dist, FALSE AS exp
+       |  FROM q CROSS JOIN seeds s JOIN embeddings e ON e.vec_id = s.node)""".stripMargin +
+      hopUnrollSql(k, beam, hops)
+
+  /** Generated DuckDB mirror of the LONG-LINKED search: the exact
+    * graph under its own name, the pool + hash-picked links, their
+    * UNION as the serving graph, then flat seeds and the same hop
+    * unroll. */
+  private def longLinkOracle(k: Int, kGraph: Int, beam: Int, hops: Int,
+      nSeeds: Int, poolSize: Int, perNode: Int): String =
+    s"""WITH ${graphAndQueryCtes(kGraph, "knng")},
+       |pool AS (
+       |  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS pi,
+       |         vec_id AS nbr
+       |  FROM (SELECT vec_id, hk FROM (
+       |          SELECT vec_id,
+       |            CAST(('0x' || substr(md5('gs|' || CAST(vec_id AS VARCHAR)),
+       |              1, 15)) AS BIGINT) AS hk
+       |          FROM embeddings) ORDER BY hk, vec_id LIMIT $poolSize)),
+       |ll AS (
+       |  SELECT e.vec_id AS id, p.nbr
+       |  FROM embeddings e CROSS JOIN range($perNode) t(l)
+       |  JOIN pool p ON p.pi =
+       |    CAST(('0x' || substr(md5('ll|' || CAST(e.vec_id AS VARCHAR)
+       |      || '|' || CAST(t.l AS VARCHAR)), 1, 15)) AS BIGINT) % $poolSize
+       |  WHERE e.vec_id <> p.nbr),
+       |graph AS MATERIALIZED (
+       |  SELECT id, nbr FROM knng UNION SELECT id, nbr FROM ll),
        |seeds AS (
        |  SELECT vec_id AS node FROM (
        |    SELECT vec_id,
@@ -325,7 +415,21 @@ object GraphSearch {
         .orderBy(col("qid"), col("rn")),
       Some(routedOracle(K, kGraph = K, beam = Beam, hops = Hops,
         nlist = 8, nprobe = 2, seedsPerList = 4, iters = 5)),
-      doc = "ROUTED-entry graph search (NSG medoid entry generalized): a portable k-means router picks each query's 2 nearest clusters, the search enters at those clusters' own md5 seeds, then the same hop machinery - entry cost falls from O(coverage seeds) to one nlist-row probe + <= nprobe*seedsPerList scored entries; router training, routing, entries and every hop replayed in ONE oracle text")
+      doc = "ROUTED-entry graph search (NSG medoid entry generalized): a portable k-means router picks each query's 2 nearest clusters, the search enters at those clusters' own md5 seeds, then the same hop machinery - entry cost falls from O(coverage seeds) to one nlist-row probe + <= nprobe*seedsPerList scored entries; router training, routing, entries and every hop replayed in ONE oracle text"),
+
+    Declared(
+      "q224_graph_ann_longlinks",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        beamSearch(emb,
+          withLongLinks(emb, KnnQueries.knn10(s, dir),
+            poolSize = 16, perNode = 2),
+          emb.filter(col("vec_id") < 20))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(longLinkOracle(K, kGraph = K, beam = Beam, hops = Hops,
+        nSeeds = NSeeds, poolSize = 16, perNode = 2)),
+      doc = "LONG-LINKED graph search (the HNSW upper layer flattened / Watts-Strogatz shortcuts): every node gains 2 hash-chosen edges into a 16-node md5 hub pool, making the kNN graph navigable from a handful of seeds - component bridging on clustered corpora (pool >> clusters) and diameter shortcuts on connected ones, both gated in GraphSearchSpec; pool, links, union and every hop replayed in the oracle")
   )
 }
 

@@ -96,6 +96,29 @@ class GraphSearchSpec extends SparkSpec {
     } finally graft.Checkpoints.release(edges)
   }
 
+  test("long links bridge the disconnected clustered graph from 4 flat seeds") {
+    // the exact kNN graph of well-separated clusters is disconnected:
+    // 4 flat seeds reach at most 4 clusters and recall collapses; the
+    // hub-pool long links (pool >> clusters) restore navigability
+    // without coverage-sized entries or a router
+    val vecs = plantedCorpus(2000, 32, clusters = 16, seed = 7L)
+    val exact = BruteForceKnn.knnGraph(vecs, 10).localCheckpoint()
+    val queries = vecs.filter(col("vec_id") % 20 === 0)
+    val truth = org.apache.spark.sql.graft.TopKJoin.knn(queries, vecs, 10)
+      .select(col("id").as("qid"), col("nbr"))
+    val plain = GraphSearch.beamSearch(vecs, exact, queries,
+      k = 10, beam = 8, hops = 6, nSeeds = 4)
+    val rPlain = recallAt10(plain, truth)
+    val linked = GraphSearch.withLongLinks(vecs, exact,
+      poolSize = 64, perNode = 4).localCheckpoint()
+    val got = GraphSearch.beamSearch(vecs, linked, queries,
+      k = 10, beam = 8, hops = 8, nSeeds = 4)
+    val r = recallAt10(got, truth)
+    info(f"plain-graph recall@10 = $rPlain%.4f, long-linked = $r%.4f")
+    assert(rPlain < 0.5, f"plain graph unexpectedly navigable ($rPlain%.4f)")
+    assert(r >= 0.9, f"long-linked recall@10 $r%.4f below the 0.9 gate")
+  }
+
   test("q219 contract: deterministic reruns, contiguous ranks, no self, correct dists") {
     val out1 = Registry.byName("q219_graph_ann_search").run(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
