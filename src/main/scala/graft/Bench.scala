@@ -355,10 +355,6 @@ object Bench {
         r.collect { case (_, t) if t.wall >= 0 => t.wall }.sum
       val passTotalsJson = passResults.map(r => fmt(passTotal(r))).mkString("[", ",", "]")
       val passLoadsJson = passLoads.map(fmt).mkString("[", ",", "]")
-      val noiseJson =
-        if (noiseSuspect.isEmpty) ""
-        else noiseSuspect.map(jq).mkString(""""noise_suspect":[""", ",", "],")
-
       // The full line goes to bench_out.json and stdout for humans;
       // the length-budgeted COMPACT line prints LAST for the driver's
       // ~2000-char stdout tail parser ([[renderCompact]]).
@@ -367,13 +363,15 @@ object Bench {
           if (errors.isEmpty) ""
           else errors.map { case (k, v) => jq(k) + ":" + jq(v) }
             .mkString(""""failed":{""", ",", "},")
-        val env = envString(passes, passTotalsJson, passLoadsJson,
-          probeMin, allProbes.max, remeasured.size, publishedCleanN,
-          noiseJson, lockWait, cpuTotal, loadStart, loadEnd, gateFields, cpus)
-        val line = fullLine(total, qs, env, errJson, sfDir)
+        def env(noiseJson: String) = envString(passes, passTotalsJson,
+          passLoadsJson, probeMin, allProbes.max, remeasured.size,
+          publishedCleanN, noiseJson, lockWait, cpuTotal, loadStart,
+          loadEnd, gateFields, cpus)
+        val line = fullLine(total, qs, env(noiseListJson(noiseSuspect)),
+          errJson, sfDir)
         Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
         println(line)
-        println(renderCompact(pmin, total, env, errJson, sfDir))
+        println(renderCompact(pmin, total, env, errJson, sfDir, noiseSuspect))
         System.out.flush()
       }
 
@@ -477,30 +475,48 @@ object Bench {
   private[graft] val CompactBudgetChars = 1800
   private val CompactKeepMax = 50
 
+  /** The full `noise_suspect` name list (the bench_out.json / full-line
+    * form). */
+  private[graft] def noiseListJson(noise: Seq[String]): String =
+    if (noise.isEmpty) ""
+    else noise.map(jq).mkString(""""noise_suspect":[""", ",", "],")
+
   /** The driver-facing COMPACT summary line: the slowest `keep`
     * queries verbatim plus the remainder folded into `other_sec` /
-    * `other_n` — and `keep` now AUTO-SHRINKS until the rendered line
-    * fits the budget, so adding queries or gate fields can never push
-    * the line past the tail window again (round-11 verdict #1; the
-    * bound is pinned by BenchLineSpec at 300-query scale). */
+    * `other_n` — and `keep` AUTO-SHRINKS until the rendered line fits
+    * the budget, so adding queries or gate fields can never push the
+    * line past the tail window again (round-11 verdict #1). When even
+    * keep=0 cannot fit — a dirty-window run can flag 100+ noise
+    * suspects, and THAT list blew the budget to ~3 kB in round-12's
+    * first closing attempt — the name list folds to
+    * `noise_suspect_n` (the full list stays in bench_out.json /
+    * bench_detail.json) and the keep shrink reruns. Bounds pinned by
+    * BenchLineSpec at 300-query / 110-suspect scale. */
   private[graft] def renderCompact(pmin: Seq[(String, Double)], total: Double,
-      env: String, errJson: String, sfDir: String,
+      envOf: String => String, errJson: String, sfDir: String,
+      noise: Seq[String],
       budgetChars: Int = CompactBudgetChars): String = {
-    def render(keep: Int): String = {
-      val (slow, rest) = pmin.sortBy { case (_, v) => -v }.splitAt(keep)
-      val compactQs = slow.map { case (k, v) => jq(k) + ":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val restSum = rest.collect { case (_, v) if v >= 0 => v }.sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,""" +
-        s""""other_n":${rest.size},"other_sec":${fmt(restSum)},$env$errJson"sf":"$sfDir"}"""
+    def attempt(noiseJson: String): String = {
+      val env = envOf(noiseJson)
+      def render(keep: Int): String = {
+        val (slow, rest) = pmin.sortBy { case (_, v) => -v }.splitAt(keep)
+        val compactQs = slow.map { case (k, v) => jq(k) + ":" + fmt(v) }
+          .mkString("{", ",", "}")
+        val restSum = rest.collect { case (_, v) if v >= 0 => v }.sum
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,""" +
+          s""""other_n":${rest.size},"other_sec":${fmt(restSum)},$env$errJson"sf":"$sfDir"}"""
+      }
+      var keep = math.min(CompactKeepMax, pmin.size)
+      var line = render(keep)
+      while (line.length > budgetChars && keep > 0) {
+        keep -= 1
+        line = render(keep)
+      }
+      line
     }
-    var keep = math.min(CompactKeepMax, pmin.size)
-    var line = render(keep)
-    while (line.length > budgetChars && keep > 0) {
-      keep -= 1
-      line = render(keep)
-    }
-    line
+    val full = attempt(noiseListJson(noise))
+    if (full.length <= budgetChars || noise.isEmpty) full
+    else attempt(s""""noise_suspect_n":${noise.size},""")
   }
 
   /** One pinned-corpus recall gate: the corpus spec, the MRDF

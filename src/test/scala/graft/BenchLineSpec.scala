@@ -38,8 +38,8 @@ class BenchLineSpec extends AnyFunSuite {
     val pmin = (1 to 300).map(i =>
       (f"q$i%03d_reasonably_long_query_name", 300.37 - i * 0.37))
     val total = pmin.collect { case (_, v) if v >= 0 => v }.sum
-    val line = Bench.renderCompact(pmin, total, envAllFields(""), "",
-      "/root/testdata/sf0.1")
+    val line = Bench.renderCompact(pmin, total, envAllFields, "",
+      "/root/testdata/sf0.1", Nil)
     assert(line.length <= Bench.CompactBudgetChars,
       s"compact line is ${line.length} chars > budget ${Bench.CompactBudgetChars}")
     val root = om.readTree(line)
@@ -69,13 +69,12 @@ class BenchLineSpec extends AnyFunSuite {
     val pmin = (1 to 300).map(i =>
       (f"q$i%03d_reasonably_long_query_name", 300.37 - i * 0.37))
     val total = pmin.map(_._2).sum
-    val noise = (1 to 8).map(i => Bench.jq(f"q$i%03d_reasonably_long_query_name"))
-      .mkString(""""noise_suspect":[""", ",", "],")
+    val noise = (1 to 8).map(i => f"q$i%03d_reasonably_long_query_name")
     val err = (1 to 3).map(i =>
       Bench.jq(s"q_broken_$i") + ":" + Bench.jq("SparkException: boom " + "x" * 40))
       .mkString(""""failed":{""", ",", "},")
-    val line = Bench.renderCompact(pmin, total, envAllFields(noise), err,
-      "/root/testdata/sf0.1")
+    val line = Bench.renderCompact(pmin, total, envAllFields, err,
+      "/root/testdata/sf0.1", noise)
     assert(line.length <= Bench.CompactBudgetChars,
       s"compact line is ${line.length} chars > budget ${Bench.CompactBudgetChars}")
     val root = om.readTree(line)
@@ -84,10 +83,32 @@ class BenchLineSpec extends AnyFunSuite {
     assert(root.get("queries").size() + root.get("other_n").asInt() == 300)
   }
 
+  test("a dirty-window run with 110 noise suspects folds the list to a count and stays under budget") {
+    // round-12's first closing attempt: the adjudicator flagged 110
+    // queries and the NAME LIST alone pushed the compact line to ~3 kB
+    // with zero queries shown — the artifact must fold the list, not
+    // blow the tail window
+    val pmin = (1 to 300).map(i =>
+      (f"q$i%03d_reasonably_long_query_name", 300.37 - i * 0.37))
+    val total = pmin.map(_._2).sum
+    val noise = (1 to 110).map(i => f"q$i%03d_reasonably_long_query_name")
+    val line = Bench.renderCompact(pmin, total, envAllFields, "",
+      "/root/testdata/sf0.1", noise)
+    assert(line.length <= Bench.CompactBudgetChars,
+      s"compact line is ${line.length} chars > budget ${Bench.CompactBudgetChars}")
+    val root = om.readTree(line)
+    assert(root.get("noise_suspect_n").asInt() == 110,
+      "the folded count must replace the name list")
+    assert(root.get("noise_suspect") == null)
+    assert(root.get("queries").size() > 0,
+      "folding the noise list must win back room for the slowest queries")
+    assert(root.get("queries").size() + root.get("other_n").asInt() == 300)
+  }
+
   test("small suites keep every query verbatim (no needless folding)") {
     val pmin = (1 to 20).map(i => (f"q$i%02d_name", i * 1.0))
     val line = Bench.renderCompact(pmin, pmin.map(_._2).sum,
-      envAllFields(""), "", "/root/testdata/sf0.01")
+      envAllFields, "", "/root/testdata/sf0.01", Nil)
     val root = om.readTree(line)
     assert(root.get("queries").size() == 20)
     assert(root.get("other_n").asInt() == 0)
