@@ -44,6 +44,104 @@ object Bench {
   private val ProbeEvery = 15
   private val RemeasureRounds = 2
 
+  /** Publish gate (round-12 verdict #1): a full-suite attempt with
+    * fewer than this fraction of queries provably clean is requeued
+    * (after a bounded quiet-wait) instead of becoming the round's
+    * number. */
+  private[graft] val CleanPublishFloor = 0.9
+
+  /** Total full-run attempts (1 + up to 2 requeues). */
+  private val MaxAttempts = 3
+
+  /** Suspect-by-history factor: a query at or above this × its
+    * previous full-suite published value is re-measured individually
+    * and, if still there after adjudication, named in
+    * `regressed_vs_prev` (round-12 verdict #2 — the q184 class: a
+    * state-store stall shows in wall but in neither noise signal). */
+  private[graft] val HistoryFactor = 2.0
+
+  /** Quiet-wait between requeued attempts: poll the CPU probe every
+    * [[QuietPollSleepMs]] until it returns to within NoiseFactor of
+    * the run's best, up to [[QuietMaxPolls]] polls (~3 min). */
+  private val QuietPollSleepMs = 20000L
+  private val QuietMaxPolls = 9
+
+  private def waitForQuiet(spark: SparkSession, cpus: Int,
+      bestProbe: Double, bestDisk: Double): Unit = {
+    def contended(p: Double, d: Double): Boolean =
+      p > bestProbe * BenchAdjudicator.NoiseFactor ||
+        (bestDisk > 0 && d > math.max(
+          bestDisk * BenchAdjudicator.DiskNoiseFactor,
+          BenchAdjudicator.DiskFloorSec))
+    var polls = 0
+    var p = probe(spark, cpus)
+    var d = diskProbe()
+    while (contended(p, d) && polls < QuietMaxPolls) {
+      polls += 1
+      System.err.println(f"[bench] host still contended (cpu probe $p%.2f s " +
+        f"vs best $bestProbe%.2f, disk $d%.3f vs best $bestDisk%.3f) — " +
+        s"quiet-wait poll $polls/$QuietMaxPolls")
+      Thread.sleep(QuietPollSleepMs)
+      p = probe(spark, cpus)
+      d = diskProbe()
+    }
+  }
+
+  /** The most recent CLEAN full-suite run: its headline (carried into
+    * a dirty artifact) and its per-query published values (the ≥2×
+    * suspect-by-history baseline). */
+  private[graft] final case class History(total: Double, n: Int,
+      cleanN: Int, queries: Map[String, Double])
+
+  private val HistoryPath = "/root/repo/target/bench_history.json"
+
+  /** Load the history file; bootstrap from the repo's last full-line
+    * artifact (bench_out.json) when absent — accepting its values as
+    * the ≥2× baseline, and its headline only if that run itself was
+    * ≥ [[CleanPublishFloor]] clean. */
+  private[graft] def loadHistory(historyPath: String = HistoryPath,
+      fallbackPath: String = "/root/repo/bench_out.json"): Option[History] = {
+    def parse(path: String, requireClean: Boolean): Option[History] =
+      try {
+        val f = new java.io.File(path)
+        if (!f.exists()) None
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(f)
+          val qn = root.get("queries")
+          if (qn == null || !qn.isObject) None
+          else {
+            val m = scala.collection.mutable.Map.empty[String, Double]
+            qn.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asDouble())
+            val cleanN = Option(root.get("published_clean_n"))
+              .orElse(Option(root.get("clean_n"))).map(_.asInt()).getOrElse(0)
+            val n = Option(root.get("n")).map(_.asInt()).getOrElse(m.size)
+            val h = History(Option(root.get("value"))
+              .orElse(Option(root.get("total"))).map(_.asDouble()).getOrElse(-1.0),
+              n, cleanN, m.toMap)
+            if (requireClean && cleanN < CleanPublishFloor * math.max(1, n)) None
+            else Some(h)
+          }
+        }
+      } catch { case _: Throwable => None }
+    parse(historyPath, requireClean = false)
+      .orElse(parse(fallbackPath, requireClean = true))
+  }
+
+  private[graft] def saveHistory(total: Double, n: Int, cleanN: Int,
+      pmin: Seq[(String, Double)], historyPath: String = HistoryPath): Unit =
+    try {
+      val qs = pmin.map { case (k, v) => jq(k) + ":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val f = new java.io.File(historyPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      Files.writeString(f.toPath,
+        s"""{"total":${fmt(total)},"n":$n,"clean_n":$cleanN,"queries":$qs}""")
+      ()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] history save failed: ${e.getMessage}")
+    }
+
   /** Queries whose best wall is under this never become noise
     * suspects: their absolute contention error is bounded by their own
     * (sub-second) size, and probing around each would cost more than
@@ -65,11 +163,46 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed DISK work — 4 MB written + fsync'd to the same filesystem
+    * the state stores commit to, then deleted: the I/O-contention
+    * yardstick (round-13). State-store-bound streaming queries stall
+    * on storage commits that the CPU probe cannot see (measured: q184
+    * /q194 swung 1.5–1.9× between same-code runs, CPU probes flat at
+    * 0.6–0.8 s — the round-12 verdict's q184 blind spot). Probed at
+    * the same boundaries as the CPU probe; the adjudicator applies the
+    * disk brackets ONLY to queries declared `streamingExecuted`. */
+  private val DiskProbeBytes = 4 << 20
+  private def diskProbe(): Double = {
+    val buf = new Array[Byte](64 << 10)
+    java.util.Arrays.fill(buf, 0x5a.toByte)
+    val f = java.io.File.createTempFile("graft-bench-dprobe", ".bin")
+    try {
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var written = 0
+        while (written < DiskProbeBytes) {
+          ch.write(java.nio.ByteBuffer.wrap(buf))
+          written += buf.length
+        }
+        ch.force(true)
+      } finally ch.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally { f.delete(); () }
+  }
+
+  /** Queries whose wall is storage-commit-bound (state-store streaming
+    * replays) — the disk-probe signal applies only to these. */
+  private lazy val diskSensitive: Set[String] =
+    Registry.all.filter(_.streamingExecuted).map(_.name).toSet
+
   /** One measurement — see [[BenchAdjudicator.M]] for the field
     * contract and the clean/suspect/publish rules applied to it. */
   private type Timed = BenchAdjudicator.M
-  private def Timed(wall: Double, cpu: Double, pb: Double, pa: Double): Timed =
-    BenchAdjudicator.M(wall, cpu, pb, pa)
+  private def Timed(wall: Double, cpu: Double, pb: Double, pa: Double,
+                    db: Double, da: Double): Timed =
+    BenchAdjudicator.M(wall, cpu, pb, pa, db, da)
 
   /** Execute a declared query for timing. `count()` is the cheap
     * default, but Catalyst eliminates work under it that the query
@@ -139,28 +272,30 @@ object Bench {
     (if (failed) -1.0 else dt, dc)
   }
 
-  /** One timed pass over the declared queries, probes interleaved every
-    * [[ProbeEvery]] queries. Returns per-query measurements plus every
-    * probe wall observed in this pass. */
+  /** One timed pass over the declared queries, CPU + disk probes
+    * interleaved every [[ProbeEvery]] queries. Returns per-query
+    * measurements plus every (cpu, disk) probe pair observed. */
   private def runPass(spark: SparkSession, sfDir: String, cpus: Int,
       only: Option[Set[String]],
       errors: scala.collection.mutable.LinkedHashMap[String, String])
-      : (Seq[(String, Timed)], Seq[Double]) = {
+      : (Seq[(String, Timed)], Seq[(Double, Double)]) = {
     val qs = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .toSeq
-    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Timed)]
-    var before = probe(spark, cpus)
+    var before = (probe(spark, cpus), diskProbe())
     probes += before
     qs.grouped(ProbeEvery).foreach { block =>
       val timed = block.map { case (name, fn) =>
         val (w, c) = runOne(spark, sfDir, name, fn, errors)
         (name, w, c)
       }
-      val after = probe(spark, cpus)
+      val after = (probe(spark, cpus), diskProbe())
       probes += after
-      out ++= timed.map { case (n, w, c) => n -> Timed(w, c, before, after) }
+      out ++= timed.map { case (n, w, c) =>
+        n -> Timed(w, c, before._1, after._1, before._2, after._2)
+      }
       before = after
     }
     (out.toSeq, probes.toSeq)
@@ -267,6 +402,15 @@ object Bench {
         }
       } else None
 
+    // Previous full-suite published values (the ≥2× suspect-by-history
+    // signal — round-12 verdict #2: q184 published a 2.21× regression
+    // with clean probes and flat cpu, because a RocksDB state-store
+    // wait shows in wall but in neither noise signal) and the most
+    // recent CLEAN full-run headline (carried into a dirty artifact so
+    // the driver always parses a defensible number).
+    val history = loadHistory()
+    val prevPublished = history.map(_.queries).getOrElse(Map.empty)
+
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     HarnessLock.exclusiveWithWait { lockWait =>
       // Warm the session INSIDE the lock, before timing: first-job costs
@@ -276,63 +420,125 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       Tables.load(spark, sfDir, "region").count()
       probe(spark, nCpus)
-      val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val passResults = (1 to passes).map { p =>
-        passLoads += osBean.getSystemLoadAverage
-        if (p > 1) Materialized.reset() // later passes re-pay shared tables
-        val (r, pr) = runPass(spark, sfDir, nCpus, only, errors)
-        probes ++= pr
-        r
-      }
-
-      // Re-measure queries with no PUBLISHABLE clean measurement in any
-      // pass — no measurement passing BOTH noise signals (probe
-      // brackets AND cpu dispersion), or a clean min that disagrees
-      // with the global min ([[BenchAdjudicator]]). Individually
-      // probed, so one more bad window can't hide a whole block.
-      // Materialized reset per round keeps family first-member
-      // semantics comparable with the main passes.
+      diskProbe() // pay first-temp-file costs outside any bracket
+      val probes = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val passResults = scala.collection.mutable.ArrayBuffer
+        .empty[Seq[(String, Timed)]]
       val extra = scala.collection.mutable.ArrayBuffer.empty[(String, Timed)]
-      def minProbe: Double = (probes ++ extra.iterator.flatMap(t =>
+      val attemptCleanNs = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+      def minProbe: Double = (probes.map(_._1) ++ extra.iterator.flatMap(t =>
         Seq(t._2.pb, t._2.pa))).min
-      def suspects: Seq[String] = {
-        val byName = (passResults.flatten ++ extra).groupBy(_._1)
-        byName.collect { case (n, ms)
-          if BenchAdjudicator.isSuspect(ms.map(_._2), minProbe, SuspectFloorSec)
+      def minDisk: Double = {
+        val ds = (probes.map(_._2) ++ extra.iterator.flatMap(t =>
+          Seq(t._2.db, t._2.da))).filter(_ > 0)
+        if (ds.isEmpty) -1.0 else ds.min
+      }
+      // the disk signal applies only to state-store-bound queries
+      def dmin(name: String): Double =
+        if (diskSensitive(name)) minDisk else -1.0
+      def allByName: Map[String, Seq[Timed]] =
+        (passResults.flatten ++ extra).groupBy(_._1)
+          .map { case (n, ms) => n -> ms.map(_._2).toSeq }
+      // ≥2× the query's previous full-suite published value (and not
+      // explained by the adjudicator's own signals) — re-measured
+      // individually like a noise suspect, so a state-store stall that
+      // both noise signals are blind to still gets its quiet-window
+      // chance before publishing (round-12 verdict #2).
+      def historySuspect(n: String, ms: Seq[Timed]): Boolean = {
+        val walls = ms.filter(_.wall >= 0).map(_.wall)
+        walls.nonEmpty && walls.min >= SuspectFloorSec &&
+          prevPublished.get(n).exists(p =>
+            p > 0 && walls.min >= HistoryFactor * p)
+      }
+      def remeasureSet: Seq[String] =
+        allByName.collect { case (n, ms)
+          if BenchAdjudicator.isSuspect(ms, minProbe, SuspectFloorSec, dmin(n)) ||
+            historySuspect(n, ms)
           => n
         }.toSeq
-      }
-      var round = 0
-      while (round < RemeasureRounds && suspects.nonEmpty) {
-        round += 1
-        Materialized.reset()
-        val order = SparkEntry.queries.keys.toSeq.filter(suspects.toSet)
-        System.err.println(
-          s"[bench] re-measure round $round: ${order.size} noise suspects")
-        order.foreach { name =>
-          val pb = probe(spark, nCpus)
-          val (w, c) = runOne(spark, sfDir, name, SparkEntry.queries(name), errors)
-          val pa = probe(spark, nCpus)
-          extra += name -> Timed(w, c, pb, pa)
+
+      // THE PUBLISH GATE (round-12 verdict #1): a full-suite attempt
+      // whose adjudication leaves fewer than CleanPublishFloor of the
+      // queries provably clean is NOT the round's number — BENCH_r12
+      // published 306.58 s (1.47× r11) from a window the artifact
+      // itself proved dirty (150/237 clean, every pass contended).
+      // Instead of publishing, wait for the host to go quiet (probe
+      // polls, bounded) and REQUEUE the full measurement — up to
+      // MaxAttempts total. All measurements accumulate: the
+      // adjudicator then mines clean minima across every window seen.
+      var attempt = 0
+      var done = false
+      while (!done) {
+        attempt += 1
+        if (attempt > 1) {
+          waitForQuiet(spark, nCpus, probes.map(_._1).min, minDisk)
+          Materialized.reset()
         }
+        (1 to passes).foreach { p =>
+          passLoads += osBean.getSystemLoadAverage
+          if (p > 1 || attempt > 1) Materialized.reset()
+          val (r, pr) = runPass(spark, sfDir, nCpus, only, errors)
+          probes ++= pr
+          passResults += r
+        }
+
+        // Re-measure queries with no PUBLISHABLE clean measurement in
+        // any pass — no measurement passing BOTH noise signals (probe
+        // brackets AND cpu dispersion), a clean min that disagrees
+        // with the global min ([[BenchAdjudicator]]), or a ≥2×
+        // history regression. Individually probed, so one more bad
+        // window can't hide a whole block. Materialized reset per
+        // round keeps family first-member semantics comparable with
+        // the main passes.
+        var round = 0
+        while (round < RemeasureRounds && remeasureSet.nonEmpty) {
+          round += 1
+          Materialized.reset()
+          val names = SparkEntry.queries.keys.toSeq.filter(remeasureSet.toSet)
+          System.err.println(
+            s"[bench] re-measure round $round: ${names.size} suspects")
+          names.foreach { name =>
+            val pb = probe(spark, nCpus)
+            val dpb = diskProbe()
+            val (w, c) = runOne(spark, sfDir, name, SparkEntry.queries(name), errors)
+            val pa = probe(spark, nCpus)
+            val dpa = diskProbe()
+            extra += name -> Timed(w, c, pb, pa, dpb, dpa)
+          }
+        }
+
+        val byName = allByName
+        val pm = minProbe
+        val cleanN = passResults.head.map(_._1)
+          .count(n => BenchAdjudicator.publish(byName(n), pm, dmin(n))._2)
+        attemptCleanNs += cleanN
+        val n = passResults.head.size
+        done = only.nonEmpty || attempt >= MaxAttempts ||
+          cleanN >= CleanPublishFloor * n
+        if (!done) System.err.println(
+          f"[bench] attempt $attempt dirty ($cleanN/$n clean < " +
+            f"${CleanPublishFloor * 100}%.0f%%) — requeueing full run")
       }
       val loadEnd = osBean.getSystemLoadAverage // right after the timed region
       val remeasured = extra.toSeq
-      val allProbes = (probes ++ remeasured.iterator.flatMap(t =>
+      val allProbes = (probes.map(_._1) ++ remeasured.iterator.flatMap(t =>
         Seq(t._2.pb, t._2.pa))).toSeq
+      val allDisk = (probes.map(_._2) ++ remeasured.iterator.flatMap(t =>
+        Seq(t._2.db, t._2.da))).filter(_ > 0).toSeq
 
       val probeMin = allProbes.min
-      val allByName: Map[String, Seq[Timed]] =
-        (passResults.flatten ++ remeasured).groupBy(_._1)
-          .map { case (n, ms) => n -> ms.map(_._2) }
+      val byName = allByName
       // headline per query: the adjudicated publish value — min wall over
-      // measurements that pass BOTH noise signals when that min agrees
-      // with the global min; the global min (flagged below) otherwise;
-      // -1 if any pass failed (round-10 verdict #1: the previous
-      // min-across-everything could publish a probe-dirty value)
+      // measurements that pass the noise signals (CPU brackets + cpu
+      // dispersion, plus disk brackets for state-store queries) when
+      // that min agrees with the global min; the global min (flagged
+      // below) otherwise; -1 if any pass failed (round-10 verdict #1:
+      // the previous min-across-everything could publish a probe-dirty
+      // value)
       val order = passResults.head.map(_._1)
       val published: Seq[(String, (Double, Boolean))] = order.map { name =>
-        name -> BenchAdjudicator.publish(allByName(name), probeMin)
+        name -> BenchAdjudicator.publish(byName(name), probeMin, dmin(name))
       }
       val pmin: Seq[(String, Double)] = published.map { case (n, (v, _)) => n -> v }
       // noise_suspect: queries with NO publishable clean measurement —
@@ -340,7 +546,15 @@ object Bench {
       // measurements (sub-floor queries exempt: their absolute error is
       // bounded by their own size)
       val noiseSuspect = order.filter { n =>
-        BenchAdjudicator.isSuspect(allByName(n), probeMin, SuspectFloorSec)
+        BenchAdjudicator.isSuspect(byName(n), probeMin, SuspectFloorSec, dmin(n))
+      }
+      // queries still ≥2× their previous published value AFTER the
+      // individual re-measures — either a real regression or a stall
+      // class both noise signals are blind to; named in the artifact
+      // either way so a q184 can never again publish silently
+      val regressed = published.collect {
+        case (n, (v, _)) if v > 0 && prevPublished.get(n).exists(p =>
+          p > 0 && v >= HistoryFactor * p) => n
       }
       // count of headline values provably from a clean window — with
       // noise_suspect and the sub-floor exemption this reconciles the
@@ -355,23 +569,40 @@ object Bench {
         r.collect { case (_, t) if t.wall >= 0 => t.wall }.sum
       val passTotalsJson = passResults.map(r => fmt(passTotal(r))).mkString("[", ",", "]")
       val passLoadsJson = passLoads.map(fmt).mkString("[", ",", "]")
+
+      val isClean = publishedCleanN >= CleanPublishFloor * order.size
+      // A clean full-suite run becomes the next round's history (the
+      // ≥2× baseline + the carried headline); a dirty one never does —
+      // an inflated baseline would mask the very regressions the
+      // signal exists to catch.
+      if (only.isEmpty && isClean && errors.isEmpty)
+        saveHistory(total, order.size, publishedCleanN, pmin)
+      val attemptFields =
+        s""""attempts":$attempt,""" +
+          attemptCleanNs.map(_.toString).mkString(""""attempt_clean_n":[""", ",", "],") +
+          (if (allDisk.isEmpty) "" else
+            s""""disk_probe_min":${fmt3(allDisk.min)},""" +
+              s""""disk_probe_max":${fmt3(allDisk.max)},""") +
+          (if (regressed.isEmpty) ""
+          else s""""regressed_vs_prev_n":${regressed.size},""" +
+            regressed.take(12).map(jq).mkString(""""regressed_vs_prev":[""", ",", "],")) +
+          (if (isClean) "" else history.map(h =>
+            s""""last_clean_total":${fmt(h.total)},"last_clean_n":${h.n},""")
+            .getOrElse(""))
+
       // The full line goes to bench_out.json and stdout for humans;
       // the length-budgeted COMPACT line prints LAST for the driver's
       // ~2000-char stdout tail parser ([[renderCompact]]).
       def emit(gateFields: String): Unit = {
-        val errJson =
-          if (errors.isEmpty) ""
-          else errors.map { case (k, v) => jq(k) + ":" + jq(v) }
-            .mkString(""""failed":{""", ",", "},")
         def env(noiseJson: String) = envString(passes, passTotalsJson,
           passLoadsJson, probeMin, allProbes.max, remeasured.size,
           publishedCleanN, noiseJson, lockWait, cpuTotal, loadStart,
-          loadEnd, gateFields, cpus)
+          loadEnd, attemptFields + gateFields, cpus)
         val line = fullLine(total, qs, env(noiseListJson(noiseSuspect)),
-          errJson, sfDir)
+          errJsonFull(errors.toSeq), sfDir)
         Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
         println(line)
-        println(renderCompact(pmin, total, env, errJson, sfDir, noiseSuspect))
+        println(renderCompact(pmin, total, env, errors.toSeq, sfDir, noiseSuspect))
         System.out.flush()
       }
 
@@ -402,7 +633,8 @@ object Bench {
       def detailMap(r: Seq[(String, Timed)]): String =
         r.map { case (k, t) =>
           jq(k) + s""":{"wall":${fmt(t.wall)},"cpu":${fmt(t.cpu)},""" +
-            s""""pb":${fmt(t.pb)},"pa":${fmt(t.pa)}}"""
+            s""""pb":${fmt(t.pb)},"pa":${fmt(t.pa)},""" +
+            s""""db":${fmt3(t.db)},"da":${fmt3(t.da)}}"""
         }.mkString("{", ",", "}")
       val detail = (passResults.zipWithIndex.map { case (r, i) =>
         s""""pass${i + 1}":${detailMap(r)}"""
@@ -430,6 +662,10 @@ object Bench {
     * locale would emit invalid JSON. */
   private[graft] def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", v)
+
+  /** 3-decimal seconds (disk probes sit in the tens of milliseconds). */
+  private[graft] def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", v)
 
   /** The shared environment fields of both summary lines. */
   private[graft] def envString(passes: Int, passTotalsJson: String,
@@ -481,22 +717,49 @@ object Bench {
     if (noise.isEmpty) ""
     else noise.map(jq).mkString(""""noise_suspect":[""", ",", "],")
 
+  /** The full `failed` error map (the bench_out.json / full-line
+    * form). */
+  private[graft] def errJsonFull(errors: Seq[(String, String)]): String =
+    if (errors.isEmpty) ""
+    else errors.map { case (k, v) => jq(k) + ":" + jq(v) }
+      .mkString(""""failed":{""", ",", "},")
+
+  /** Names shown verbatim when the `failed` map folds — enough to see
+    * WHAT broke from the compact line alone; the full messages stay in
+    * bench_out.json. */
+  private val FailedNamesKeep = 8
+
+  /** The folded `failed` form: a count plus the first few names, no
+    * exception text. A mass-failure run (~8+ entries × ~200 chars of
+    * message) otherwise pushes the compact line past the budget even
+    * at keep=0 with the noise list folded — the round-12 advice's
+    * recurrence of the BENCH_r01–r03 null-parse class, precisely in
+    * the runs where the driver most needs the artifact. */
+  private[graft] def errJsonFolded(errors: Seq[(String, String)]): String =
+    if (errors.isEmpty) ""
+    else s""""failed_n":${errors.size},""" +
+      errors.take(FailedNamesKeep).map(e => jq(e._1))
+        .mkString(""""failed_names":[""", ",", "],")
+
   /** The driver-facing COMPACT summary line: the slowest `keep`
     * queries verbatim plus the remainder folded into `other_sec` /
     * `other_n` — and `keep` AUTO-SHRINKS until the rendered line fits
     * the budget, so adding queries or gate fields can never push the
     * line past the tail window again (round-11 verdict #1). When even
-    * keep=0 cannot fit — a dirty-window run can flag 100+ noise
-    * suspects, and THAT list blew the budget to ~3 kB in round-12's
-    * first closing attempt — the name list folds to
-    * `noise_suspect_n` (the full list stays in bench_out.json /
-    * bench_detail.json) and the keep shrink reruns. Bounds pinned by
-    * BenchLineSpec at 300-query / 110-suspect scale. */
+    * keep=0 cannot fit, the big variable-size blocks fold in turn:
+    * first the `noise_suspect` name list to `noise_suspect_n` (a
+    * dirty-window run can flag 100+ suspects — THAT list blew the
+    * budget to ~3 kB in round-12's first closing attempt), then the
+    * `failed` error map to `failed_n` + a truncated name list
+    * (round-12 advice: ~8+ failures × ~200-char messages overflow on
+    * their own). The full forms always stay in bench_out.json /
+    * bench_detail.json. Bounds pinned by BenchLineSpec at 300-query /
+    * 110-suspect / 20-failure scale. */
   private[graft] def renderCompact(pmin: Seq[(String, Double)], total: Double,
-      envOf: String => String, errJson: String, sfDir: String,
+      envOf: String => String, errors: Seq[(String, String)], sfDir: String,
       noise: Seq[String],
       budgetChars: Int = CompactBudgetChars): String = {
-    def attempt(noiseJson: String): String = {
+    def attempt(noiseJson: String, errJson: String): String = {
       val env = envOf(noiseJson)
       def render(keep: Int): String = {
         val (slow, rest) = pmin.sortBy { case (_, v) => -v }.splitAt(keep)
@@ -514,9 +777,17 @@ object Bench {
       }
       line
     }
-    val full = attempt(noiseListJson(noise))
-    if (full.length <= budgetChars || noise.isEmpty) full
-    else attempt(s""""noise_suspect_n":${noise.size},""")
+    val noiseFolded = s""""noise_suspect_n":${noise.size},"""
+    val ladder: Seq[(String, String)] =
+      Seq((noiseListJson(noise), errJsonFull(errors))) ++
+        (if (noise.nonEmpty) Seq((noiseFolded, errJsonFull(errors))) else Nil) ++
+        (if (errors.nonEmpty)
+          Seq((if (noise.nonEmpty) noiseFolded else "", errJsonFolded(errors)))
+        else Nil)
+    val lines = ladder.iterator.map { case (n, e) => attempt(n, e) }
+    lines.find(_.length <= budgetChars)
+      .getOrElse(attempt(
+        if (noise.nonEmpty) noiseFolded else "", errJsonFolded(errors)))
   }
 
   /** One pinned-corpus recall gate: the corpus spec, the MRDF

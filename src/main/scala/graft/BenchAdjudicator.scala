@@ -36,10 +36,17 @@ package graft
   */
 private[graft] object BenchAdjudicator {
 
-  /** One measurement: wall seconds, process-CPU seconds, and the probe
+  /** One measurement: wall seconds, process-CPU seconds, the CPU-probe
     * walls bracketing the block it ran in (wall = -1 marks a failed
-    * query run). */
-  final case class M(wall: Double, cpu: Double, pb: Double, pa: Double)
+    * query run), and the DISK-probe walls bracketing it (round-13:
+    * state-store-bound streaming queries stall on storage commits that
+    * neither the CPU probe nor cpu dispersion can see — measured: q184
+    * /q194 swung 1.5–1.9× between same-code runs with CPU probes flat
+    * at 0.6–0.8 s). db/da default 0 = "no disk measurement taken"
+    * (pre-round-13 shape); the disk signal only applies to queries the
+    * caller marks disk-sensitive. */
+  final case class M(wall: Double, cpu: Double, pb: Double, pa: Double,
+                     db: Double = 0.0, da: Double = 0.0)
 
   /** A probe above this × the run's best probe marks its window as
     * contended. 1.5 clears quiet-host jitter at the ~0.45 s probe size
@@ -64,9 +71,28 @@ private[graft] object BenchAdjudicator {
     * publish neither without a re-measure. */
   val CleanAgreeFactor = 1.5
 
+  /** Disk-probe noise bound for disk-sensitive queries: a bracketing
+    * disk probe above max(DiskNoiseFactor × the run's best disk probe,
+    * DiskFloorSec) marks the window I/O-contended. fsync latencies are
+    * far spikier than CPU walls, hence the wider factor and the
+    * absolute floor (a 10 ms best probe must not flag a 35 ms one). */
+  val DiskNoiseFactor = 4.0
+  val DiskFloorSec = 0.05
+
   def probeClean(m: M, probeMin: Double): Boolean = {
     val bound = probeMin * NoiseFactor
     m.wall >= 0 && m.pb <= bound && m.pa <= bound
+  }
+
+  /** Disk-bracket signal (signal 3) — only consulted for
+    * disk-sensitive (state-store-bound streaming) queries. diskMin ≤ 0
+    * means the run took no disk measurements: vacuously clean. */
+  def diskClean(m: M, diskMin: Double): Boolean = {
+    if (diskMin <= 0) true
+    else {
+      val bound = math.max(diskMin * DiskNoiseFactor, DiskFloorSec)
+      m.db <= bound && m.da <= bound
+    }
   }
 
   /** Cross-pass cpu dispersion (signal 2). Trivially true with a single
@@ -77,15 +103,19 @@ private[graft] object BenchAdjudicator {
     else m.cpu <= CpuNoiseFactor * math.max(valid.map(_.cpu).min, CpuFloorSec)
   }
 
-  def clean(m: M, ms: Seq[M], probeMin: Double): Boolean =
-    probeClean(m, probeMin) && cpuClean(m, ms)
+  def clean(m: M, ms: Seq[M], probeMin: Double,
+            diskMin: Double = -1.0): Boolean =
+    probeClean(m, probeMin) && cpuClean(m, ms) && diskClean(m, diskMin)
 
   /** The publishable clean minimum: min wall over clean measurements,
     * provided it agrees (within [[CleanAgreeFactor]]) with the global
     * min. None = no publishable clean value (no clean window at all,
-    * or the clean and dirty minima disagree). */
-  def cleanMin(ms: Seq[M], probeMin: Double): Option[Double] = {
-    val cs = ms.filter(clean(_, ms, probeMin)).map(_.wall)
+    * or the clean and dirty minima disagree). `diskMin` > 0 engages
+    * the disk-bracket signal — pass it only for disk-sensitive
+    * queries. */
+  def cleanMin(ms: Seq[M], probeMin: Double,
+               diskMin: Double = -1.0): Option[Double] = {
+    val cs = ms.filter(clean(_, ms, probeMin, diskMin)).map(_.wall)
     val all = ms.filter(_.wall >= 0).map(_.wall)
     if (cs.isEmpty || all.isEmpty) None
     else Some(cs.min).filter(_ <= CleanAgreeFactor * all.min)
@@ -96,9 +126,10 @@ private[graft] object BenchAdjudicator {
     * masquerade as a fast one); otherwise the clean min when the rules
     * produce one, else the global min (an unadjudicated bound — the
     * caller lists such queries in `noise_suspect`). */
-  def publish(ms: Seq[M], probeMin: Double): (Double, Boolean) =
+  def publish(ms: Seq[M], probeMin: Double,
+              diskMin: Double = -1.0): (Double, Boolean) =
     if (ms.isEmpty || ms.exists(_.wall < 0)) (-1.0, false)
-    else cleanMin(ms, probeMin) match {
+    else cleanMin(ms, probeMin, diskMin) match {
       case Some(cm) => (cm, true)
       case None => (ms.map(_.wall).min, false)
     }
@@ -107,7 +138,8 @@ private[graft] object BenchAdjudicator {
     * `floorSec`) has NO publishable clean value — the re-measure /
     * noise_suspect predicate. Sub-floor queries are exempt: their
     * absolute contention error is bounded by their own size. */
-  def isSuspect(ms: Seq[M], probeMin: Double, floorSec: Double): Boolean =
+  def isSuspect(ms: Seq[M], probeMin: Double, floorSec: Double,
+                diskMin: Double = -1.0): Boolean =
     ms.nonEmpty && ms.forall(_.wall >= 0) && ms.map(_.wall).min >= floorSec &&
-      cleanMin(ms, probeMin).isEmpty
+      cleanMin(ms, probeMin, diskMin).isEmpty
 }

@@ -23,6 +23,7 @@ object Registry {
   lazy val all: Seq[Declared] =
     graft.knn.KnnQueries.declared ++
       graft.knn.GraphSearch.declared ++
+      graft.knn.GraphIndexStore.declared ++
       graft.knn.GraphAnalytics.declared ++
       graft.relational.Relational.declared ++
       graft.relational.EventAnalytics.declared ++
@@ -43,6 +44,7 @@ object Registry {
       graft.streaming.TimeWindows.declared ++
       graft.streaming.StreamingPipelines.declared ++
       graft.streaming.StreamSubstr.declared ++
+      graft.streaming.StreamSelfDedup.declared ++
       graft.text.TextQueries.declared ++
       graft.text.Dedup.declared ++
       graft.text.CorpusPipeline.declared ++

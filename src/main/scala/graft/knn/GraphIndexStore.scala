@@ -1,0 +1,296 @@
+package graft.knn
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Declared, Tables}
+
+/** Persistent GRAPH ANN index (round-12 verdict #4 + #3): the serving
+  * artifacts q219/q223 compute in-flight — the kNN adjacency, the
+  * k-means router and the per-cluster entry seeds — written as parquet
+  * and served back WITHOUT recomputation, plus INCREMENTAL maintenance
+  * of the persisted graph (the q220 story for the graph index: the
+  * reference's product, `mrdf.py:199-215`, must accept inserts to be a
+  * production index).
+  *
+  * Layout under an index dir:
+  *  - `nodes/`     (vec_id, embedding) — the indexed corpus (search
+  *    scores hops against it; the index is self-contained);
+  *  - `edges/`     (id, nbr, dist)     — the built kNN adjacency;
+  *  - `centroids/` (cid, cvec)         — the coarse router;
+  *  - `cseeds/`    (cid, node)         — per-cluster entry seeds;
+  *  - `meta/`      one row (n_vectors, dim, k, nlist, kmeans_iters,
+  *    fingerprint) — fingerprint = bit_xor of xxhash64(vec_id,
+  *    embedding) over nodes, order-independent, chained on upsert
+  *    exactly like [[graft.similarity.IvfIndexStore]].
+  *
+  * Losslessness is driver-PROVEN: q225 builds, writes, reloads and
+  * serves, and its oracle is q223's routed-search SQL verbatim —
+  * floats round-trip parquet bit-exactly, so the persisted serving
+  * path must hash-match the in-flight one. q227's upsert is oracled at
+  * the EXACT-GRAPH grain: `upsert(graph(base), delta)` must equal the
+  * rebuild over base ∪ delta row-for-row (the knn_bruteforce oracle).
+  *
+  * Scale shape: build = the engine's graph (fused TopKJoin or MRDF at
+  * scale) + one portable Lloyd's + one corpus assignment; serving pays
+  * only the nlist-row probe, ≤ nprobe·seedsPerList scored entries and
+  * the bounded hops ([[GraphSearch.routedWithCentroids]]); upsert pays
+  * TWO fused TopKJoin passes (|Δ|·N + N·|Δ| distance evals instead of
+  * the rebuild's (N+|Δ|)²) and never rescans base for the freshness
+  * proof (xor chain). The router/seeds are NOT retrained on upsert —
+  * the FAISS add-after-train contract, same as the IVF store; a
+  * periodic maintenance pass refreshes them like `splitOversized`
+  * rebalances lists. */
+object GraphIndexStore {
+
+  private val K = 10
+  private val Nlist = 8
+  private val Nprobe = 2
+  private val SeedsPerList = 4
+  private val KmeansIters = 5
+  private val Beam = 4
+  private val Hops = 3
+
+  private def fingerprintOf(pts: DataFrame): (Long, Long, Int) = {
+    val r = pts.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)),
+      coalesce(max(size(col("embedding"))), lit(0)).cast("int"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1), r.getInt(2))
+  }
+
+  /** Build the full serving index over `emb` with its built adjacency
+    * `edges` (id, nbr, dist) and write it under `dir`. Deterministic
+    * for a given corpus (portable Lloyd's router, md5-ranked seeds). */
+  def write(emb: DataFrame, edges: DataFrame, dir: String,
+            k: Int = K, nlist: Int = Nlist, kmeansIters: Int = KmeansIters,
+            seedsPerList: Int = SeedsPerList): Unit = {
+    val pts = emb.select(col("vec_id"), col("embedding"))
+    val cent = graft.similarity.Ann.kmeansCentroidsPortable(pts, nlist, kmeansIters)
+    val cseeds = GraphSearch.clusterSeeds(pts, cent, seedsPerList)
+    val spark = emb.sparkSession
+    val (n, fp, dim) = fingerprintOf(pts)
+    pts.write.mode("overwrite").parquet(s"$dir/nodes")
+    edges.select(col("id"), col("nbr"), col("dist"))
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    cseeds.write.mode("overwrite").parquet(s"$dir/cseeds")
+    import spark.implicits._
+    Seq((n, dim, k, nlist, kmeansIters, fp))
+      .toDF("n_vectors", "dim", "k", "nlist", "kmeans_iters", "fingerprint")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** True iff the index under `dir` holds exactly `emb` (count +
+    * order-independent content fingerprint over nodes). */
+  def isFreshFor(spark: SparkSession, dir: String, emb: DataFrame): Boolean = {
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    val (n, fp, _) = fingerprintOf(emb.select(col("vec_id"), col("embedding")))
+    m.getAs[Long]("n_vectors") == n && m.getAs[Long]("fingerprint") == fp
+  }
+
+  /** Serve the PERSISTED index: routed beam search over the stored
+    * adjacency — reads ONLY the index dir (nodes, edges, router,
+    * seeds); `queries` = (vec_id, embedding). Identical contract (and,
+    * for the same build params, identical rows) to
+    * [[GraphSearch.routedBeamSearch]] with the portable quantizer. */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+             k: Int = K, beam: Int = Beam, hops: Int = Hops,
+             nprobe: Int = Nprobe): DataFrame = {
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    val edges = spark.read.parquet(s"$dir/edges")
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val cseeds = spark.read.parquet(s"$dir/cseeds")
+    GraphSearch.routedWithCentroids(nodes, edges, queries, cent, cseeds,
+      k, beam, hops, nprobe)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Full persisted cycle for the q225 declared row: router + seeds
+    * trained, everything written, fingerprint REQUIREd, reloaded,
+    * served — a fresh ephemeral dir per invocation (the q218
+    * convention; the adjacency itself comes from the shared
+    * materialized knn10 — its build cost is knn_bruteforce's row). */
+  def buildAndSearch(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(s, sfDir, "embeddings")
+    val dir = Files.createTempDirectory("graft-gidx-").toString
+    write(emb, KnnQueries.knn10(s, sfDir), dir)
+    require(isFreshFor(s, dir, emb),
+      "graph index fingerprint must match the corpus it was just built from")
+    val res = search(s, dir, emb.filter(col("vec_id") < 20)).localCheckpoint()
+    deleteRecursively(new java.io.File(dir))
+    res
+  }
+
+  /** Per-(process, sfDir) SERVED index for the q226 search-only row —
+    * built + written once, every invocation pays only reload → probe →
+    * entries → hops (the q218b build/serve split applied to the graph
+    * index; dir reclaimed at JVM exit). */
+  private val servedIdx =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def servedIndexDir(s: SparkSession, sfDir: String): String =
+    servedIdx.getOrElseUpdate(sfDir, {
+      val d = Files.createTempDirectory("graft-gidx-served-")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(d.toFile)))
+      write(Tables.load(s, sfDir, "embeddings"), KnnQueries.knn10(s, sfDir),
+        d.toString)
+      d.toString
+    })
+
+  /** Upsert `delta` (vec_id, embedding) into the persisted graph index
+    * at `dir` WITHOUT a rebuild (round-12 verdict #3): the EXACT
+    * maintenance contract — after upsert, `edges/` is the exact kNN
+    * graph of base ∪ delta.
+    *
+    *  1. delta rows: fused top-k of each delta vector against the
+    *     combined corpus (|Δ|·(N+|Δ|) distance evals);
+    *  2. base-row patch: fused top-k of each BASE node against delta
+    *     only (N·|Δ| evals) — only a node's k nearest delta vectors
+    *     can displace its stored list, so `existing ∪ candidates`
+    *     re-ranked per id at the global (dist, nbr) order IS the
+    *     rebuilt list;
+    *  3. nodes append + xor-chained fingerprint (base never rescanned
+    *     — `isFreshFor(base ∪ delta)` validates the combined corpus).
+    *
+    * The router and entry seeds are NOT retrained (FAISS
+    * add-after-train; entry quality degrades gracefully and a
+    * maintenance pass re-trains — documented, not hidden). Duplicate
+    * ids are REFUSED like [[graft.similarity.IvfIndexStore.upsert]]:
+    * the guard is one id-column scan of nodes/. */
+  def upsert(spark: SparkSession, dir: String, delta: DataFrame,
+             k: Int = K): Unit = {
+    val pts = delta.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    val dupN = nodes.select(col("vec_id"))
+      .join(pts.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    require(dupN == 0L,
+      s"upsert requires disjoint vec_ids: $dupN already indexed " +
+        "(the insert-only FAISS-add contract; updates need delete+insert)")
+    val all = nodes.select(col("vec_id"), col("embedding")).unionByName(pts)
+    val deltaRows = org.apache.spark.sql.graft.TopKJoin.knn(
+      pts.repartition(col("vec_id")), all, k)
+    val patchCand = org.apache.spark.sql.graft.TopKJoin.knn(
+      nodes.repartition(col("vec_id")), pts, k)
+    val existing = spark.read.parquet(s"$dir/edges")
+    val patched = existing.unionByName(patchCand)
+      .select(col("id"), struct(col("dist"), col("nbr")).as("c"))
+      .groupBy(col("id")).agg(slice(sort_array(collect_list(col("c"))), 1, k)
+        .as("topk"))
+      .select(col("id"), explode(col("topk")).as("c"))
+      .select(col("id"), col("c.nbr").as("nbr"), col("c.dist").as("dist"))
+    val newEdges = patched.unionByName(
+      deltaRows.select(col("id"), col("nbr"), col("dist"))).localCheckpoint()
+    newEdges.write.mode("overwrite").parquet(s"$dir/edges")
+    pts.write.mode("append").parquet(s"$dir/nodes")
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    val (dn, dfp, _) = fingerprintOf(pts)
+    import spark.implicits._
+    Seq((m.getAs[Long]("n_vectors") + dn, m.getAs[Int]("dim"),
+        m.getAs[Int]("k"), m.getAs[Int]("nlist"),
+        m.getAs[Int]("kmeans_iters"), m.getAs[Long]("fingerprint") ^ dfp))
+      .toDF("n_vectors", "dim", "k", "nlist", "kmeans_iters", "fingerprint")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The q227 declared cycle: build the exact graph on the 75% base
+    * slice, persist, upsert the delta slice, PROVE the chained
+    * fingerprint validates the combined corpus, and return the
+    * post-upsert adjacency — which the oracle states as the rebuild:
+    * the exact kNN graph over ALL embeddings (knn_bruteforce's SQL).
+    * upsert(graph(base), Δ) ≡ rebuild(base ∪ Δ), driver-diffed. */
+  def upsertCycle(s: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val emb = Tables.load(s, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+    val delta = emb.filter(col("vec_id") % 4 === 3)
+    val dir = Files.createTempDirectory("graft-gidx-up-").toString
+    write(base, org.apache.spark.sql.graft.TopKJoin.knn(
+      base.repartition(col("vec_id")), base, k), dir)
+    upsert(s, dir, delta, k)
+    require(isFreshFor(s, dir, emb),
+      "chained fingerprint must validate base + delta as the combined corpus")
+    val res = s.read.parquet(s"$dir/edges")
+      .orderBy(col("id"), col("dist"), col("nbr")).localCheckpoint()
+    deleteRecursively(new java.io.File(dir))
+    res
+  }
+
+  /** APPROXIMATE graph patch for the served (MRDF-built) graph — the
+    * scale path where exact |Δ|·N passes are too hot: candidates for
+    * each delta vector come from a beam search over the EXISTING graph
+    * (bounded per-query state, no corpus scan), the base lists are
+    * patched with the SYMMETRIC pairs (NN-Descent's reverse trick),
+    * and delta-delta edges come from the fused top-k among delta only
+    * (|Δ|² ≪ N²). Returns the patched (id, nbr, dist) adjacency;
+    * recall is gated in GraphIndexStoreSpec (planted clusters) and
+    * measured at 200k in SCALING.json. */
+  def patchGraphApprox(baseVecs: DataFrame, baseEdges: DataFrame,
+      delta: DataFrame, k: Int = K, beam: Int = 8, hops: Int = 4,
+      nSeeds: Int = 64): DataFrame = {
+    val pts = delta.select(col("vec_id"), col("embedding"))
+    val cand = GraphSearch.beamSearch(baseVecs, baseEdges, pts,
+      k, beam, hops, nSeeds)
+      .select(col("qid").as("id"), col("nbr"), col("dist"))
+    val deltaDelta = org.apache.spark.sql.graft.TopKJoin.knn(
+      pts.repartition(col("vec_id")), pts, k)
+    val reverse = cand.select(col("nbr").as("id"), col("id").as("nbr"),
+      col("dist"))
+    val all = baseEdges.select(col("id"), col("nbr"), col("dist"))
+      .unionByName(cand).unionByName(deltaDelta).unionByName(reverse)
+    all
+      .select(col("id"), struct(col("dist"), col("nbr")).as("c"))
+      .groupBy(col("id")).agg(slice(sort_array(collect_set(col("c"))), 1, k)
+        .as("topk"))
+      .select(col("id"), explode(col("topk")).as("c"))
+      .select(col("id"), col("c.nbr").as("nbr"), col("c.dist").as("dist"))
+  }
+
+  /** knn_bruteforce's oracle text (the exact graph over ALL
+    * embeddings) — q227's rebuild-equivalence statement. */
+  private def rebuildOracle(k: Int): String = {
+    val d = graft.DuckSql.euclidean("a.embedding", "b.embedding")
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT id, nbr, dist,
+       |         row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rn
+       |  FROM pairs
+       |)
+       |SELECT id, nbr, dist FROM ranked WHERE rn <= $k
+       |ORDER BY id, dist, nbr""".stripMargin
+  }
+
+  val declared: Seq[Declared] = Seq(
+    Declared(
+      "q225_graph_index_persist",
+      (s, dir) => buildAndSearch(s, dir).orderBy(col("qid"), col("rn")),
+      Some(GraphSearch.routedOracle(K, kGraph = K, beam = Beam, hops = Hops,
+        nlist = Nlist, nprobe = Nprobe, seedsPerList = SeedsPerList,
+        iters = KmeansIters)),
+      doc = "Persistent GRAPH ANN index (round-12 verdict #4): adjacency + router + entry seeds -> parquet (nodes/edges/centroids/cseeds/meta+fingerprint) -> reload -> routed serve WITHOUT recomputation; the oracle is q223's routed-search SQL verbatim, proving the persisted round-trip lossless"),
+
+    Declared(
+      "q226_graph_index_search",
+      (s, dir) => search(s, servedIndexDir(s, dir),
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 20))
+        .orderBy(col("qid"), col("rn")),
+      Some(GraphSearch.routedOracle(K, kGraph = K, beam = Beam, hops = Hops,
+        nlist = Nlist, nprobe = Nprobe, seedsPerList = SeedsPerList,
+        iters = KmeansIters)),
+      doc = "Search-only SERVING over the persisted graph index: built + written once per process, every invocation pays only reload -> probe -> entries -> hops (the q218b build/serve split applied to the graph index); same oracle - the index contents are identical"),
+
+    Declared(
+      "q227_graph_index_upsert",
+      (s, dir) => upsertCycle(s, dir),
+      Some(rebuildOracle(K)),
+      doc = "Incremental GRAPH index maintenance (round-12 verdict #3): build the exact graph on the 75% base slice, persist, upsert the delta via two fused TopKJoin passes (delta-vs-all + base-vs-delta list patch, |D|*N + N*|D| evals instead of the rebuild's N^2) with the xor-chained fingerprint REQUIREd over base+delta - oracled at the exact-graph grain: the post-upsert adjacency must equal the rebuild over ALL embeddings row-for-row (knn_bruteforce's SQL)")
+  )
+}

@@ -360,7 +360,7 @@ object GraphSearch {
   /** Generated DuckDB mirror of [[routedBeamSearch]]: the portable
     * Lloyd's router, per-cluster md5 seeds, per-query probes and
     * entries, then the SAME hop unroll. */
-  private def routedOracle(k: Int, kGraph: Int, beam: Int, hops: Int,
+  private[knn] def routedOracle(k: Int, kGraph: Int, beam: Int, hops: Int,
       nlist: Int, nprobe: Int, seedsPerList: Int, iters: Int): String = {
     def eucl(a: String, b: String) = DuckSql.euclidean(a, b)
     s"""WITH ${graft.similarity.SimilarityQueries.kmeansPortableCtes(nlist, iters)},
@@ -486,12 +486,17 @@ object GraphSearchScale {
         f"searchSec=$searchSec%.1f recall@10=$recall%.4f")
       // ROUTED arm on the same graph: the router AND its seed table
       // are index-build artifacts (trained + corpus-assigned once,
-      // measured apart); serving pays only probe + entries + hops
+      // measured apart); serving pays only probe + entries + hops.
+      // args(4) sweeps seedsPerList (round-12 verdict #5: the 0.9650
+      // ceiling at seedsPerList=4 was entry-quality-limited), args(5)
+      // the router's Lloyd's iterations.
+      val seedsPerList = if (args.length > 4) args(4).toInt else 4
+      val routerIters = if (args.length > 5) args(5).toInt else 3
       val nlist = 1024
       val t2 = System.nanoTime()
-      val cent = graft.similarity.Ann.kmeansCentroids(vecs, nlist, iters = 3)
-        .localCheckpoint()
-      val cseeds = GraphSearch.clusterSeeds(vecs, cent, seedsPerList = 4)
+      val cent = graft.similarity.Ann.kmeansCentroids(vecs, nlist,
+        iters = routerIters).localCheckpoint()
+      val cseeds = GraphSearch.clusterSeeds(vecs, cent, seedsPerList)
         .localCheckpoint()
       val routerSec = (System.nanoTime() - t2) / 1e9
       // one untimed warmup pays the routed plan's codegen, so the
@@ -507,7 +512,8 @@ object GraphSearchScale {
         val got2Set = got2.map(r => (r.getLong(0), r.getLong(1))).toSet
         val recall2 = truth.count(got2Set.contains).toDouble / truth.length
         println(f"[graph-search-scale] routed: nlist=$nlist nprobe=$nprobe " +
-          f"seedsPerList=4 routerBuildSec=$routerSec%.1f " +
+          f"seedsPerList=$seedsPerList routerIters=$routerIters " +
+          f"routerBuildSec=$routerSec%.1f " +
           f"searchSec=$routedSec%.1f recall@10=$recall2%.4f")
       }
       spark.stop()

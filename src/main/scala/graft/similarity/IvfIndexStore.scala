@@ -160,13 +160,27 @@ object IvfIndexStore {
     * `maxListSize > 0` additionally splits any inverted list that grew
     * past the bound ([[splitOversized]]).
     *
-    * Scale shape: one broadcast-argmin pass over delta only (base is
-    * untouched — the whole point), an append write partitioned like
-    * the original lists, and a single-row meta rewrite. */
+    * INSERT-ONLY (round-12 advice): upsert refuses vec_ids already in
+    * the index — a silent re-upsert would append duplicate list rows
+    * (duplicate nbr rows in search output) AND the xor chain could not
+    * see it (duplicate xxhash64 values cancel pairwise, so isFreshFor
+    * would validate the doubled corpus). Updates are delete + insert,
+    * the FAISS `add` contract. The guard costs one id-column scan of
+    * lists/ (a single pruned Long column, not a corpus rescan).
+    *
+    * Scale shape: one broadcast-argmin pass over delta only (base
+    * vectors are never re-read — the whole point), an append write
+    * partitioned like the original lists, and a single-row meta
+    * rewrite. */
   def upsert(spark: SparkSession, dir: String, delta: DataFrame,
              maxListSize: Long = 0L): Unit = {
     val cent = spark.read.parquet(s"$dir/centroids")
     val pts = delta.select(col("vec_id"), col("embedding"))
+    val dupN = spark.read.parquet(s"$dir/lists").select(col("vec_id"))
+      .join(pts.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    require(dupN == 0L,
+      s"upsert requires disjoint vec_ids: $dupN already indexed " +
+        "(insert-only contract; updates need delete+insert)")
     assignToCentroids(pts, cent).write.mode("append").parquet(s"$dir/lists")
     val m = spark.read.parquet(s"$dir/meta").collect()(0)
     val d = pts.agg(count(lit(1)),
@@ -199,14 +213,49 @@ object IvfIndexStore {
     * Maintenance-job shape: the oversized-cid set is at most nlist
     * rows (a bounded scalar collect, not data), and each split is one
     * bounded k=2 Lloyd's run over a single list — rare-event
-    * housekeeping, not a per-row path. */
+    * housekeeping, not a per-row path.
+    *
+    * Runs to FIXPOINT (round-12 advice: a single pass left
+    * `maxListSize` a lie — a skewed list's 2-means child can itself
+    * still exceed the bound): passes repeat until no list is
+    * oversized, bounded by [[MaxSplitPasses]] AND a no-progress check
+    * (a list of identical points puts every member in one child — the
+    * split can never shrink it, so iterating would spin; such
+    * degenerate lists are left oversized with a loud stderr note
+    * rather than an infinite loop or a silent lie). */
   def splitOversized(spark: SparkSession, dir: String,
                      maxListSize: Long): Unit = {
+    var pass = 0
+    var prevWorst = Long.MaxValue
+    while (pass < MaxSplitPasses) {
+      pass += 1
+      val worst = splitOversizedOnce(spark, dir, maxListSize)
+      if (worst <= maxListSize) return
+      if (worst >= prevWorst) {
+        System.err.println(s"[ivf-index] splitOversized: largest list " +
+          s"stuck at $worst > bound $maxListSize after pass $pass " +
+          "(degenerate duplicate-heavy list) — leaving it oversized")
+        return
+      }
+      prevWorst = worst
+    }
+    System.err.println(s"[ivf-index] splitOversized: bound $maxListSize " +
+      s"not reached after $MaxSplitPasses passes — leaving remainder oversized")
+  }
+
+  /** Split-pass iteration cap: each pass halves a non-degenerate
+    * oversized list, so 2^16 × the bound covers any real list. */
+  private val MaxSplitPasses = 16
+
+  /** One split pass; returns the largest list size AFTER the pass (≤
+    * maxListSize means the bound now holds). */
+  private def splitOversizedOnce(spark: SparkSession, dir: String,
+                                 maxListSize: Long): Long = {
     val lists = spark.read.parquet(s"$dir/lists")
     val oversized = lists.groupBy(col("cid")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxListSize)
       .select(col("cid")).collect().map(_.getInt(0)).sorted
-    if (oversized.isEmpty) return
+    if (oversized.isEmpty) return maxListSize
     val cent = spark.read.parquet(s"$dir/centroids")
     var nextCid = cent.agg(max(col("cid"))).collect()(0).getInt(0) + 1
     var keepLists = lists.filter(!col("cid").isin(oversized.map(Int.box): _*))
@@ -225,6 +274,8 @@ object IvfIndexStore {
     val newCent = keepCent.localCheckpoint()
     newLists.write.mode("overwrite").parquet(s"$dir/lists")
     newCent.write.mode("overwrite").parquet(s"$dir/centroids")
+    newLists.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
   }
 
   /** The q220 declared cycle: build on the base slice, upsert the

@@ -242,17 +242,14 @@ object ExactSubstr {
     *
     * Usage: `runMain graft.text.ExactSubstrScale [sfDir] [nDerived]`
     * (the top-level runner object at the end of this file). */
-  private[text] def runScale(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val nDerived = if (args.length > 1) args(1).toInt else 15000
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("ExactSubstrScale")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** The "quote web" stress corpus shared by the batch and streamed
+    * scale harnesses: the real documents plus `nDerived` synthetic
+    * docs, each quoting a hash-chosen 55–200-token slice of a
+    * hash-chosen real doc between unique filler — heavy genuine
+    * sharing, deterministic, no RNG. */
+  private[graft] def quoteWebCorpus(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nDerived: Int): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val nDocs = docs.count()
@@ -278,7 +275,21 @@ object ExactSubstr {
         i => concat(lit(tag), col("id"), lit("x"), i)))
     val derived = quoted.select((col("id") + 1000000L).as("doc_id"),
       concat_ws(" ", filler("fa"), col("quote"), filler("fb")).as("text"))
-    val corpus = docs.unionByName(derived).localCheckpoint()
+    docs.unionByName(derived)
+  }
+
+  private[text] def runScale(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val nDerived = if (args.length > 1) args(1).toInt else 15000
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("ExactSubstrScale")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val corpus = quoteWebCorpus(spark, sfDir, nDerived).localCheckpoint()
     val stats = corpus.agg(count(lit(1)),
       sum(size(split(col("text"), " ")))).collect()(0)
     println(s"[substr-scale] corpus docs=${stats.getLong(0)} " +

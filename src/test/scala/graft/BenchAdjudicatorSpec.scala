@@ -74,6 +74,30 @@ class BenchAdjudicatorSpec extends AnyFunSuite {
     assert(!isSuspect(failed, probeMin, floor), "failed queries report via errors, not noise_suspect")
   }
 
+  test("disk signal: a storage-stalled window flags a disk-sensitive query but not others") {
+    // the round-12 q184 blind spot: wall 2.2x with CPU probes clean at
+    // 0.6 s and flat cpu — only the DISK brackets see the stall
+    import BenchAdjudicator._
+    val probeMin = 0.6
+    val diskMin = 0.02
+    val stalled = M(wall = 4.2, cpu = 10.4, pb = 0.62, pa = 0.64,
+      db = 0.45, da = 0.38) // fsync 20x the best disk probe
+    val quiet = M(wall = 1.9, cpu = 10.2, pb = 0.61, pa = 0.66,
+      db = 0.025, da = 0.022)
+    // disk-sensitive: the stalled measurement is NOT clean, the quiet
+    // one is — publish picks the quiet min, provably clean
+    assert(!clean(stalled, Seq(stalled, quiet), probeMin, diskMin))
+    assert(clean(quiet, Seq(stalled, quiet), probeMin, diskMin))
+    assert(publish(Seq(stalled, quiet), probeMin, diskMin) == (1.9, true))
+    // a stalled-only run has NO publishable clean value -> suspect
+    assert(isSuspect(Seq(stalled, stalled), probeMin, 0.5, diskMin))
+    // NOT disk-sensitive (diskMin unset): the old two-signal verdict
+    assert(clean(stalled, Seq(stalled, quiet), probeMin))
+    assert(!isSuspect(Seq(stalled, stalled), probeMin, 0.5))
+    // absolute floor: a 35 ms bracket over a 10 ms best never flags
+    assert(diskClean(M(1.0, 1.0, 0.6, 0.6, db = 0.035, da = 0.03), 0.01))
+  }
+
   test("cpu floor: micro-cpu jitter below 0.25 s never flags") {
     val probeMin = 0.5
     // 0.02 vs 0.15 cpu is 7.5x dispersion but both under the floor band

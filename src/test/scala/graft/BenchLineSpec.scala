@@ -38,7 +38,7 @@ class BenchLineSpec extends AnyFunSuite {
     val pmin = (1 to 300).map(i =>
       (f"q$i%03d_reasonably_long_query_name", 300.37 - i * 0.37))
     val total = pmin.collect { case (_, v) if v >= 0 => v }.sum
-    val line = Bench.renderCompact(pmin, total, envAllFields, "",
+    val line = Bench.renderCompact(pmin, total, envAllFields, Nil,
       "/root/testdata/sf0.1", Nil)
     assert(line.length <= Bench.CompactBudgetChars,
       s"compact line is ${line.length} chars > budget ${Bench.CompactBudgetChars}")
@@ -71,8 +71,7 @@ class BenchLineSpec extends AnyFunSuite {
     val total = pmin.map(_._2).sum
     val noise = (1 to 8).map(i => f"q$i%03d_reasonably_long_query_name")
     val err = (1 to 3).map(i =>
-      Bench.jq(s"q_broken_$i") + ":" + Bench.jq("SparkException: boom " + "x" * 40))
-      .mkString(""""failed":{""", ",", "},")
+      (s"q_broken_$i", "SparkException: boom " + "x" * 40))
     val line = Bench.renderCompact(pmin, total, envAllFields, err,
       "/root/testdata/sf0.1", noise)
     assert(line.length <= Bench.CompactBudgetChars,
@@ -80,6 +79,30 @@ class BenchLineSpec extends AnyFunSuite {
     val root = om.readTree(line)
     assert(root.get("failed").size() == 3)
     assert(root.get("noise_suspect").size() == 8)
+    assert(root.get("queries").size() + root.get("other_n").asInt() == 300)
+  }
+
+  test("a mass-failure run folds the failed map to failed_n + names and stays under budget") {
+    // round-12 advice: ~8+ failed entries × ~200-char exception text
+    // blew the budget even at keep=0 with the noise list folded —
+    // exactly the runs where the driver most needs a parseable line
+    val pmin = (1 to 300).map(i =>
+      (f"q$i%03d_reasonably_long_query_name", 300.37 - i * 0.37))
+    val total = pmin.map(_._2).sum
+    val noise = (1 to 110).map(i => f"q$i%03d_reasonably_long_query_name")
+    val err = (1 to 20).map(i =>
+      (f"q_broken_query_number_$i%02d", "SparkException: " + "y" * 190))
+    val line = Bench.renderCompact(pmin, total, envAllFields, err,
+      "/root/testdata/sf0.1", noise)
+    assert(line.length <= Bench.CompactBudgetChars,
+      s"compact line is ${line.length} chars > budget ${Bench.CompactBudgetChars}")
+    val root = om.readTree(line)
+    assert(root.get("failed_n").asInt() == 20,
+      "the folded count must replace the error map")
+    assert(root.get("failed") == null)
+    assert(root.get("failed_names").size() > 0,
+      "a truncated name subset must survive the fold")
+    assert(root.get("noise_suspect_n").asInt() == 110)
     assert(root.get("queries").size() + root.get("other_n").asInt() == 300)
   }
 
@@ -92,7 +115,7 @@ class BenchLineSpec extends AnyFunSuite {
       (f"q$i%03d_reasonably_long_query_name", 300.37 - i * 0.37))
     val total = pmin.map(_._2).sum
     val noise = (1 to 110).map(i => f"q$i%03d_reasonably_long_query_name")
-    val line = Bench.renderCompact(pmin, total, envAllFields, "",
+    val line = Bench.renderCompact(pmin, total, envAllFields, Nil,
       "/root/testdata/sf0.1", noise)
     assert(line.length <= Bench.CompactBudgetChars,
       s"compact line is ${line.length} chars > budget ${Bench.CompactBudgetChars}")
@@ -105,10 +128,35 @@ class BenchLineSpec extends AnyFunSuite {
     assert(root.get("queries").size() + root.get("other_n").asInt() == 300)
   }
 
+  test("bench history round-trips and the bootstrap refuses a dirty full-line artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-hist-spec")
+    val hist = dir.resolve("history.json").toString
+    val fallback = dir.resolve("bench_out.json").toString
+    // no files at all -> no history
+    assert(Bench.loadHistory(hist, fallback).isEmpty)
+    // a DIRTY full-line artifact (clean_n below the floor) must not
+    // bootstrap the carried headline / >=2x baseline
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fallback),
+      """{"metric":"total","value":306.58,"queries":{"qa":1.00,"qb":2.00},""" +
+        """"published_clean_n":1,"sf":"/root/testdata/sf0.1"}""")
+    assert(Bench.loadHistory(hist, fallback).isEmpty)
+    // a clean one does
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fallback),
+      """{"metric":"total","value":212.03,"queries":{"qa":1.00,"qb":2.00},""" +
+        """"published_clean_n":2,"sf":"/root/testdata/sf0.1"}""")
+    val boot = Bench.loadHistory(hist, fallback)
+    assert(boot.exists(h => h.total == 212.03 && h.queries("qb") == 2.0))
+    // an explicit saveHistory supersedes the fallback
+    Bench.saveHistory(199.5, 2, 2, Seq("qa" -> 0.9, "qb" -> 1.9), hist)
+    val h = Bench.loadHistory(hist, fallback).get
+    assert(h.total == 199.5 && h.n == 2 && h.cleanN == 2 &&
+      h.queries == Map("qa" -> 0.9, "qb" -> 1.9))
+  }
+
   test("small suites keep every query verbatim (no needless folding)") {
     val pmin = (1 to 20).map(i => (f"q$i%02d_name", i * 1.0))
     val line = Bench.renderCompact(pmin, pmin.map(_._2).sum,
-      envAllFields, "", "/root/testdata/sf0.01", Nil)
+      envAllFields, Nil, "/root/testdata/sf0.01", Nil)
     val root = om.readTree(line)
     assert(root.get("queries").size() == 20)
     assert(root.get("other_n").asInt() == 0)

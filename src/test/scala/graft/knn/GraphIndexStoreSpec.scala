@@ -1,0 +1,118 @@
+package graft.knn
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Gates for the persistent graph index (q225/q226/q227): the declared
+  * rows prove persisted-round-trip losslessness and exact-grain upsert
+  * equivalence against DuckDB; these specs pin the contracts the
+  * oracles cannot see — fingerprint staleness detection, the
+  * disjointness guard, and the APPROXIMATE patch path's recall on a
+  * planted corpus (the q171 doctrine for seeded/approximate paths). */
+class GraphIndexStoreSpec extends SparkSpec {
+
+  private def plantedCorpus(n: Long, dim: Int, clusters: Int, seed: Long) = {
+    val f = java.nio.file.Files
+      .createTempFile(s"graft-gis-$n-$seed", ".fvecs")
+    f.toFile.deleteOnExit()
+    graft.io.FvecsGen.write(f.toString, n, dim, seed, clusters)
+    graft.io.Fvecs.readAuto(spark, f.toString).toDF("vec_id", "embedding")
+      .localCheckpoint()
+  }
+
+  test("isFreshFor detects a corpus mismatch; upsert chains the fingerprint over base+delta") {
+    val vecs = plantedCorpus(300, 16, clusters = 6, seed = 11L)
+    val base = vecs.filter(col("vec_id") % 5 =!= 4)
+    val delta = vecs.filter(col("vec_id") % 5 === 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gis-fresh").toString
+    GraphIndexStore.write(base,
+      org.apache.spark.sql.graft.TopKJoin.knn(base, base, 5), dir, k = 5)
+    assert(GraphIndexStore.isFreshFor(spark, dir, base))
+    assert(!GraphIndexStore.isFreshFor(spark, dir, vecs),
+      "the base-only index must NOT validate against the combined corpus")
+    GraphIndexStore.upsert(spark, dir, delta, k = 5)
+    assert(GraphIndexStore.isFreshFor(spark, dir, vecs),
+      "after upsert the chained fingerprint must validate base+delta")
+    assert(!GraphIndexStore.isFreshFor(spark, dir, base),
+      "after upsert the index must no longer validate base alone")
+  }
+
+  test("upsert refuses duplicate vec_ids (insert-only contract)") {
+    val vecs = plantedCorpus(200, 16, clusters = 4, seed = 12L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gis-dup").toString
+    GraphIndexStore.write(vecs,
+      org.apache.spark.sql.graft.TopKJoin.knn(vecs, vecs, 5), dir, k = 5)
+    val e = intercept[IllegalArgumentException] {
+      GraphIndexStore.upsert(spark, dir, vecs.limit(10), k = 5)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("exact upsert equals rebuild on a planted corpus (the q227 contract, locally)") {
+    val vecs = plantedCorpus(400, 16, clusters = 8, seed = 13L)
+    val base = vecs.filter(col("vec_id") % 4 =!= 3)
+    val delta = vecs.filter(col("vec_id") % 4 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gis-up").toString
+    GraphIndexStore.write(base,
+      org.apache.spark.sql.graft.TopKJoin.knn(base, base, 10), dir)
+    GraphIndexStore.upsert(spark, dir, delta)
+    val got = spark.read.parquet(s"$dir/edges")
+      .select(col("id"), col("nbr"), col("dist")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rebuilt = org.apache.spark.sql.graft.TopKJoin.knn(vecs, vecs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == rebuilt,
+      s"upsert != rebuild: extra=${(got -- rebuilt).take(5)}, " +
+        s"missing=${(rebuilt -- got).take(5)}")
+  }
+
+  test("served search over the persisted index equals the in-flight routed search") {
+    val vecs = plantedCorpus(500, 16, clusters = 8, seed = 14L)
+    val edges = org.apache.spark.sql.graft.TopKJoin.knn(vecs, vecs, 10)
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft-gis-serve").toString
+    GraphIndexStore.write(vecs, edges, dir)
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val served = GraphIndexStore.search(spark, dir, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val inflight = GraphSearch.routedBeamSearch(vecs, edges, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(served == inflight,
+      "the persisted round-trip must not change one served row")
+  }
+
+  test("approximate patch keeps recall on planted clusters (the MRDF-graph maintenance path)") {
+    // base graph from MRDF over 95% of a planted corpus; the 5% delta
+    // is patched in via beam-search candidates + symmetric reverse +
+    // delta-delta fused top-k. Gate BOTH sides of the patched graph:
+    // delta rows must find true neighbors (their lists were built by
+    // navigation, not a corpus scan) and base rows must keep theirs.
+    val vecs = plantedCorpus(2000, 32, clusters = 16, seed = 15L)
+    val base = vecs.filter(col("vec_id") % 20 =!= 19).localCheckpoint()
+    val delta = vecs.filter(col("vec_id") % 20 === 19).localCheckpoint()
+    val edges = graft.mrdf.Mrdf.buildGraph(base, graft.mrdf.MrdfQueries.testParams)
+    try {
+      val patched = GraphIndexStore.patchGraphApprox(base, edges, delta,
+        k = 10, beam = 8, hops = 4, nSeeds = 64).localCheckpoint()
+      val truth = org.apache.spark.sql.graft.TopKJoin.knn(vecs, vecs, 10)
+        .select(col("id"), col("nbr")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val got = patched.select(col("id"), col("nbr")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val deltaIds = delta.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val (dTruth, bTruth) = truth.partition { case (id, _) => deltaIds(id) }
+      val dRecall = dTruth.count(got.contains).toDouble / dTruth.length
+      val bRecall = bTruth.count(got.contains).toDouble / bTruth.length
+      info(f"patched-graph recall@10: delta rows $dRecall%.4f, base rows $bRecall%.4f")
+      assert(dRecall >= 0.85, f"delta-row recall $dRecall%.4f below 0.85")
+      assert(bRecall >= 0.85, f"base-row recall $bRecall%.4f below 0.85")
+      // bounded degree: the patch must keep every list at k
+      val maxDeg = patched.groupBy(col("id")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect()(0).getLong(0)
+      assert(maxDeg <= 10, s"patched list grew past k: $maxDeg")
+    } finally graft.Checkpoints.release(edges)
+  }
+}

@@ -55,6 +55,25 @@ class StreamSubstrSpec extends SparkSpec {
       s"expected the two maximal spans, got $out")
   }
 
+  test("a corpus of barely-N-token docs (empty later chunks) still returns its spans") {
+    import spark.implicits._
+    // every arriving doc has EXACTLY 50 tokens -> sCount = 1: chunks 2
+    // and 3 of the gram-start space are empty ranges. Round-12 advice:
+    // the replay used to write zero-row parts for them and the hard
+    // `Chunks + 2` batch expectation then FAILED on this (valid)
+    // corpus; the parts are now skipped and the expectation derived
+    // from what was written.
+    val shared = toks(0 until 50, "m")
+    val corpus = Seq((20L, "en", shared)).toDF("doc_id", "lang", "text")
+    val arriving = Seq((3L, "en", shared), (4L, "en", toks(0 until 50, "u")))
+      .toDF("doc_id", "lang", "text")
+    val out = StreamSubstr.runReplay(spark, corpus, arriving)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq((20L, 1L, 50L, 3L, 1L, 50L, 50L)),
+      s"expected the single exact-doc span, got ${out.toSeq}")
+  }
+
   test("q222 equals the batch q213 rule restricted to (static, arriving) on sf0.001") {
     val docs = Tables.load(spark, sf0001, "documents")
     val streamed = Registry.byName("q222_stream_substr_spans")
