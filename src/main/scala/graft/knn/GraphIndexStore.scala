@@ -66,7 +66,8 @@ object GraphIndexStore {
     * for a given corpus (portable Lloyd's router, md5-ranked seeds). */
   def write(emb: DataFrame, edges: DataFrame, dir: String,
             k: Int = K, nlist: Int = Nlist, kmeansIters: Int = KmeansIters,
-            seedsPerList: Int = SeedsPerList): Unit = {
+            seedsPerList: Int = SeedsPerList,
+            longLinks: Option[(Int, Int)] = None): Unit = {
     val pts = emb.select(col("vec_id"), col("embedding"))
     val cent = graft.similarity.Ann.kmeansCentroidsPortable(pts, nlist, kmeansIters)
     val cseeds = GraphSearch.clusterSeeds(pts, cent, seedsPerList)
@@ -77,6 +78,14 @@ object GraphIndexStore {
       .write.mode("overwrite").parquet(s"$dir/edges")
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
     cseeds.write.mode("overwrite").parquet(s"$dir/cseeds")
+    // the q224 navigability shortcuts persisted with the rest of the
+    // serving artifacts (round-12 verdict #4 named all three: router,
+    // seeds, long links); deterministic from the node set, stored so
+    // serving never recomputes the pool ranking
+    longLinks.foreach { case (poolSize, perNode) =>
+      GraphSearch.longLinks(pts, poolSize, perNode)
+        .write.mode("overwrite").parquet(s"$dir/links")
+    }
     import spark.implicits._
     Seq((n, dim, k, nlist, kmeansIters, fp))
       .toDF("n_vectors", "dim", "k", "nlist", "kmeans_iters", "fingerprint")
@@ -100,7 +109,18 @@ object GraphIndexStore {
              k: Int = K, beam: Int = Beam, hops: Int = Hops,
              nprobe: Int = Nprobe): DataFrame = {
     val nodes = spark.read.parquet(s"$dir/nodes")
-    val edges = spark.read.parquet(s"$dir/edges")
+    val edges0 = spark.read.parquet(s"$dir/edges")
+    // serve over adjacency ∪ persisted long links when the index was
+    // written with them (hop columns only — links carry no dist);
+    // existence checked through the Hadoop FS so shared-storage index
+    // dirs work on a cluster
+    val linksPath = new org.apache.hadoop.fs.Path(s"$dir/links")
+    val fs = linksPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val edges =
+      if (fs.exists(linksPath))
+        edges0.select(col("id"), col("nbr")).unionByName(
+          spark.read.parquet(s"$dir/links")).distinct()
+      else edges0
     val cent = spark.read.parquet(s"$dir/centroids")
     val cseeds = spark.read.parquet(s"$dir/cseeds")
     GraphSearch.routedWithCentroids(nodes, edges, queries, cent, cseeds,
@@ -233,11 +253,24 @@ object GraphIndexStore {
     * measured at 200k in SCALING.json. */
   def patchGraphApprox(baseVecs: DataFrame, baseEdges: DataFrame,
       delta: DataFrame, k: Int = K, beam: Int = 8, hops: Int = 4,
-      nSeeds: Int = 64): DataFrame = {
+      nSeeds: Int = 64,
+      router: Option[(DataFrame, DataFrame)] = None,
+      nprobe: Int = 2): DataFrame = {
     val pts = delta.select(col("vec_id"), col("embedding"))
-    val cand = GraphSearch.beamSearch(baseVecs, baseEdges, pts,
-      k, beam, hops, nSeeds)
-      .select(col("qid").as("id"), col("nbr"), col("dist"))
+    // Entry strategy: when the index's ROUTER artifacts (centroids +
+    // cluster seeds — persisted by [[write]], an index-build cost
+    // already paid) are at hand, enter through them: measured at 200k,
+    // flat coverage-sized entries cost ~42 ms/insert (596 s for a 10k
+    // delta — 4.3× the 139 s rebuild), the routed entry ~17 ms/insert
+    // — the shape whose per-insert cost is N-independent.
+    val search = router match {
+      case Some((cent, cseeds)) =>
+        GraphSearch.routedWithCentroids(baseVecs, baseEdges, pts,
+          cent, cseeds, k, beam, hops, nprobe)
+      case None =>
+        GraphSearch.beamSearch(baseVecs, baseEdges, pts, k, beam, hops, nSeeds)
+    }
+    val cand = search.select(col("qid").as("id"), col("nbr"), col("dist"))
     val deltaDelta = org.apache.spark.sql.graft.TopKJoin.knn(
       pts.repartition(col("vec_id")), pts, k)
     val reverse = cand.select(col("nbr").as("id"), col("id").as("nbr"),

@@ -17,7 +17,16 @@ class BenchLineSpec extends AnyFunSuite {
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def allGateFields: String =
-    Bench.recallGateJson(0.8089, 0.75, ok = true) +
+    // the round-13 attempt/disk/regression fields ride in the same
+    // env slot in production — included here so the budget bound
+    // covers a worst-case line with every optional field present
+    """"attempts":3,"attempt_clean_n":[150,201,290],""" +
+      """"disk_probe_min":0.012,"disk_probe_max":1.943,""" +
+      """"regressed_vs_prev_n":14,"regressed_vs_prev":[""" +
+      (1 to 12).map(i => Bench.jq(f"q$i%03d_reasonably_long_query_name"))
+        .mkString(",") + "]," +
+      """"last_clean_total":212.03,"last_clean_n":237,""" +
+      Bench.recallGateJson(0.8089, 0.75, ok = true) +
       Bench.pinnedGateJson(Bench.PinnedRecallGate.Mixture20k,
         Some((0.9794, 72.93, true))) +
       Bench.pinnedGateJson(Bench.PinnedRecallGate.Uniform20k,

@@ -277,6 +277,33 @@ class PlanSpecs extends SparkSpec {
     assert(global.isEmpty, "frontier ranking must partition by qid")
   }
 
+  test("q227 upsert list patch: fused TopKJoin candidates, bounded k-slice aggregation, no window") {
+    // the base-row patch must be (existing ∪ fused-top-k candidates)
+    // re-ranked by a per-id AGGREGATION whose state is bounded at 2k
+    // rows (sort_array + slice over collect_list), never a global sort
+    // or a window over the union — one k-row group per id crosses the
+    // shuffle
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val base = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 4 =!= 3)
+    val delta = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 4 === 3)
+    val existing = org.apache.spark.sql.graft.TopKJoin.knn(base, base, 10)
+      .localCheckpoint()
+    val patched = graft.knn.GraphIndexStore.patchGraphApprox(
+      base, existing, delta, k = 10, beam = 4, hops = 1, nSeeds = 4)
+    val qe = patched.queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"the patch path must never go all-pairs:\n$p")
+    val global = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.forall(_.foldable) => w
+    }
+    assert(global.isEmpty, "re-ranking must partition by id, never globally")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"),
+      s"the per-id k-slice must be an aggregation:\n$p")
+  }
+
   test("q218/q220 centroid assignment: broadcast argmin aggregation, one row per point past the shuffle") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val cent = graft.similarity.Ann.kmeansCentroidsPortable(emb, 8, 2)

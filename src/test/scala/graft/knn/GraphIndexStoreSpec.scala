@@ -67,6 +67,30 @@ class GraphIndexStoreSpec extends SparkSpec {
         s"missing=${(rebuilt -- got).take(5)}")
   }
 
+  test("the persisted index is SELF-CONTAINED: serving works after the corpus is deleted") {
+    // the q218b discipline behaviorally proven (the serving plan's
+    // scans execute eagerly behind per-hop localCheckpoints, so a
+    // plan-text scan gate cannot see them): write a corpus, index it,
+    // DELETE the corpus files — search must still answer from the
+    // index dir alone
+    val vecs = plantedCorpus(300, 16, clusters = 6, seed = 16L)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-gis-corpus").toString
+    vecs.write.mode("overwrite").parquet(corpusDir)
+    val fromDisk = spark.read.parquet(corpusDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gis-self").toString
+    GraphIndexStore.write(fromDisk,
+      org.apache.spark.sql.graft.TopKJoin.knn(fromDisk, fromDisk, 10), dir)
+    val queries = vecs.filter(col("vec_id") < 10).localCheckpoint()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(corpusDir))
+    val served = GraphIndexStore.search(spark, dir, queries)
+    assert(served.count() > 0, "serving must not touch the deleted corpus")
+  }
+
   test("served search over the persisted index equals the in-flight routed search") {
     val vecs = plantedCorpus(500, 16, clusters = 8, seed = 14L)
     val edges = org.apache.spark.sql.graft.TopKJoin.knn(vecs, vecs, 10)
@@ -82,6 +106,26 @@ class GraphIndexStoreSpec extends SparkSpec {
         r.getInt(3))).toSet
     assert(served == inflight,
       "the persisted round-trip must not change one served row")
+  }
+
+  test("persisted long links serve identically to the in-flight long-linked graph") {
+    val vecs = plantedCorpus(400, 16, clusters = 8, seed = 17L)
+    val edges = org.apache.spark.sql.graft.TopKJoin.knn(vecs, vecs, 10)
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft-gis-links").toString
+    GraphIndexStore.write(vecs, edges, dir, longLinks = Some((16, 2)))
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val served = GraphIndexStore.search(spark, dir, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val cent = graft.similarity.Ann.kmeansCentroidsPortable(vecs, 8, 5)
+    val inflight = GraphSearch.routedWithCentroids(vecs,
+        GraphSearch.withLongLinks(vecs, edges, poolSize = 16, perNode = 2),
+        queries, cent, GraphSearch.clusterSeeds(vecs, cent, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(served == inflight,
+      "persisted links must not change one served row vs the in-flight union")
   }
 
   test("approximate patch keeps recall on planted clusters (the MRDF-graph maintenance path)") {
