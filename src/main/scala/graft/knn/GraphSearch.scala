@@ -492,13 +492,27 @@ object GraphSearchScale {
       // the router's Lloyd's iterations.
       val seedsPerList = if (args.length > 4) args(4).toInt else 4
       val routerIters = if (args.length > 5) args(5).toInt else 3
+      // args(6) > 1 trains the router on a 1/mod HASH SAMPLE of the
+      // corpus (round-13 finding: full-corpus Lloyd's at 1M cost
+      // 3010 s — 6.8× the graph build; coarse centroids don't need
+      // every point). clusterSeeds still assigns the FULL corpus —
+      // the seed table needs real members — so the floor is one
+      // assignment pass, not routerIters of them.
+      val sampleMod = if (args.length > 6) args(6).toInt else 1
       val nlist = 1024
       val t2 = System.nanoTime()
-      val cent = graft.similarity.Ann.kmeansCentroids(vecs, nlist,
+      val trainSet =
+        if (sampleMod > 1)
+          vecs.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+        else vecs
+      val cent = graft.similarity.Ann.kmeansCentroids(trainSet, nlist,
         iters = routerIters).localCheckpoint()
+      val trainSec = (System.nanoTime() - t2) / 1e9
       val cseeds = GraphSearch.clusterSeeds(vecs, cent, seedsPerList)
         .localCheckpoint()
       val routerSec = (System.nanoTime() - t2) / 1e9
+      System.err.println(f"[graph-search-scale] router train(sampleMod=" +
+        f"$sampleMod)=$trainSec%.1f s, train+seeds=$routerSec%.1f s")
       // one untimed warmup pays the routed plan's codegen, so the
       // per-nprobe numbers measure steady-state serving
       GraphSearch.routedWithCentroids(vecs, edges, queries, cent, cseeds,
