@@ -66,8 +66,56 @@ object Bench {
   private val QuietPollSleepMs = 20000L
   private val QuietMaxPolls = 9
 
+  /** WALL-CLOCK DEADLINE (round-13 verdict #1): the publish gate's
+    * worst case — MaxAttempts full runs × passes, plus quiet-wait
+    * polls, plus per-query re-measures, plus ~2 min of recall gates —
+    * exceeded the driver's kill budget on a contended host and
+    * BENCH_r13 came back `rc: 124, parsed: null`. Every unit of work
+    * (pass, re-measure round, requeue, gate) now starts only if its
+    * projected wall fits before this deadline; on deadline the run
+    * publishes what it has, `deadline_abort`-flagged, with
+    * `last_clean_total` carried — a flagged artifact always beats a
+    * killed one. Default 1500 s: r12's successful 3-pass closing run
+    * took ~20 min on the contended driver host, so ~25 min survives a
+    * full clean run with margin while staying safely under the
+    * driver's observed kill budget. */
+  private[graft] val DefaultDeadlineSec = 1500.0
+
+  /** Projection safety margin: a pass on a contending host runs longer
+    * than its predecessor, so a unit is started only if 1.15× its
+    * projection still fits. */
+  private[graft] val DeadlineSafety = 1.15
+
+  /** Projected wall of the three untimed recall gates (mrdf_recall +
+    * the two pinned 20k corpus builds) — ~140 s measured on a quiet
+    * host (bench line `*_wall_sec`), padded for contention. */
+  private[graft] val GatesProjectionSec = 240.0
+
+  /** True iff a unit of work with the given projected wall may start.
+    * A non-positive projection means "no basis to project" — allowed
+    * only while some budget remains at all. */
+  private[graft] def deadlineAllows(elapsedSec: Double, deadlineSec: Double,
+      projectedSec: Double): Boolean =
+    elapsedSec + math.max(0.0, projectedSec) * DeadlineSafety <= deadlineSec
+
+  /** Silence the localCheckpoint lineage WARN class (round-13 verdict
+    * #1c): `WARN MapPartitionsRDD: ... locally checkpointed` floods
+    * the ~2000-char stdout tail the driver parses — on r13's run the
+    * ENTIRE tail window was this one warning, scrolling out any
+    * previously printed summary line. Per-logger level survives the
+    * later root-level `setLogLevel("WARN")`; ERROR keeps real RDD
+    * failures visible. */
+  private[graft] def silenceCheckpointWarns(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] logger silence failed: ${e.getMessage}")
+    }
+
   private def waitForQuiet(spark: SparkSession, cpus: Int,
-      bestProbe: Double, bestDisk: Double): Unit = {
+      bestProbe: Double, bestDisk: Double,
+      mayContinue: () => Boolean): Unit = {
     def contended(p: Double, d: Double): Boolean =
       p > bestProbe * BenchAdjudicator.NoiseFactor ||
         (bestDisk > 0 && d > math.max(
@@ -76,7 +124,7 @@ object Bench {
     var polls = 0
     var p = probe(spark, cpus)
     var d = diskProbe()
-    while (contended(p, d) && polls < QuietMaxPolls) {
+    while (contended(p, d) && polls < QuietMaxPolls && mayContinue()) {
       polls += 1
       System.err.println(f"[bench] host still contended (cpu probe $p%.2f s " +
         f"vs best $bestProbe%.2f, disk $d%.3f vs best $bestDisk%.3f) — " +
@@ -98,8 +146,18 @@ object Bench {
   /** Load the history file; bootstrap from the repo's last full-line
     * artifact (bench_out.json) when absent — accepting its values as
     * the ≥2× baseline, and its headline only if that run itself was
-    * ≥ [[CleanPublishFloor]] clean. */
-  private[graft] def loadHistory(historyPath: String = HistoryPath,
+    * ≥ [[CleanPublishFloor]] clean.
+    *
+    * SF-matched (round-13 advice): a baseline measured at a different
+    * scale factor would flag every query as `regressed_vs_prev` (or
+    * mask real regressions) and carry a meaningless `last_clean_total`
+    * into a dirty artifact — history whose recorded `sf` differs from
+    * the current run's is discarded, and history with NO recorded sf
+    * (pre-round-14 shape) is discarded too, since it cannot be
+    * verified. Partial (deadline-aborted) and subset (GRAFT_ONLY)
+    * artifacts never qualify as a baseline. */
+  private[graft] def loadHistory(sfDir: String,
+      historyPath: String = HistoryPath,
       fallbackPath: String = "/root/repo/bench_out.json"): Option[History] = {
     def parse(path: String, requireClean: Boolean): Option[History] =
       try {
@@ -109,7 +167,11 @@ object Bench {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
           val root = om.readTree(f)
           val qn = root.get("queries")
-          if (qn == null || !qn.isObject) None
+          val sfOk = Option(root.get("sf")).exists(_.asText() == sfDir)
+          val wholeRun =
+            !Option(root.get("partial")).exists(_.asBoolean()) &&
+              !Option(root.get("subset")).exists(_.asBoolean())
+          if (qn == null || !qn.isObject || !sfOk || !wholeRun) None
           else {
             val m = scala.collection.mutable.Map.empty[String, Double]
             qn.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asDouble())
@@ -129,14 +191,16 @@ object Bench {
   }
 
   private[graft] def saveHistory(total: Double, n: Int, cleanN: Int,
-      pmin: Seq[(String, Double)], historyPath: String = HistoryPath): Unit =
+      pmin: Seq[(String, Double)], sfDir: String,
+      historyPath: String = HistoryPath): Unit =
     try {
       val qs = pmin.map { case (k, v) => jq(k) + ":" + fmt(v) }
         .mkString("{", ",", "}")
       val f = new java.io.File(historyPath)
       Option(f.getParentFile).foreach(_.mkdirs())
       Files.writeString(f.toPath,
-        s"""{"total":${fmt(total)},"n":$n,"clean_n":$cleanN,"queries":$qs}""")
+        s"""{"total":${fmt(total)},"n":$n,"clean_n":$cleanN,""" +
+          s""""sf":${jq(sfDir)},"queries":$qs}""")
       ()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] history save failed: ${e.getMessage}")
@@ -302,6 +366,14 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Deadline clock starts at main entry: the driver's kill budget
+    // covers the whole invocation, so session build + warmup count.
+    val mainStart = System.nanoTime()
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
+      .map(_.toDouble).getOrElse(DefaultDeadlineSec)
+    def elapsedSec: Double = (System.nanoTime() - mainStart) / 1e9
+    def allows(projectedSec: Double): Boolean =
+      deadlineAllows(elapsedSec, deadlineSec, projectedSec)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the machine's core count: the driver invokes this
     // without SPARK_GRAFT_CPUS, and a hardcoded small default would
@@ -322,6 +394,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    silenceCheckpointWarns()
     val nCpus = cpus.toInt
 
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
@@ -408,7 +481,7 @@ object Bench {
     // wait shows in wall but in neither noise signal) and the most
     // recent CLEAN full-run headline (carried into a dirty artifact so
     // the driver always parses a defensible number).
-    val history = loadHistory()
+    val history = loadHistory(sfDir)
     val prevPublished = history.map(_.queries).getOrElse(Map.empty)
 
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -469,18 +542,148 @@ object Bench {
       // adjudicator then mines clean minima across every window seen.
       var attempt = 0
       var done = false
+      var deadlineAborted = false
+      var lastPassWall = -1.0 // wall of the most recent pass, probes included
+
+      // Projection for a pass not yet measured this run: the previous
+      // CLEAN run's headline (query walls only) + 25% probe/cleanup
+      // overhead. Non-positive = no basis to project; the first-ever
+      // pass then runs unconditionally — an empty artifact helps no
+      // one, and one pass is the minimum for any number at all.
+      def passProjection: Double =
+        if (lastPassWall > 0) lastPassWall
+        else history.map(_.total * 1.25).getOrElse(-1.0)
+
+      // Adjudicated publish-state snapshot from everything measured SO
+      // FAR — the same rules the final artifact uses, recomputed after
+      // every pass and re-measure round so a kill at ANY point leaves
+      // the latest parseable state in the stdout tail and in
+      // bench_out.json (round-13 verdict #1b: the summary line used to
+      // print exactly once, at the very end; rc=124 left nothing).
+      final case class Pub(order: Seq[String],
+          published: Seq[(String, (Double, Boolean))],
+          noiseSuspect: Seq[String], regressed: Seq[String], total: Double,
+          publishedCleanN: Int, probeMin: Double, probeMax: Double,
+          allDisk: Seq[Double], cpuTotal: Double) {
+        def pmin: Seq[(String, Double)] =
+          published.map { case (n, (v, _)) => n -> v }
+        def isClean: Boolean =
+          publishedCleanN >= CleanPublishFloor * order.size
+      }
+      def computePub(): Pub = {
+        val remeasured = extra.toSeq
+        val allProbes = (probes.map(_._1) ++ remeasured.iterator.flatMap(t =>
+          Seq(t._2.pb, t._2.pa))).toSeq
+        val allDisk = (probes.map(_._2) ++ remeasured.iterator.flatMap(t =>
+          Seq(t._2.db, t._2.da))).filter(_ > 0).toSeq
+        val probeMin = allProbes.min
+        val byName = allByName
+        // headline per query: the adjudicated publish value — min wall
+        // over measurements that pass the noise signals (CPU brackets +
+        // cpu dispersion, plus disk brackets for state-store queries)
+        // when that min agrees with the global min; the global min
+        // (flagged below) otherwise; -1 if any pass failed (round-10
+        // verdict #1: the previous min-across-everything could publish
+        // a probe-dirty value)
+        val order = passResults.head.map(_._1)
+        val published: Seq[(String, (Double, Boolean))] = order.map { name =>
+          name -> BenchAdjudicator.publish(byName(name), probeMin, dmin(name))
+        }
+        // noise_suspect: queries with NO publishable clean measurement —
+        // their headline numbers are unadjudicated bounds (sub-floor
+        // queries exempt: absolute error bounded by their own size)
+        val noiseSuspect = order.filter { n =>
+          BenchAdjudicator.isSuspect(byName(n), probeMin, SuspectFloorSec, dmin(n))
+        }
+        // still ≥2× their previous published value AFTER the individual
+        // re-measures — a real regression or a stall class both noise
+        // signals are blind to; named either way (the q184 class)
+        val regressed = published.collect {
+          case (n, (v, _)) if v > 0 && prevPublished.get(n).exists(p =>
+            p > 0 && v >= HistoryFactor * p) => n
+        }
+        // count of headline values provably from a clean window — with
+        // noise_suspect and the sub-floor exemption this reconciles the
+        // artifact: published_clean_n + |noise_suspect| + sub-floor +
+        // failed = query count
+        val publishedCleanN = published.count(_._2._2)
+        val cpuTotal = (passResults.flatten ++ remeasured).map(_._2.cpu).sum
+        val total = published.collect { case (_, (v, _)) if v >= 0 => v }.sum
+        Pub(order, published, noiseSuspect, regressed, total, publishedCleanN,
+          probeMin, allProbes.max, allDisk, cpuTotal)
+      }
+
+      def passTotal(r: Seq[(String, Timed)]): Double =
+        r.collect { case (_, t) if t.wall >= 0 => t.wall }.sum
+
+      // The full line goes to bench_out.json and stdout for humans;
+      // the length-budgeted COMPACT line prints LAST for the driver's
+      // ~2000-char stdout tail parser ([[renderCompact]]). Mid-run
+      // emissions are marked `partial` (and never qualify as a history
+      // baseline); the final emission supersedes them.
+      def emit(pub: Pub, partial: Boolean, gateFields: String): Unit = {
+        val passTotalsJson =
+          passResults.map(r => fmt(passTotal(r))).mkString("[", ",", "]")
+        val passLoadsJson = passLoads.map(fmt).mkString("[", ",", "]")
+        val attemptFields =
+          s""""attempts":$attempt,""" +
+            attemptCleanNs.map(_.toString)
+              .mkString(""""attempt_clean_n":[""", ",", "],") +
+            (if (pub.allDisk.isEmpty) "" else
+              s""""disk_probe_min":${fmt3(pub.allDisk.min)},""" +
+                s""""disk_probe_max":${fmt3(pub.allDisk.max)},""") +
+            (if (pub.regressed.isEmpty) ""
+            else s""""regressed_vs_prev_n":${pub.regressed.size},""" +
+              pub.regressed.take(12).map(jq)
+                .mkString(""""regressed_vs_prev":[""", ",", "],")) +
+            (if (partial) s""""partial":true,""" else "") +
+            (if (deadlineAborted) s""""deadline_abort":true,""" else "") +
+            (if (only.nonEmpty) s""""subset":true,""" else "") +
+            (if (pub.isClean && !deadlineAborted) "" else history.map(h =>
+              s""""last_clean_total":${fmt(h.total)},"last_clean_n":${h.n},""")
+              .getOrElse(""))
+        def env(noiseJson: String) = envString(passes, passTotalsJson,
+          passLoadsJson, pub.probeMin, pub.probeMax, extra.size,
+          pub.publishedCleanN, noiseJson, lockWait, pub.cpuTotal, loadStart,
+          osBean.getSystemLoadAverage, attemptFields + gateFields, cpus)
+        val qs = pub.pmin.map { case (k, v) => jq(k) + ":" + fmt(v) }
+          .mkString("{", ",", "}")
+        val line = fullLine(pub.total, qs, env(noiseListJson(pub.noiseSuspect)),
+          errJsonFull(errors.toSeq), sfDir)
+        Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
+        println(line)
+        println(renderCompact(pub.pmin, pub.total, env, errors.toSeq, sfDir,
+          pub.noiseSuspect))
+        System.out.flush()
+      }
+
       while (!done) {
         attempt += 1
         if (attempt > 1) {
-          waitForQuiet(spark, nCpus, probes.map(_._1).min, minDisk)
+          waitForQuiet(spark, nCpus, probes.map(_._1).min, minDisk,
+            () => allows(passProjection))
           Materialized.reset()
         }
-        (1 to passes).foreach { p =>
-          passLoads += osBean.getSystemLoadAverage
-          if (p > 1 || attempt > 1) Materialized.reset()
-          val (r, pr) = runPass(spark, sfDir, nCpus, only, errors)
-          probes ++= pr
-          passResults += r
+        var p = 1
+        while (p <= passes && !deadlineAborted) {
+          val mustRun = attempt == 1 && p == 1
+          val proj = passProjection
+          if (!mustRun && proj > 0 && !allows(proj)) {
+            deadlineAborted = true
+            System.err.println(f"[bench] deadline: skipping pass $p of " +
+              f"attempt $attempt (elapsed $elapsedSec%.0f s + projected " +
+              f"$proj%.0f s > ${deadlineSec}%.0f s)")
+          } else {
+            passLoads += osBean.getSystemLoadAverage
+            if (p > 1 || attempt > 1) Materialized.reset()
+            val t0 = System.nanoTime()
+            val (r, pr) = runPass(spark, sfDir, nCpus, only, errors)
+            lastPassWall = (System.nanoTime() - t0) / 1e9
+            probes ++= pr
+            passResults += r
+            emit(computePub(), partial = true, "")
+            p += 1
+          }
         }
 
         // Re-measure queries with no PUBLISHABLE clean measurement in
@@ -492,19 +695,35 @@ object Bench {
         // round keeps family first-member semantics comparable with
         // the main passes.
         var round = 0
-        while (round < RemeasureRounds && remeasureSet.nonEmpty) {
-          round += 1
-          Materialized.reset()
+        while (round < RemeasureRounds && remeasureSet.nonEmpty &&
+            !deadlineAborted) {
           val names = SparkEntry.queries.keys.toSeq.filter(remeasureSet.toSet)
-          System.err.println(
-            s"[bench] re-measure round $round: ${names.size} suspects")
-          names.foreach { name =>
-            val pb = probe(spark, nCpus)
-            val dpb = diskProbe()
-            val (w, c) = runOne(spark, sfDir, name, SparkEntry.queries(name), errors)
-            val pa = probe(spark, nCpus)
-            val dpa = diskProbe()
-            extra += name -> Timed(w, c, pb, pa, dpb, dpa)
+          // per-suspect cost: its own current best wall + 2 CPU + 2
+          // disk probes (~1.2 s at 32 threads)
+          val byN = allByName
+          val proj = names.map { n =>
+            val best = byN.get(n).toSeq.flatten.filter(_.wall >= 0)
+              .map(_.wall).minOption.getOrElse(1.0)
+            math.max(best, 0.5) + 1.2
+          }.sum
+          if (!allows(proj)) {
+            deadlineAborted = true
+            System.err.println(f"[bench] deadline: skipping re-measure of " +
+              f"${names.size} suspects (projected $proj%.0f s)")
+          } else {
+            round += 1
+            Materialized.reset()
+            System.err.println(
+              s"[bench] re-measure round $round: ${names.size} suspects")
+            names.foreach { name =>
+              val pb = probe(spark, nCpus)
+              val dpb = diskProbe()
+              val (w, c) = runOne(spark, sfDir, name, SparkEntry.queries(name), errors)
+              val pa = probe(spark, nCpus)
+              val dpa = diskProbe()
+              extra += name -> Timed(w, c, pb, pa, dpb, dpa)
+            }
+            emit(computePub(), partial = true, "")
           }
         }
 
@@ -515,96 +734,32 @@ object Bench {
         attemptCleanNs += cleanN
         val n = passResults.head.size
         done = only.nonEmpty || attempt >= MaxAttempts ||
-          cleanN >= CleanPublishFloor * n
-        if (!done) System.err.println(
-          f"[bench] attempt $attempt dirty ($cleanN/$n clean < " +
-            f"${CleanPublishFloor * 100}%.0f%%) — requeueing full run")
+          cleanN >= CleanPublishFloor * n || deadlineAborted
+        if (!done) {
+          // requeue only if a full quiet-wait + re-attempt could fit
+          if (!allows(passes * math.max(lastPassWall, 0.0))) {
+            deadlineAborted = true
+            done = true
+            System.err.println(f"[bench] deadline: attempt $attempt dirty " +
+              f"but no budget for a requeue — publishing flagged")
+          } else System.err.println(
+            f"[bench] attempt $attempt dirty ($cleanN/$n clean < " +
+              f"${CleanPublishFloor * 100}%.0f%%) — requeueing full run")
+        }
       }
       val loadEnd = osBean.getSystemLoadAverage // right after the timed region
       val remeasured = extra.toSeq
-      val allProbes = (probes.map(_._1) ++ remeasured.iterator.flatMap(t =>
-        Seq(t._2.pb, t._2.pa))).toSeq
-      val allDisk = (probes.map(_._2) ++ remeasured.iterator.flatMap(t =>
-        Seq(t._2.db, t._2.da))).filter(_ > 0).toSeq
+      val pub = computePub()
+      val probeMin = pub.probeMin
 
-      val probeMin = allProbes.min
-      val byName = allByName
-      // headline per query: the adjudicated publish value — min wall over
-      // measurements that pass the noise signals (CPU brackets + cpu
-      // dispersion, plus disk brackets for state-store queries) when
-      // that min agrees with the global min; the global min (flagged
-      // below) otherwise; -1 if any pass failed (round-10 verdict #1:
-      // the previous min-across-everything could publish a probe-dirty
-      // value)
-      val order = passResults.head.map(_._1)
-      val published: Seq[(String, (Double, Boolean))] = order.map { name =>
-        name -> BenchAdjudicator.publish(byName(name), probeMin, dmin(name))
-      }
-      val pmin: Seq[(String, Double)] = published.map { case (n, (v, _)) => n -> v }
-      // noise_suspect: queries with NO publishable clean measurement —
-      // their headline numbers are unadjudicated bounds, not clean
-      // measurements (sub-floor queries exempt: their absolute error is
-      // bounded by their own size)
-      val noiseSuspect = order.filter { n =>
-        BenchAdjudicator.isSuspect(byName(n), probeMin, SuspectFloorSec, dmin(n))
-      }
-      // queries still ≥2× their previous published value AFTER the
-      // individual re-measures — either a real regression or a stall
-      // class both noise signals are blind to; named in the artifact
-      // either way so a q184 can never again publish silently
-      val regressed = published.collect {
-        case (n, (v, _)) if v > 0 && prevPublished.get(n).exists(p =>
-          p > 0 && v >= HistoryFactor * p) => n
-      }
-      // count of headline values provably from a clean window — with
-      // noise_suspect and the sub-floor exemption this reconciles the
-      // whole artifact: published_clean_n + |noise_suspect| + sub-floor
-      // + failed = query count
-      val publishedCleanN = published.count(_._2._2)
-      val cpuTotal = (passResults.flatten ++ remeasured).map(_._2.cpu).sum
-
-      val qs = pmin.map { case (k, v) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
-      val total = pmin.collect { case (_, v) if v >= 0 => v }.sum
-      def passTotal(r: Seq[(String, Timed)]): Double =
-        r.collect { case (_, t) if t.wall >= 0 => t.wall }.sum
-      val passTotalsJson = passResults.map(r => fmt(passTotal(r))).mkString("[", ",", "]")
-      val passLoadsJson = passLoads.map(fmt).mkString("[", ",", "]")
-
-      val isClean = publishedCleanN >= CleanPublishFloor * order.size
-      // A clean full-suite run becomes the next round's history (the
-      // ≥2× baseline + the carried headline); a dirty one never does —
-      // an inflated baseline would mask the very regressions the
-      // signal exists to catch.
-      if (only.isEmpty && isClean && errors.isEmpty)
-        saveHistory(total, order.size, publishedCleanN, pmin)
-      val attemptFields =
-        s""""attempts":$attempt,""" +
-          attemptCleanNs.map(_.toString).mkString(""""attempt_clean_n":[""", ",", "],") +
-          (if (allDisk.isEmpty) "" else
-            s""""disk_probe_min":${fmt3(allDisk.min)},""" +
-              s""""disk_probe_max":${fmt3(allDisk.max)},""") +
-          (if (regressed.isEmpty) ""
-          else s""""regressed_vs_prev_n":${regressed.size},""" +
-            regressed.take(12).map(jq).mkString(""""regressed_vs_prev":[""", ",", "],")) +
-          (if (isClean) "" else history.map(h =>
-            s""""last_clean_total":${fmt(h.total)},"last_clean_n":${h.n},""")
-            .getOrElse(""))
-
-      // The full line goes to bench_out.json and stdout for humans;
-      // the length-budgeted COMPACT line prints LAST for the driver's
-      // ~2000-char stdout tail parser ([[renderCompact]]).
-      def emit(gateFields: String): Unit = {
-        def env(noiseJson: String) = envString(passes, passTotalsJson,
-          passLoadsJson, probeMin, allProbes.max, remeasured.size,
-          publishedCleanN, noiseJson, lockWait, cpuTotal, loadStart,
-          loadEnd, attemptFields + gateFields, cpus)
-        val line = fullLine(total, qs, env(noiseListJson(noiseSuspect)),
-          errJsonFull(errors.toSeq), sfDir)
-        Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
-        println(line)
-        println(renderCompact(pmin, total, env, errors.toSeq, sfDir, noiseSuspect))
-        System.out.flush()
-      }
+      // A clean COMPLETE full-suite run becomes the next round's
+      // history (the ≥2× baseline + the carried headline); a dirty or
+      // deadline-aborted one never does — an inflated baseline (fewer
+      // passes = upward-biased minima) would mask the very regressions
+      // the signal exists to catch.
+      if (only.isEmpty && pub.isClean && errors.isEmpty && !deadlineAborted)
+        saveHistory(pub.total, pub.order.size, pub.publishedCleanN, pub.pmin,
+          sfDir)
 
       // EMIT BEFORE THE GATES (round-11 verdict #8): the ~2-minute
       // untimed recall gates below can never delay, distort or — if
@@ -612,24 +767,34 @@ object Bench {
       // driver parses. The pre-gate lines are a complete artifact; the
       // post-gate re-emission (same line + gate fields + any gate
       // errors) supersedes it as the final stdout tail on success.
-      emit("")
+      emit(pub, partial = false, "")
 
       // Untimed per-round gates — still INSIDE the harness lock
       // (round-8 advice: a post-lock gate could co-run with a
       // concurrent Verify). Results stamp SCALING.json as they run.
-      val recallGate = evalRecallGate()
-      val scaledGate = evalPinnedGate(PinnedRecallGate.Mixture20k)
-      val uniformGate = evalPinnedGate(PinnedRecallGate.Uniform20k)
-      val gateFields = recallGate.map { case (v, ok) =>
-        recallGateJson(v, recallMin, ok)
-      }.getOrElse("") +
-        pinnedGateJson(PinnedRecallGate.Mixture20k, scaledGate) +
-        pinnedGateJson(PinnedRecallGate.Uniform20k, uniformGate)
-      emit(gateFields)
+      // Deadline-aware like every other unit: the three gates cost
+      // ~2.5 min on this host; when that cannot fit (or measurement
+      // already aborted) they are skipped and the skip is FLAGGED, so
+      // an absent gate field reads as "not run", never "passed".
+      val gateFields =
+        if (deadlineAborted || !allows(GatesProjectionSec))
+          s""""gates_skipped":"deadline","""
+        else {
+          val recallGate = evalRecallGate()
+          val scaledGate = evalPinnedGate(PinnedRecallGate.Mixture20k)
+          val uniformGate = evalPinnedGate(PinnedRecallGate.Uniform20k)
+          recallGate.map { case (v, ok) =>
+            recallGateJson(v, recallMin, ok)
+          }.getOrElse("") +
+            pinnedGateJson(PinnedRecallGate.Mixture20k, scaledGate) +
+            pinnedGateJson(PinnedRecallGate.Uniform20k, uniformGate)
+        }
+      emit(computePub(), partial = false, gateFields)
 
       // Full per-pass detail (wall + process-CPU + probe brackets per
       // query per pass, plus the re-measure rows) for post-hoc contention
       // adjudication; not parsed by the driver.
+      val passLoadsJson = passLoads.map(fmt).mkString("[", ",", "]")
       def detailMap(r: Seq[(String, Timed)]): String =
         r.map { case (k, t) =>
           jq(k) + s""":{"wall":${fmt(t.wall)},"cpu":${fmt(t.cpu)},""" +

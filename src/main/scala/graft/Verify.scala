@@ -20,6 +20,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.silenceCheckpointWarns()
     new java.io.File(outDir).mkdirs()
     // Optional subset for local iteration: GRAFT_ONLY=q20,q21 tools/check.py
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
