@@ -256,10 +256,13 @@ object Bench {
     } finally { f.delete(); () }
   }
 
-  /** Queries whose wall is storage-commit-bound (state-store streaming
-    * replays) — the disk-probe signal applies only to these. */
+  /** Queries whose wall is storage-commit-bound — state-store
+    * streaming replays AND the persisted-index family (parquet write +
+    * fsync + reload inside the timed window; round-13 verdict #6) —
+    * the disk-probe signal applies only to these. */
   private lazy val diskSensitive: Set[String] =
-    Registry.all.filter(_.streamingExecuted).map(_.name).toSet
+    Registry.all.filter(d => d.streamingExecuted || d.diskSensitive)
+      .map(_.name).toSet
 
   /** One measurement — see [[BenchAdjudicator.M]] for the field
     * contract and the clean/suspect/publish rules applied to it. */

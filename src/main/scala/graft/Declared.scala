@@ -15,7 +15,14 @@ final case class Declared(
     // Streaming pipeline (AvailableNow replay) and returns a
     // memory-sink read: there is no lazy batch plan to audit, so
     // PlanAudit keys off this flag — not a name convention.
-    streamingExecuted: Boolean = false)
+    streamingExecuted: Boolean = false,
+    // True for queries whose timed window is storage-commit-bound for
+    // a NON-streaming reason — the persisted-index family writes +
+    // fsyncs parquet (build → write → reload) inside the measurement
+    // (round-13 verdict #6: the same stall class q184 had, previously
+    // adjudicated by the disk probe only for streamingExecuted rows).
+    // Bench applies the disk-bracket signal to these too.
+    diskSensitive: Boolean = false)
 
 object Registry {
   /** Single source of truth wired into SparkEntry. Order = SURVEY.md §2

@@ -53,6 +53,31 @@ object GraphIndexStore {
   private val Beam = 4
   private val Hops = 3
 
+  /** Router-training sample target (round-13 verdict #2): coarse
+    * centroids don't need every point — full-corpus portable Lloyd's
+    * at 1M cost 3010 s (6.8× the 441.6 s graph build) while a 1/8 hash
+    * sample was 8.5× cheaper for 1.6 recall points (still ≥ 0.98,
+    * SCALING `round13_router_recall_lift.sampled_training_arm`). The
+    * DEFAULT build path now trains on a deterministic md5 sample of
+    * ~this many points: `sampleMod = max(1, n / TrainTargetN)` — at
+    * the test SFs (≤ 2000 vectors) the rule degenerates to the full
+    * corpus, so the q225/q226/q229 oracles replay training verbatim;
+    * at 1M it is a 1/15 sample and the Lloyd's phase drops ~15×.
+    * `clusterSeeds` still assigns the FULL corpus (the seed table
+    * needs real members) — the floor is one assignment pass, not
+    * `kmeansIters` of them. The applied rule is recorded in `meta/`
+    * (train_sample_mod, train_n) so an index's training is auditable. */
+  private[knn] val TrainTargetN = 65536L
+
+  /** The deterministic, DuckDB-replayable training-sample predicate:
+    * bottom-1/mod of the md5("smp|" + id) hash ring — the same
+    * portable-hash family as the Lloyd's init and the seed ranking. */
+  private[knn] def trainSample(pts: DataFrame, mod: Int): DataFrame =
+    if (mod <= 1) pts
+    else pts.filter(pmod(conv(substring(
+      md5(concat(lit("smp|"), col("vec_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(mod.toLong)) === 0)
+
   private def fingerprintOf(pts: DataFrame): (Long, Long, Int) = {
     val r = pts.agg(count(lit(1)),
       coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)),
@@ -61,18 +86,44 @@ object GraphIndexStore {
     (r.getLong(0), r.getLong(1), r.getInt(2))
   }
 
+  private val MetaCols = Seq("n_vectors", "dim", "k", "nlist",
+    "kmeans_iters", "fingerprint", "train_sample_mod", "train_n",
+    "seeds_per_list")
+
   /** Build the full serving index over `emb` with its built adjacency
     * `edges` (id, nbr, dist) and write it under `dir`. Deterministic
-    * for a given corpus (portable Lloyd's router, md5-ranked seeds). */
+    * for a given corpus (portable Lloyd's router, md5-ranked seeds).
+    * `trainSampleMod` 0 = AUTO: the [[TrainTargetN]] rule (the
+    * default, scale-safe path); 1 forces full-corpus training; > 1
+    * forces that sample. The applied value + resulting training-set
+    * size land in `meta/` as the training manifest. */
   def write(emb: DataFrame, edges: DataFrame, dir: String,
             k: Int = K, nlist: Int = Nlist, kmeansIters: Int = KmeansIters,
             seedsPerList: Int = SeedsPerList,
-            longLinks: Option[(Int, Int)] = None): Unit = {
+            longLinks: Option[(Int, Int)] = None,
+            trainSampleMod: Int = 0,
+            onPhase: (String, Double) => Unit = (_, _) => ()): Unit = {
+    def timed[T](phase: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      onPhase(phase, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val pts = emb.select(col("vec_id"), col("embedding"))
-    val cent = graft.similarity.Ann.kmeansCentroidsPortable(pts, nlist, kmeansIters)
-    val cseeds = GraphSearch.clusterSeeds(pts, cent, seedsPerList)
-    val spark = emb.sparkSession
     val (n, fp, dim) = fingerprintOf(pts)
+    val mod =
+      if (trainSampleMod > 0) trainSampleMod
+      else math.max(1L, n / TrainTargetN).toInt
+    val trainSet = trainSample(pts, mod)
+    val trainN = if (mod <= 1) n else trainSet.count()
+    val cent = timed("router_train") {
+      graft.similarity.Ann.kmeansCentroidsPortable(
+        trainSet, nlist, kmeansIters)
+    }
+    val cseeds = timed("cluster_seeds") {
+      GraphSearch.clusterSeeds(pts, cent, seedsPerList).localCheckpoint()
+    }
+    val spark = emb.sparkSession
     pts.write.mode("overwrite").parquet(s"$dir/nodes")
     edges.select(col("id"), col("nbr"), col("dist"))
       .write.mode("overwrite").parquet(s"$dir/edges")
@@ -87,8 +138,8 @@ object GraphIndexStore {
         .write.mode("overwrite").parquet(s"$dir/links")
     }
     import spark.implicits._
-    Seq((n, dim, k, nlist, kmeansIters, fp))
-      .toDF("n_vectors", "dim", "k", "nlist", "kmeans_iters", "fingerprint")
+    Seq((n, dim, k, nlist, kmeansIters, fp, mod, trainN, seedsPerList))
+      .toDF(MetaCols: _*)
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -104,11 +155,28 @@ object GraphIndexStore {
     * adjacency — reads ONLY the index dir (nodes, edges, router,
     * seeds); `queries` = (vec_id, embedding). Identical contract (and,
     * for the same build params, identical rows) to
-    * [[GraphSearch.routedBeamSearch]] with the portable quantizer. */
+    * [[GraphSearch.routedBeamSearch]] with the portable quantizer.
+    *
+    * `checkFresh` (round-13 verdict #7, opt-in): build-time callers
+    * REQUIRE freshness against the corpus they just wrote, but a
+    * serve-only caller would silently serve a dir whose `nodes/` were
+    * mutated out-of-band — with the check on, the stored nodes are
+    * re-fingerprinted and compared to `meta/` (count + xor content
+    * hash), and a mismatch is refused. One scan of nodes/, off by
+    * default: the serving hot path stays probe + entries + hops. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              k: Int = K, beam: Int = Beam, hops: Int = Hops,
-             nprobe: Int = Nprobe): DataFrame = {
+             nprobe: Int = Nprobe, checkFresh: Boolean = false): DataFrame = {
     val nodes = spark.read.parquet(s"$dir/nodes")
+    if (checkFresh) {
+      val m = spark.read.parquet(s"$dir/meta").collect()(0)
+      val (n, fp, _) = fingerprintOf(nodes)
+      require(m.getAs[Long]("n_vectors") == n &&
+        m.getAs[Long]("fingerprint") == fp,
+        s"stale graph index at $dir: stored nodes (n=$n) do not match " +
+          s"meta (n=${m.getAs[Long]("n_vectors")}) — the nodes were " +
+          "mutated out-of-band; rebuild or upsert through the store")
+    }
     val edges0 = spark.read.parquet(s"$dir/edges")
     // serve over adjacency ∪ persisted long links when the index was
     // written with them (hop columns only — links carry no dist);
@@ -133,6 +201,10 @@ object GraphIndexStore {
     f.delete(); ()
   }
 
+  /** Reclaim an ephemeral index dir (measurement harnesses). */
+  private[knn] def deleteIndexDir(dir: String): Unit =
+    deleteRecursively(new java.io.File(dir))
+
   /** Full persisted cycle for the q225 declared row: router + seeds
     * trained, everything written, fingerprint REQUIREd, reloaded,
     * served — a fresh ephemeral dir per invocation (the q218
@@ -145,6 +217,26 @@ object GraphIndexStore {
     require(isFreshFor(s, dir, emb),
       "graph index fingerprint must match the corpus it was just built from")
     val res = search(s, dir, emb.filter(col("vec_id") < 20)).localCheckpoint()
+    deleteRecursively(new java.io.File(dir))
+    res
+  }
+
+  private val LinkPool = 16
+  private val LinksPerNode = 2
+
+  /** The q229 declared cycle (round-13 verdict #5): q225's persisted
+    * round-trip with a LINKS-BEARING index — `write` persists the
+    * long-link table and the serve path unions `links/` into the hop
+    * graph, the branch no driver row previously exercised. Served with
+    * the opt-in staleness check ON, so the serve-side fingerprint
+    * re-verification runs under the driver gate too. */
+  def buildAndSearchLongLinks(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(s, sfDir, "embeddings")
+    val dir = Files.createTempDirectory("graft-gidx-ll-").toString
+    write(emb, KnnQueries.knn10(s, sfDir), dir,
+      longLinks = Some((LinkPool, LinksPerNode)))
+    val res = search(s, dir, emb.filter(col("vec_id") < 20),
+      checkFresh = true).localCheckpoint()
     deleteRecursively(new java.io.File(dir))
     res
   }
@@ -184,16 +276,40 @@ object GraphIndexStore {
     * add-after-train; entry quality degrades gracefully and a
     * maintenance pass re-trains — documented, not hidden). Duplicate
     * ids are REFUSED like [[graft.similarity.IvfIndexStore.upsert]]:
-    * the guard is one id-column scan of nodes/. */
+    * the guard is one id-column scan of nodes/. The delta is VALIDATED
+    * against the index's recorded parameters (round-13 advice): its
+    * dimension must equal meta's `dim` and the caller's `k` must equal
+    * meta's `k` — a smaller k would silently truncate every base
+    * adjacency list while meta still claimed the build k, and a
+    * wrong-dim delta would corrupt the graph while the count/xor
+    * freshness proof still validated.
+    *
+    * WRITE ORDER makes `meta/` the commit point (round-13 advice):
+    * nodes append → edges overwrite → meta overwrite. A tear after the
+    * nodes append fails `isFreshFor` on count; a tear after the edges
+    * overwrite fails it too (meta still records the base corpus) — the
+    * previous order (edges first) had the one tear the xor-chain proof
+    * could NOT detect: delta edges present with nodes and meta both
+    * untouched. The edge set is fully materialized (localCheckpoint)
+    * before any file is touched, so the reordering never reads a path
+    * it has overwritten. */
   def upsert(spark: SparkSession, dir: String, delta: DataFrame,
              k: Int = K): Unit = {
     val pts = delta.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    require(k == m.getAs[Int]("k"),
+      s"upsert k=$k does not match the index's build k=${m.getAs[Int]("k")} " +
+        "(a smaller k would silently truncate every stored adjacency list)")
     val nodes = spark.read.parquet(s"$dir/nodes")
     val dupN = nodes.select(col("vec_id"))
       .join(pts.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
     require(dupN == 0L,
       s"upsert requires disjoint vec_ids: $dupN already indexed " +
         "(the insert-only FAISS-add contract; updates need delete+insert)")
+    val (dn, dfp, ddim) = fingerprintOf(pts)
+    require(ddim == m.getAs[Int]("dim"),
+      s"upsert delta dimension $ddim does not match the index's " +
+        s"dim=${m.getAs[Int]("dim")}")
     val all = nodes.select(col("vec_id"), col("embedding")).unionByName(pts)
     val deltaRows = org.apache.spark.sql.graft.TopKJoin.knn(
       pts.repartition(col("vec_id")), all, k)
@@ -208,15 +324,15 @@ object GraphIndexStore {
       .select(col("id"), col("c.nbr").as("nbr"), col("c.dist").as("dist"))
     val newEdges = patched.unionByName(
       deltaRows.select(col("id"), col("nbr"), col("dist"))).localCheckpoint()
-    newEdges.write.mode("overwrite").parquet(s"$dir/edges")
     pts.write.mode("append").parquet(s"$dir/nodes")
-    val m = spark.read.parquet(s"$dir/meta").collect()(0)
-    val (dn, dfp, _) = fingerprintOf(pts)
+    newEdges.write.mode("overwrite").parquet(s"$dir/edges")
     import spark.implicits._
     Seq((m.getAs[Long]("n_vectors") + dn, m.getAs[Int]("dim"),
         m.getAs[Int]("k"), m.getAs[Int]("nlist"),
-        m.getAs[Int]("kmeans_iters"), m.getAs[Long]("fingerprint") ^ dfp))
-      .toDF("n_vectors", "dim", "k", "nlist", "kmeans_iters", "fingerprint")
+        m.getAs[Int]("kmeans_iters"), m.getAs[Long]("fingerprint") ^ dfp,
+        m.getAs[Int]("train_sample_mod"), m.getAs[Long]("train_n"),
+        m.getAs[Int]("seeds_per_list")))
+      .toDF(MetaCols: _*)
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -308,7 +424,8 @@ object GraphIndexStore {
       Some(GraphSearch.routedOracle(K, kGraph = K, beam = Beam, hops = Hops,
         nlist = Nlist, nprobe = Nprobe, seedsPerList = SeedsPerList,
         iters = KmeansIters)),
-      doc = "Persistent GRAPH ANN index (round-12 verdict #4): adjacency + router + entry seeds -> parquet (nodes/edges/centroids/cseeds/meta+fingerprint) -> reload -> routed serve WITHOUT recomputation; the oracle is q223's routed-search SQL verbatim, proving the persisted round-trip lossless"),
+      doc = "Persistent GRAPH ANN index (round-12 verdict #4): adjacency + router + entry seeds -> parquet (nodes/edges/centroids/cseeds/meta+fingerprint+training manifest) -> reload -> routed serve WITHOUT recomputation; the oracle is q223's routed-search SQL verbatim, proving the persisted round-trip lossless. Router training defaults to the md5-sampled scale path (max(1, n/65536) - full corpus at these SFs, 1/15 at 1M)",
+      diskSensitive = true),
 
     Declared(
       "q226_graph_index_search",
@@ -324,6 +441,18 @@ object GraphIndexStore {
       "q227_graph_index_upsert",
       (s, dir) => upsertCycle(s, dir),
       Some(rebuildOracle(K)),
-      doc = "Incremental GRAPH index maintenance (round-12 verdict #3): build the exact graph on the 75% base slice, persist, upsert the delta via two fused TopKJoin passes (delta-vs-all + base-vs-delta list patch, |D|*N + N*|D| evals instead of the rebuild's N^2) with the xor-chained fingerprint REQUIREd over base+delta - oracled at the exact-graph grain: the post-upsert adjacency must equal the rebuild over ALL embeddings row-for-row (knn_bruteforce's SQL)")
+      doc = "Incremental GRAPH index maintenance (round-12 verdict #3): build the exact graph on the 75% base slice, persist, upsert the delta via two fused TopKJoin passes (delta-vs-all + base-vs-delta list patch, |D|*N + N*|D| evals instead of the rebuild's N^2) with the xor-chained fingerprint REQUIREd over base+delta - oracled at the exact-graph grain: the post-upsert adjacency must equal the rebuild over ALL embeddings row-for-row (knn_bruteforce's SQL). meta/ is the upsert's commit point (nodes -> edges -> meta), so any tear fails the freshness proof",
+      diskSensitive = true),
+
+    Declared(
+      "q229_graph_index_longlinks",
+      (s, dir) => buildAndSearchLongLinks(s, dir)
+        .orderBy(col("qid"), col("rn")),
+      Some(GraphSearch.routedLongLinkOracle(K, kGraph = K, beam = Beam,
+        hops = Hops, nlist = Nlist, nprobe = Nprobe,
+        seedsPerList = SeedsPerList, iters = KmeansIters,
+        poolSize = LinkPool, perNode = LinksPerNode)),
+      doc = "PERSISTED long-link serving (round-13 verdict #5): the index written WITH the q224 hub-pool links, served through the links/ union branch that no driver row previously exercised, with the opt-in serve-time staleness check ON; oracle = routed entries over the knng UNION links graph, every artifact (router, seeds, pool, links, hops) replayed in one SQL text",
+      diskSensitive = true)
   )
 }

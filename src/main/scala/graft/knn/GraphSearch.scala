@@ -322,14 +322,11 @@ object GraphSearch {
        |  FROM q CROSS JOIN seeds s JOIN embeddings e ON e.vec_id = s.node)""".stripMargin +
       hopUnrollSql(k, beam, hops)
 
-  /** Generated DuckDB mirror of the LONG-LINKED search: the exact
-    * graph under its own name, the pool + hash-picked links, their
-    * UNION as the serving graph, then flat seeds and the same hop
-    * unroll. */
-  private def longLinkOracle(k: Int, kGraph: Int, beam: Int, hops: Int,
-      nSeeds: Int, poolSize: Int, perNode: Int): String =
-    s"""WITH ${graphAndQueryCtes(kGraph, "knng")},
-       |pool AS (
+  /** The pool + hash-picked links + union-graph CTEs of the
+    * long-linked serving graph — shared by the flat-seed and routed
+    * long-link oracles. Expects `knng` in scope; defines `graph`. */
+  private def longLinkGraphCtes(poolSize: Int, perNode: Int): String =
+    s"""pool AS (
        |  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS pi,
        |         vec_id AS nbr
        |  FROM (SELECT vec_id, hk FROM (
@@ -341,31 +338,20 @@ object GraphSearch {
        |  SELECT e.vec_id AS id, p.nbr
        |  FROM embeddings e CROSS JOIN range($perNode) t(l)
        |  JOIN pool p ON p.pi =
-       |    CAST(('0x' || substr(md5('ll|' || CAST(e.vec_id AS VARCHAR)
-       |      || '|' || CAST(t.l AS VARCHAR)), 1, 15)) AS BIGINT) % $poolSize
+       |    CAST(('0x' || substr(md5('ll|' || CAST(e.vec_id AS VARCHAR) ||
+       |      '|' || CAST(t.l AS VARCHAR)), 1, 15)) AS BIGINT) % $poolSize
        |  WHERE e.vec_id <> p.nbr),
        |graph AS MATERIALIZED (
-       |  SELECT id, nbr FROM knng UNION SELECT id, nbr FROM ll),
-       |seeds AS (
-       |  SELECT vec_id AS node FROM (
-       |    SELECT vec_id,
-       |      CAST(('0x' || substr(md5('gs|' || CAST(vec_id AS VARCHAR)),
-       |        1, 15)) AS BIGINT) AS hk
-       |    FROM embeddings) ORDER BY hk, vec_id LIMIT $nSeeds),
-       |s0 AS MATERIALIZED (
-       |  SELECT q.qid, s.node, round($dQE, 6) AS dist, FALSE AS exp
-       |  FROM q CROSS JOIN seeds s JOIN embeddings e ON e.vec_id = s.node)""".stripMargin +
-      hopUnrollSql(k, beam, hops)
+       |  SELECT id, nbr FROM knng UNION SELECT id, nbr FROM ll)""".stripMargin
 
-  /** Generated DuckDB mirror of [[routedBeamSearch]]: the portable
-    * Lloyd's router, per-cluster md5 seeds, per-query probes and
-    * entries, then the SAME hop unroll. */
-  private[knn] def routedOracle(k: Int, kGraph: Int, beam: Int, hops: Int,
-      nlist: Int, nprobe: Int, seedsPerList: Int, iters: Int): String = {
+  /** The routed-entry CTEs (portable-kmeans assignment → per-cluster
+    * md5 seeds → per-query probes → entries → `s0`) — shared by the
+    * plain and long-linked routed oracles. Expects `pts`, `q` and the
+    * trained `k$iters` centroid CTE in scope. */
+  private def routedEntryCtes(nprobe: Int, seedsPerList: Int,
+      iters: Int): String = {
     def eucl(a: String, b: String) = DuckSql.euclidean(a, b)
-    s"""WITH ${graft.similarity.SimilarityQueries.kmeansPortableCtes(nlist, iters)},
-       |${graphAndQueryCtes(kGraph)},
-       |assign AS MATERIALIZED (
+    s"""assign AS MATERIALIZED (
        |  SELECT cid, id FROM (
        |    SELECT p.id, c.cid,
        |      row_number() OVER (PARTITION BY p.id
@@ -390,9 +376,52 @@ object GraphSearch {
        |s0 AS MATERIALIZED (
        |  SELECT en.qid, en.node, round($dQE, 6) AS dist, FALSE AS exp
        |  FROM ent en JOIN q ON q.qid = en.qid
-       |  JOIN embeddings e ON e.vec_id = en.node)""".stripMargin +
-      hopUnrollSql(k, beam, hops)
+       |  JOIN embeddings e ON e.vec_id = en.node)""".stripMargin
   }
+
+  /** Generated DuckDB mirror of the LONG-LINKED search: the exact
+    * graph under its own name, the pool + hash-picked links, their
+    * UNION as the serving graph, then flat seeds and the same hop
+    * unroll. */
+  private def longLinkOracle(k: Int, kGraph: Int, beam: Int, hops: Int,
+      nSeeds: Int, poolSize: Int, perNode: Int): String =
+    s"""WITH ${graphAndQueryCtes(kGraph, "knng")},
+       |${longLinkGraphCtes(poolSize, perNode)},
+       |seeds AS (
+       |  SELECT vec_id AS node FROM (
+       |    SELECT vec_id,
+       |      CAST(('0x' || substr(md5('gs|' || CAST(vec_id AS VARCHAR)),
+       |        1, 15)) AS BIGINT) AS hk
+       |    FROM embeddings) ORDER BY hk, vec_id LIMIT $nSeeds),
+       |s0 AS MATERIALIZED (
+       |  SELECT q.qid, s.node, round($dQE, 6) AS dist, FALSE AS exp
+       |  FROM q CROSS JOIN seeds s JOIN embeddings e ON e.vec_id = s.node)""".stripMargin +
+      hopUnrollSql(k, beam, hops)
+
+  /** Generated DuckDB mirror of [[routedBeamSearch]]: the portable
+    * Lloyd's router, per-cluster md5 seeds, per-query probes and
+    * entries, then the SAME hop unroll. */
+  private[knn] def routedOracle(k: Int, kGraph: Int, beam: Int, hops: Int,
+      nlist: Int, nprobe: Int, seedsPerList: Int, iters: Int): String =
+    s"""WITH ${graft.similarity.SimilarityQueries.kmeansPortableCtes(nlist, iters)},
+       |${graphAndQueryCtes(kGraph)},
+       |${routedEntryCtes(nprobe, seedsPerList, iters)}""".stripMargin +
+      hopUnrollSql(k, beam, hops)
+
+  /** Generated DuckDB mirror of the PERSISTED links-bearing index's
+    * serving path (round-13 verdict #5): the routed entries of
+    * [[routedOracle]] over the long-link UNION graph of
+    * [[longLinkOracle]] — router training, assignment, seeds, probes,
+    * entries, pool, links, graph union and every hop in ONE oracle
+    * text. */
+  private[knn] def routedLongLinkOracle(k: Int, kGraph: Int, beam: Int,
+      hops: Int, nlist: Int, nprobe: Int, seedsPerList: Int, iters: Int,
+      poolSize: Int, perNode: Int): String =
+    s"""WITH ${graft.similarity.SimilarityQueries.kmeansPortableCtes(nlist, iters)},
+       |${graphAndQueryCtes(kGraph, "knng")},
+       |${longLinkGraphCtes(poolSize, perNode)},
+       |${routedEntryCtes(nprobe, seedsPerList, iters)}""".stripMargin +
+      hopUnrollSql(k, beam, hops)
 
   val declared: Seq[Declared] = Seq(
     Declared(

@@ -362,7 +362,8 @@ object IvfIndexStore {
         .orderBy(col("qid"), col("rn")),
       Some(SimilarityQueries.ivfKmeansPortableOracle(K, nlist = 8,
         nprobe = 3, iters = 5)),
-      doc = "Persistent IVF index: build -> parquet (centroids/lists/meta+fingerprint) -> reload -> search, serving WITHOUT the training corpus; the oracle is q175's in-memory pipeline SQL, proving the persisted round-trip lossless"),
+      doc = "Persistent IVF index: build -> parquet (centroids/lists/meta+fingerprint) -> reload -> search, serving WITHOUT the training corpus; the oracle is q175's in-memory pipeline SQL, proving the persisted round-trip lossless",
+      diskSensitive = true),
 
     Declared(
       "q218b_ann_index_search",
@@ -378,6 +379,7 @@ object IvfIndexStore {
       (s, dir) => upsertCycle(Tables.load(s, dir, "embeddings"))
         .orderBy(col("qid"), col("rn")),
       Some(upsertOracle(K, nlist = 8, nprobe = 3, iters = 5)),
-      doc = "Incremental IVF maintenance (round-11 verdict #3): build on the 75% base slice, upsert the delta slice into the persisted lists WITHOUT retraining the quantizer, fingerprint chained by xor (the in-cycle require proves isFreshFor validates base+delta) - oracled as lists-over-combined-corpus with base-trained centroids, the exact post-upsert index state")
+      doc = "Incremental IVF maintenance (round-11 verdict #3): build on the 75% base slice, upsert the delta slice into the persisted lists WITHOUT retraining the quantizer, fingerprint chained by xor (the in-cycle require proves isFreshFor validates base+delta) - oracled as lists-over-combined-corpus with base-trained centroids, the exact post-upsert index state",
+      diskSensitive = true)
   )
 }

@@ -159,4 +159,92 @@ class GraphIndexStoreSpec extends SparkSpec {
       assert(maxDeg <= 10, s"patched list grew past k: $maxDeg")
     } finally graft.Checkpoints.release(edges)
   }
+
+  test("serve-time staleness check refuses an out-of-band mutated index (round-13 verdict #7)") {
+    val vecs = plantedCorpus(300, 16, clusters = 6, seed = 18L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gis-stale").toString
+    GraphIndexStore.write(vecs,
+      org.apache.spark.sql.graft.TopKJoin.knn(vecs, vecs, 5), dir, k = 5)
+    val queries = vecs.filter(col("vec_id") < 5)
+    // fresh: the opt-in check passes and serves normally
+    assert(GraphIndexStore.search(spark, dir, queries, k = 5,
+      checkFresh = true).count() > 0)
+    // mutate nodes/ OUT-OF-BAND (not through upsert): append rogue rows
+    vecs.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 10000)
+      .write.mode("append").parquet(s"$dir/nodes")
+    // this is also the crash-after-nodes-append tear state of the new
+    // upsert write order (nodes -> edges -> meta): meta still records
+    // the pre-upsert corpus, so the meta-vs-stored-nodes comparison
+    // the serve-time check runs must expose it on count alone
+    val e = intercept[IllegalArgumentException] {
+      GraphIndexStore.search(spark, dir, queries, k = 5,
+        checkFresh = true).count()
+    }
+    assert(e.getMessage.contains("stale"))
+    // without the opt-in check the serve is unguarded (the documented
+    // hot-path default) — it must still answer, not throw
+    assert(GraphIndexStore.search(spark, dir, queries, k = 5).count() > 0)
+  }
+
+  test("training manifest is persisted and the sampled path trains on exactly the md5 sample") {
+    val vecs = plantedCorpus(400, 16, clusters = 8, seed = 19L)
+    val edges = org.apache.spark.sql.graft.TopKJoin.knn(vecs, vecs, 5)
+      .localCheckpoint()
+    // AUTO at 400 points degenerates to the full corpus (mod=1) — the
+    // oracle-verbatim regime the declared rows run in
+    val dirAuto = java.nio.file.Files.createTempDirectory("graft-gis-m1").toString
+    GraphIndexStore.write(vecs, edges, dirAuto, k = 5)
+    val mAuto = spark.read.parquet(s"$dirAuto/meta").collect()(0)
+    assert(mAuto.getAs[Int]("train_sample_mod") == 1)
+    assert(mAuto.getAs[Long]("train_n") == 400L)
+    assert(mAuto.getAs[Int]("seeds_per_list") == 4)
+    // forced sampling: the manifest records the rule and the router is
+    // EXACTLY the portable Lloyd's over the md5 sample
+    val dirS = java.nio.file.Files.createTempDirectory("graft-gis-m4").toString
+    GraphIndexStore.write(vecs, edges, dirS, k = 5, trainSampleMod = 4)
+    val mS = spark.read.parquet(s"$dirS/meta").collect()(0)
+    val sample = GraphIndexStore.trainSample(
+      vecs.select(col("vec_id"), col("embedding")), 4).localCheckpoint()
+    assert(mS.getAs[Int]("train_sample_mod") == 4)
+    assert(mS.getAs[Long]("train_n") == sample.count())
+    assert(mS.getAs[Long]("train_n") < 200L,
+      "a 1/4 md5 sample of 400 points must be well under half the corpus")
+    val storedCent = spark.read.parquet(s"$dirS/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    val expectCent = graft.similarity.Ann
+      .kmeansCentroidsPortable(sample, 8, 5)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    assert(storedCent == expectCent,
+      "the persisted router must be the portable Lloyd's over the sample")
+    // the sampled-router index still serves k results per query
+    val res = GraphIndexStore.search(spark, dirS,
+      vecs.filter(col("vec_id") < 5), k = 5)
+    assert(res.groupBy(col("qid")).count().agg(min(col("count")))
+      .collect()(0).getLong(0) == 5L)
+  }
+
+  test("upsert validates the delta against the index's recorded parameters (round-13 advice)") {
+    val vecs = plantedCorpus(200, 16, clusters = 4, seed = 20L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gis-val").toString
+    GraphIndexStore.write(vecs,
+      org.apache.spark.sql.graft.TopKJoin.knn(vecs, vecs, 5), dir, k = 5)
+    val delta = plantedCorpus(20, 16, clusters = 2, seed = 21L)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    // a smaller k would silently truncate every stored adjacency list
+    val eK = intercept[IllegalArgumentException] {
+      GraphIndexStore.upsert(spark, dir, delta, k = 3)
+    }
+    assert(eK.getMessage.contains("build k"))
+    // a wrong-dim delta would corrupt the graph while count+xor still validated
+    val badDim = plantedCorpus(20, 8, clusters = 2, seed = 22L)
+      .withColumn("vec_id", col("vec_id") + 20000)
+    val eD = intercept[IllegalArgumentException] {
+      GraphIndexStore.upsert(spark, dir, badDim, k = 5)
+    }
+    assert(eD.getMessage.contains("dimension"))
+    // the valid delta still lands (the guards reject only mismatches)
+    GraphIndexStore.upsert(spark, dir, delta, k = 5)
+    assert(GraphIndexStore.isFreshFor(spark, dir, vecs.unionByName(delta)))
+  }
 }
