@@ -164,7 +164,9 @@ object StreamSelfDedup {
 
   /** Full replay for the declared row and specs. */
   private[streaming] def runReplay(spark: SparkSession, docs: DataFrame,
-      srcDir: Option[(String, Int)] = None): DataFrame = {
+      srcDir: Option[(String, Int)] = None,
+      onProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]
+        => Unit = _ => ()): DataFrame = {
     val (src, nParts) = srcDir.getOrElse(buildWaveReplay(spark, docs))
     val name = s"selfdedup_declared_${StreamingPipelines.declaredRuns.incrementAndGet()}"
     StreamingPipelines.withReplayPartitions(spark) {
@@ -180,6 +182,10 @@ object StreamSelfDedup {
           .start()
         StreamingPipelines.awaitBatches(q, 180000,
           expectDataBatches = nParts + 2)
+        // per-batch state-store telemetry for the scale harness
+        // (round-13 verdict #8: "the corpus IS the state" deserves a
+        // measured rows/bytes-per-wave number, not prose)
+        onProgress(q.recentProgress)
       }
     }
     spark.table(name)
