@@ -52,6 +52,7 @@ object Registry {
       graft.streaming.StreamingPipelines.declared ++
       graft.streaming.StreamSubstr.declared ++
       graft.streaming.StreamSelfDedup.declared ++
+      graft.streaming.StreamGraphIngest.declared ++
       graft.text.TextQueries.declared ++
       graft.text.Dedup.declared ++
       graft.text.CorpusPipeline.declared ++

@@ -201,8 +201,9 @@ object GraphIndexStore {
     f.delete(); ()
   }
 
-  /** Reclaim an ephemeral index dir (measurement harnesses). */
-  private[knn] def deleteIndexDir(dir: String): Unit =
+  /** Reclaim an ephemeral index dir (measurement harnesses + the
+    * streamed-ingest cycle). */
+  private[graft] def deleteIndexDir(dir: String): Unit =
     deleteRecursively(new java.io.File(dir))
 
   /** Full persisted cycle for the q225 declared row: router + seeds
@@ -358,6 +359,49 @@ object GraphIndexStore {
     res
   }
 
+  /** APPROXIMATE persisted-index ingest of one arriving batch — the
+    * scale path behind [[graft.streaming.StreamGraphIngest]]'s
+    * measurement harness: where the exact [[upsert]] pays |Δ|·N + N·|Δ|
+    * fused-top-k evals per batch, this enters each arriving vector
+    * through the index's own STORED router (centroids + cseeds read
+    * from the dir — the artifacts `write` persisted exactly so arrivals
+    * never rescan the corpus) and patches via [[patchGraphApprox]]'s
+    * beam-candidate + symmetric-reverse + delta-delta machinery. Same
+    * durability discipline as `upsert`: delta validated against meta
+    * (dim, duplicate ids), edge set fully materialized before any file
+    * is touched, write order nodes → edges → meta so `meta/` is the
+    * commit point and the xor chain stays the freshness proof. */
+  def ingestBatchApprox(spark: SparkSession, dir: String, delta: DataFrame,
+      beam: Int = 8, hops: Int = 4, nprobe: Int = Nprobe): Unit = {
+    val pts = delta.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    val k = m.getAs[Int]("k")
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    val dupN = nodes.select(col("vec_id"))
+      .join(pts.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    require(dupN == 0L,
+      s"ingest requires disjoint vec_ids: $dupN already indexed")
+    val (dn, dfp, ddim) = fingerprintOf(pts)
+    require(ddim == m.getAs[Int]("dim"),
+      s"ingest delta dimension $ddim does not match the index's " +
+        s"dim=${m.getAs[Int]("dim")}")
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val cseeds = spark.read.parquet(s"$dir/cseeds")
+    val edges = spark.read.parquet(s"$dir/edges")
+    val patched = patchGraphApprox(nodes, edges, pts, k, beam, hops,
+      router = Some((cent, cseeds)), nprobe = nprobe).localCheckpoint()
+    pts.write.mode("append").parquet(s"$dir/nodes")
+    patched.write.mode("overwrite").parquet(s"$dir/edges")
+    import spark.implicits._
+    Seq((m.getAs[Long]("n_vectors") + dn, m.getAs[Int]("dim"),
+        m.getAs[Int]("k"), m.getAs[Int]("nlist"),
+        m.getAs[Int]("kmeans_iters"), m.getAs[Long]("fingerprint") ^ dfp,
+        m.getAs[Int]("train_sample_mod"), m.getAs[Long]("train_n"),
+        m.getAs[Int]("seeds_per_list")))
+      .toDF(MetaCols: _*)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
   /** APPROXIMATE graph patch for the served (MRDF-built) graph — the
     * scale path where exact |Δ|·N passes are too hot: candidates for
     * each delta vector come from a beam search over the EXISTING graph
@@ -402,8 +446,10 @@ object GraphIndexStore {
   }
 
   /** knn_bruteforce's oracle text (the exact graph over ALL
-    * embeddings) — q227's rebuild-equivalence statement. */
-  private def rebuildOracle(k: Int): String = {
+    * embeddings) — q227's rebuild-equivalence statement, shared by the
+    * streamed-ingest row (q230): batch upsert and streamed ingest both
+    * state their result as the full rebuild. */
+  private[graft] def rebuildOracle(k: Int): String = {
     val d = graft.DuckSql.euclidean("a.embedding", "b.embedding")
     s"""WITH pairs AS (
        |  SELECT a.vec_id AS id, b.vec_id AS nbr, round($d, 6) AS dist
