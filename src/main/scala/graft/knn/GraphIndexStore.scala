@@ -130,7 +130,8 @@ object GraphIndexStore {
             seedsPerList: Int = SeedsPerList,
             longLinks: Option[(Int, Int)] = None,
             trainSampleMod: Int = 0,
-            onPhase: (String, Double) => Unit = (_, _) => ()): Unit = {
+            onPhase: (String, Double) => Unit = (_, _) => (),
+            routerFor: Option[Int => (DataFrame, DataFrame)] = None): Unit = {
     def timed[T](phase: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
@@ -144,12 +145,26 @@ object GraphIndexStore {
       else math.max(1L, n / TrainTargetN).toInt
     val trainSet = trainSample(pts, mod)
     val trainN = if (mod <= 1) n else trainSet.count()
-    val cent = timed("router_train") {
-      graft.similarity.Ann.kmeansCentroidsPortable(
-        trainSet, nlist, kmeansIters)
-    }
-    val cseeds = timed("cluster_seeds") {
-      GraphSearch.clusterSeeds(pts, cent, seedsPerList).localCheckpoint()
+    // `routerFor` (round-14): a precomputed (router, seed table) for
+    // the applied sample mod — the declared cycles resolve it through
+    // [[GraphSearch.sharedRouterAndSeeds]] so the identical training
+    // is paid once per (process, sf, bench pass) instead of per query.
+    // The contract: the provider MUST train with exactly this write's
+    // rule (same trainSample mod, nlist, kmeansIters, seedsPerList) —
+    // the meta manifest below records the same values either way.
+    val (cent, cseeds) = routerFor match {
+      case Some(f) =>
+        val pair = timed("router_train")(f(mod))
+        (pair._1, pair._2)
+      case None =>
+        val c = timed("router_train") {
+          graft.similarity.Ann.kmeansCentroidsPortable(
+            trainSet, nlist, kmeansIters)
+        }
+        val cs = timed("cluster_seeds") {
+          GraphSearch.clusterSeeds(pts, c, seedsPerList).localCheckpoint()
+        }
+        (c, cs)
     }
     val spark = emb.sparkSession
     pts.write.mode("overwrite").parquet(s"$dir/nodes")
@@ -239,10 +254,25 @@ object GraphIndexStore {
     * served — a fresh ephemeral dir per invocation (the q218
     * convention; the adjacency itself comes from the shared
     * materialized knn10 — its build cost is knn_bruteforce's row). */
+  /** The shared-materialized router provider for the full embeddings /
+    * 75% base-slice corpora (round-14): one identical training per
+    * (process, sf, bench pass) serves q223/q225/q226/q229 (full) and
+    * q227/q230 (base) — see [[GraphSearch.sharedRouterAndSeeds]]. */
+  private def sharedFullRouter(s: SparkSession, sfDir: String)
+      : Int => (DataFrame, DataFrame) = mod =>
+    GraphSearch.sharedRouterAndSeeds(s, sfDir, "emb", Nlist, KmeansIters,
+      SeedsPerList, mod)(Tables.load(s, sfDir, "embeddings"))
+  private[graft] def sharedBaseRouter(s: SparkSession, sfDir: String)
+      : Int => (DataFrame, DataFrame) = mod =>
+    GraphSearch.sharedRouterAndSeeds(s, sfDir, "embBase4", Nlist, KmeansIters,
+      SeedsPerList, mod)(
+      Tables.load(s, sfDir, "embeddings").filter(col("vec_id") % 4 =!= 3))
+
   def buildAndSearch(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(s, sfDir, "embeddings")
     val dir = Files.createTempDirectory("graft-gidx-").toString
-    write(emb, KnnQueries.knn10(s, sfDir), dir)
+    write(emb, KnnQueries.knn10(s, sfDir), dir,
+      routerFor = Some(sharedFullRouter(s, sfDir)))
     require(isFreshFor(s, dir, emb),
       "graph index fingerprint must match the corpus it was just built from")
     val res = search(s, dir, emb.filter(col("vec_id") < 20)).localCheckpoint()
@@ -263,7 +293,8 @@ object GraphIndexStore {
     val emb = Tables.load(s, sfDir, "embeddings")
     val dir = Files.createTempDirectory("graft-gidx-ll-").toString
     write(emb, KnnQueries.knn10(s, sfDir), dir,
-      longLinks = Some((LinkPool, LinksPerNode)))
+      longLinks = Some((LinkPool, LinksPerNode)),
+      routerFor = Some(sharedFullRouter(s, sfDir)))
     val res = search(s, dir, emb.filter(col("vec_id") < 20),
       checkFresh = true).localCheckpoint()
     deleteRecursively(new java.io.File(dir))
@@ -282,7 +313,7 @@ object GraphIndexStore {
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => deleteRecursively(d.toFile)))
       write(Tables.load(s, sfDir, "embeddings"), KnnQueries.knn10(s, sfDir),
-        d.toString)
+        d.toString, routerFor = Some(sharedFullRouter(s, sfDir)))
       d.toString
     })
 
@@ -377,7 +408,8 @@ object GraphIndexStore {
     val delta = emb.filter(col("vec_id") % 4 === 3)
     val dir = Files.createTempDirectory("graft-gidx-up-").toString
     write(base, org.apache.spark.sql.graft.TopKJoin.knn(
-      base.repartition(col("vec_id")), base, k), dir)
+      base.repartition(col("vec_id")), base, k), dir,
+      routerFor = Some(sharedBaseRouter(s, sfDir)))
     upsert(s, dir, delta, k)
     require(isFreshFor(s, dir, emb),
       "chained fingerprint must validate base + delta as the combined corpus")

@@ -226,6 +226,31 @@ object GraphSearch {
       .filter(col("srn") <= seedsPerList)
       .select(col("cid"), col("vec_id").as("node"))
 
+  /** Per-(process, sfDir) MATERIALIZED router + per-cluster entry
+    * seeds (round-14 optimization): q223/q225/q226/q229 all train the
+    * identical (nlist, iters) portable router over the full embeddings
+    * and assign the identical seed table per invocation, and
+    * q227/q230 do the same over the 75% base slice — deterministic
+    * pure functions of the corpus, parquet-lossless, so the first
+    * timed consumer builds and the rest scan (the knn10 convention).
+    * `mod` > 1 keys a trainSample()d training set separately — the
+    * seed assignment always covers the FULL corpus, matching
+    * [[GraphIndexStore.write]]'s manifest rule. */
+  def sharedRouterAndSeeds(s: SparkSession, sfDir: String, corpusKey: String,
+      nlist: Int, iters: Int, seedsPerList: Int, mod: Int = 1)
+      (corpus: => DataFrame): (DataFrame, DataFrame) = {
+    val centKey = if (mod <= 1) corpusKey else s"$corpusKey-m$mod"
+    val cent = graft.similarity.Ann.sharedPortableCentroids(
+      s, sfDir, centKey, nlist, iters)(
+      GraphIndexStore.trainSample(
+        corpus.select(col("vec_id"), col("embedding")), mod))
+    val cseeds = graft.Materialized.table(s, sfDir,
+      s"cseeds-$centKey-n$nlist-i$iters-s$seedsPerList")(
+      clusterSeeds(corpus.select(col("vec_id"), col("embedding")),
+        cent, seedsPerList))
+    (cent, cseeds)
+  }
+
   /** [[routedBeamSearch]] over a PRECOMPUTED router + seed table — the
     * serving-side call: a scale deployment trains the router and
     * derives [[clusterSeeds]] once at index-build time (the corpus
@@ -437,11 +462,20 @@ object GraphSearch {
 
     Declared(
       "q223_graph_ann_routed",
-      (s, dir) => routedBeamSearch(
-        Tables.load(s, dir, "embeddings"),
-        KnnQueries.knn10(s, dir),
-        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 20))
-        .orderBy(col("qid"), col("rn")),
+      // routedBeamSearch with the router + seed table resolved through
+      // the shared materialization (round-14): identical training
+      // params to the q225/q226/q229 index builds, so one training per
+      // (process, sf, pass) serves all four — rows unchanged (same
+      // portable Lloyd's, parquet-lossless), oracle unchanged.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val (cent, cseeds) = sharedRouterAndSeeds(s, dir, "emb",
+          nlist = 8, iters = 5, seedsPerList = 4)(emb)
+        routedWithCentroids(emb, KnnQueries.knn10(s, dir),
+          emb.filter(col("vec_id") < 20), cent, cseeds,
+          K, Beam, Hops, nprobe = 2)
+          .orderBy(col("qid"), col("rn"))
+      },
       Some(routedOracle(K, kGraph = K, beam = Beam, hops = Hops,
         nlist = 8, nprobe = 2, seedsPerList = 4, iters = 5)),
       doc = "ROUTED-entry graph search (NSG medoid entry generalized): a portable k-means router picks each query's 2 nearest clusters, the search enters at those clusters' own md5 seeds, then the same hop machinery - entry cost falls from O(coverage seeds) to one nlist-row probe + <= nprobe*seedsPerList scored entries; router training, routing, entries and every hop replayed in ONE oracle text"),

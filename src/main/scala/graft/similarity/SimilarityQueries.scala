@@ -411,7 +411,9 @@ object SimilarityQueries {
     Declared(
       "q175_ann_ivf_kmeans_portable",
       (s, dir) => Ann.ivfKmeansTopKPortable(Tables.load(s, dir, "embeddings"),
-        K, queryPred = col("vec_id") < 20)
+        K, queryPred = col("vec_id") < 20,
+        cent0 = Some(Ann.sharedPortableCentroids(s, dir, "emb",
+          nlist = 8, iters = 5)(Tables.load(s, dir, "embeddings"))))
         .orderBy(col("qid"), col("rn")),
       Some(ivfKmeansPortableOracle(K, nlist = 8, nprobe = 3, iters = 5)),
       doc = "IVF over the portable distributed k-means quantizer — the full iterative Lloyd's loop (md5 init, ordered-fold means, argmin rounds) replayed in the oracle; q36b's avg/xxhash form stays the scale path"),

@@ -79,7 +79,8 @@ object StreamGraphIngest {
     val delta = emb.filter(col("vec_id") % 4 === 3)
     val idxDir = Files.createTempDirectory("graft-gidx-stream-").toString
     GraphIndexStore.write(base, org.apache.spark.sql.graft.TopKJoin.knn(
-      base.repartition(col("vec_id")), base, K), idxDir, k = K)
+      base.repartition(col("vec_id")), base, K), idxDir, k = K,
+      routerFor = Some(GraphIndexStore.sharedBaseRouter(spark, sfDir)))
     val (src, waves) = buildArrivalWaves(spark, delta)
     val ckpt = StreamingPipelines.tempDirCleanedOnExit("graft-gidx-ingest-ck")
     StreamingPipelines.withReplayPartitions(spark) {
