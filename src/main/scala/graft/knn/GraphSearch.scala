@@ -162,13 +162,20 @@ object GraphSearch {
       vectors: DataFrame, queries: DataFrame,
       k: Int, beam: Int, hops: Int): DataFrame = {
     // hop state: every visited node with its exact distance and an
-    // expanded flag; localCheckpoint per hop so each round replans
-    // over the bounded state, not the whole search lineage
-    var state = state0.localCheckpoint()
+    // expanded flag. LAZY localCheckpoint per hop (round-14): each
+    // hop's plan still sees a truncated LogicalRDD leaf (so planning
+    // never re-expands the search lineage, and the 3 references to
+    // `state` inside expand() share ONE materialization), but nothing
+    // executes until the consumer's single action — the eager variant
+    // paid one driver-synced job per hop, hops+1 jobs of pure latency
+    // per search. The superseded hops' blocks are released by the
+    // harness sweep after the action (they cannot be released
+    // mid-loop: the successor has not materialized yet); each state is
+    // nSeeds + hops·beam·outdegree rows per query, bounded a priori.
+    var state = state0.localCheckpoint(eager = false)
     for (_ <- 1 to hops) {
-      val next = expand(state, edges, vectors, queries, beam).localCheckpoint()
-      graft.Checkpoints.release(state)
-      state = next
+      state = expand(state, edges, vectors, queries, beam)
+        .localCheckpoint(eager = false)
     }
     state.filter(col("node") =!= col("qid"))
       .withColumn("rn", row_number().over(byQ))

@@ -82,13 +82,19 @@ object Ann {
     val pts = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // orderBy+limit is a distributed TakeOrdered; the (unpartitioned)
     // row_number window then only ever sees k rows
+    // LAZY localCheckpoint chain (round-14): every round's plan sees a
+    // truncated LogicalRDD leaf, but the eager variant paid one
+    // driver-synced job per round (iters+1 jobs of latency per
+    // training); the lazy chain materializes every round inside the
+    // consumer's single action. Superseded rounds' blocks (k rows
+    // each) are released by the harness sweep after the action.
     var cent = pts
       .withColumn("h", xxhash64(lit(seed), col("id")))
       .orderBy(col("h"), col("id")).limit(k)
       .withColumn("cid", row_number().over(
         Window.orderBy(col("h"), col("id"))) - 1)
       .select(col("cid"), col("vec").as("cvec"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     (1 to iters).foreach { _ =>
       // argmin as min(struct(d, cid, vec)): map-side partial agg → one
       // row per point crosses the shuffle, vs N×k for a window argmin
@@ -98,16 +104,14 @@ object Ann {
           col("cid").as("cid"), col("vec").as("vec")).as("cand"))
         .groupBy(col("id")).agg(min(col("cand")).as("m"))
         .select(col("m.cid").as("cid"), col("m.vec").as("vec"))
-      val next = assigned
+      cent = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("s"))
         .select(col("cid"), transform(col("s"), e => e("m").cast("float")).as("cvec"))
-        .localCheckpoint()
-      graft.Checkpoints.release(cent)
-      cent = next
+        .localCheckpoint(eager = false)
     }
     cent
   }
@@ -124,6 +128,9 @@ object Ann {
   def kmeansCentroidsPortable(emb: DataFrame, k: Int, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val pts = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // LAZY localCheckpoint chain — same rationale as [[kmeansCentroids]]
+    // (round-14): plans stay truncated per round, all rounds execute
+    // inside the consumer's one action instead of iters+1 eager jobs.
     var cent = pts
       .withColumn("hk", conv(substring(
         md5(concat(lit("km|"), col("id").cast("string"))), 1, 15), 16, 10)
@@ -132,7 +139,7 @@ object Ann {
       .withColumn("cid", row_number().over(
         Window.orderBy(col("hk"), col("id"))) - 1)
       .select(col("cid"), col("vec").as("cvec"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     (1 to iters).foreach { _ =>
       val assigned = pts.join(broadcast(cent))
         .select(col("id"), struct(
@@ -140,7 +147,7 @@ object Ann {
           col("cid").as("cid"), col("vec").as("vec")).as("cand"))
         .groupBy(col("id")).agg(min(col("cand")).as("m"))
         .select(col("id"), col("m.cid").as("cid"), col("m.vec").as("vec"))
-      val next = assigned
+      cent = assigned
         .select(col("id"), col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(count(lit(1)).as("n"),
@@ -150,9 +157,7 @@ object Ann {
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
         .select(col("cid"), transform(col("dims"), e => e("m").cast("float")).as("cvec"))
-        .localCheckpoint()
-      graft.Checkpoints.release(cent)
-      cent = next
+        .localCheckpoint(eager = false)
     }
     cent
   }
