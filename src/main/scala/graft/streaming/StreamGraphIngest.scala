@@ -82,7 +82,10 @@ object StreamGraphIngest {
       base.repartition(col("vec_id")), base, K), idxDir, k = K,
       routerFor = Some(GraphIndexStore.sharedBaseRouter(spark, sfDir)))
     val (src, waves) = buildArrivalWaves(spark, delta)
-    val ckpt = StreamingPipelines.tempDirCleanedOnExit("graft-gidx-ingest-ck")
+    // checkpoint on the replay scratch root (round-15): the foreachBatch
+    // stream's durability lives in the INDEX transaction (meta/ commit
+    // point), not in this throwaway replay checkpoint's WAL fsyncs
+    val ckpt = StreamingPipelines.scratchCheckpointDir("graft-gidx-ingest-ck")
     StreamingPipelines.withReplayPartitions(spark) {
       val arrivals = spark.readStream
         .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")

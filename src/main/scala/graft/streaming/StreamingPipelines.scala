@@ -677,20 +677,87 @@ object StreamingPipelines {
       .option("maxFilesPerTrigger", "1")
       .parquet(eventsReplayBatchesDir(spark, dir, batches))
 
-  /** Run `f` with a reduced shuffle-partition count, restoring after.
-    * The declared replays process one bounded micro-batch; each
-    * stateful operator instantiates one state store PER shuffle
-    * partition, and at the harness's 32 partitions the store
-    * setup/commit overhead dominates the actual work (a stream-stream
-    * join keeps four stores per partition). 8 partitions is plenty for
-    * the testdata batch; the setting is scoped to the eager replay and
-    * restored before the memory-sink read. At production scale this is
-    * the same knob a real deployment tunes per stateful query. */
+  /** RAM-backed scratch root for the replay checkpoints (round-15
+    * optimization, guide §5/§6 — measured first: per micro-batch the
+    * offset-WAL + commit-log fsyncs cost ~75 ms and every state-store
+    * commit writes + fsyncs a delta/snapshot file into the checkpoint
+    * dir, 0.5–3 s summed per batch across stores — the dominant term
+    * of the ~2 s/query streaming floor at sf0.1, all of it I/O on
+    * scratch no one ever reads back. The declared replays are bounded
+    * AvailableNow backfills into a MEMORY sink: their checkpoint is
+    * ephemeral by construction (the result dies with the JVM; a crash
+    * means rerun, never resume), so checkpoint durability buys
+    * nothing. Default to the RAM-backed tmpfs when the host has one;
+    * `SPARK_GRAFT_STREAM_SCRATCH` overrides (a production deployment
+    * of a CONTINUOUS pipeline points the same knob — Spark's
+    * checkpointLocation — at durable storage instead; this default is
+    * scoped to the replay harness, not baked into any query). */
+  private[streaming] lazy val scratchRoot: String = {
+    val base = sys.env.get("SPARK_GRAFT_STREAM_SCRATCH").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm") else None
+    }
+    base match {
+      case Some(b) =>
+        val d = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(b), "graft-stream-scratch")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(d.toFile)
+        }))
+        d.toString
+      case None => tempDirCleanedOnExit("graft-stream-scratch")
+    }
+  }
+
+  /** A fresh checkpoint dir under [[scratchRoot]]. */
+  private[streaming] def scratchCheckpointDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(scratchRoot), prefix).toString
+
+  /** Run `f` with the replay-scoped session tuning, restoring after:
+    *  - a reduced shuffle-partition count: the declared replays process
+    *    one bounded micro-batch; each stateful operator instantiates
+    *    one state store PER shuffle partition, and at the harness's 32
+    *    partitions the store setup/commit overhead dominates the actual
+    *    work (a stream-stream join keeps four stores per partition) —
+    *    8 partitions is plenty for the testdata batch. At production
+    *    scale this is the same knob a real deployment tunes per
+    *    stateful query.
+    *  - the checkpoint location rooted on [[scratchRoot]] (see its doc:
+    *    WAL + state-store commit fsyncs on throwaway replay checkpoints
+    *    were the measured floor). Each query lands in its own subdir
+    *    (unique queryName per invocation), removed at JVM exit. */
+  /** Stateful-shuffle width of the replay micro-batches (default 4,
+    * env-overridable like every scale-dependent harness setting).
+    * Round-15 A/B at sf0.1/32 cpus (pass-2 walls over the 7 heaviest
+    * replays): 8 → 4 partitions is a consistent −10..20% (26.2 →
+    * 22.3 s summed; q228 6.0 → 4.8, q168 1.9 → 1.3, q195 2.6 → 2.2),
+    * because every stateful operator loads + commits one state store
+    * PER shuffle partition and the testdata micro-batches are far
+    * below one store's worth of work; 2 was not reliably better (q228
+    * regressed). At production state sizes the same knob scales back
+    * up with the data — that is what the env override is for. */
+  private[streaming] def replayPartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTITIONS", "4")
+
   private[streaming] def withReplayPartitions[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try f finally spark.conf.set(key, prev)
+    val pKey = "spark.sql.shuffle.partitions"
+    val cKey = "spark.sql.streaming.checkpointLocation"
+    val prevP = spark.conf.get(pKey)
+    val prevC = spark.conf.getOption(cKey)
+    spark.conf.set(pKey, replayPartitions)
+    spark.conf.set(cKey, scratchRoot)
+    try f finally {
+      spark.conf.set(pKey, prevP)
+      prevC match {
+        case Some(v) => spark.conf.set(cKey, v)
+        case None => spark.conf.unset(cKey)
+      }
+    }
   }
 
   private def awaitOrFail(q: org.apache.spark.sql.streaming.StreamingQuery,
@@ -988,7 +1055,13 @@ object StreamingPipelines {
   }
 
   /** Run `f` with the RocksDB state store provider (required by
-    * `transformWithState`), restoring the previous provider after. */
+    * `transformWithState`), restoring the previous provider after.
+    * (Round-15 A/B, kept for the record: changelog checkpointing —
+    * the documented commit-latency knob for LARGE RocksDB state —
+    * measured SLOWER here (q228 commit 1.0 → 2.0–5.3 s summed, total
+    * 6.5 → 14.3 s): at kilobyte-sized per-store state the per-commit
+    * changelog writer + background snapshot machinery cost more than
+    * the tiny snapshot upload it replaces. Left OFF.) */
   private[streaming] def withRocksDbStateStore[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
