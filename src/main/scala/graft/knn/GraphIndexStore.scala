@@ -74,12 +74,23 @@ object GraphIndexStore {
   private[knn] val RebuildGrowthFraction = 0.05
 
   private val K = 10
-  private val Nlist = 8
+  // router-training params shared with the q223 routed search (advice
+  // r14: q223 hardcoding them let the Materialized sharing keys drift
+  // silently if either side changed) — single source of truth.
+  private[knn] val Nlist = 8
   private val Nprobe = 2
-  private val SeedsPerList = 4
-  private val KmeansIters = 5
+  private[knn] val SeedsPerList = 4
+  private[knn] val KmeansIters = 5
   private val Beam = 4
   private val Hops = 3
+
+  /** The parameters a [[write]] actually applies — handed to a
+    * `routerFor` provider so it CANNOT train with stale constants
+    * while the meta manifest records these (advice r14: the previous
+    * `Int => _` shape let providers bind their own copies). */
+  final case class RouterParams(mod: Int, nlist: Int, kmeansIters: Int,
+                                seedsPerList: Int)
+  type RouterProvider = RouterParams => (DataFrame, DataFrame)
 
   /** Router-training sample target (round-13 verdict #2): coarse
     * centroids don't need every point — full-corpus portable Lloyd's
@@ -131,7 +142,7 @@ object GraphIndexStore {
             longLinks: Option[(Int, Int)] = None,
             trainSampleMod: Int = 0,
             onPhase: (String, Double) => Unit = (_, _) => (),
-            routerFor: Option[Int => (DataFrame, DataFrame)] = None): Unit = {
+            routerFor: Option[RouterProvider] = None): Unit = {
     def timed[T](phase: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
@@ -149,12 +160,17 @@ object GraphIndexStore {
     // the applied sample mod — the declared cycles resolve it through
     // [[GraphSearch.sharedRouterAndSeeds]] so the identical training
     // is paid once per (process, sf, bench pass) instead of per query.
-    // The contract: the provider MUST train with exactly this write's
-    // rule (same trainSample mod, nlist, kmeansIters, seedsPerList) —
-    // the meta manifest below records the same values either way.
+    // The provider receives this write's ACTUAL parameters (advice
+    // r14), so it cannot persist a router that contradicts the meta
+    // manifest below. Shared-router builds collapse router_train and
+    // cluster_seeds into one resolution: router_train times the
+    // provider call, cluster_seeds is emitted as 0 so onPhase
+    // consumers see both phases either way.
     val (cent, cseeds) = routerFor match {
       case Some(f) =>
-        val pair = timed("router_train")(f(mod))
+        val pair = timed("router_train")(
+          f(RouterParams(mod, nlist, kmeansIters, seedsPerList)))
+        onPhase("cluster_seeds", 0.0)
         (pair._1, pair._2)
       case None =>
         val c = timed("router_train") {
@@ -167,18 +183,27 @@ object GraphIndexStore {
         (c, cs)
     }
     val spark = emb.sparkSession
-    pts.write.mode("overwrite").parquet(s"$dir/nodes")
-    edges.select(col("id"), col("nbr"), col("dist"))
-      .write.mode("overwrite").parquet(s"$dir/edges")
-    cent.write.mode("overwrite").parquet(s"$dir/centroids")
-    cseeds.write.mode("overwrite").parquet(s"$dir/cseeds")
-    // the q224 navigability shortcuts persisted with the rest of the
-    // serving artifacts (round-12 verdict #4 named all three: router,
-    // seeds, long links); deterministic from the node set, stored so
-    // serving never recomputes the pool ranking
-    longLinks.foreach { case (poolSize, perNode) =>
-      GraphSearch.longLinks(pts, poolSize, perNode)
-        .write.mode("overwrite").parquet(s"$dir/links")
+    // Component writes are INDEPENDENT jobs over a fresh dir — run them
+    // concurrently (guide §2.6, round-15: the serial chain paid one
+    // commit wait per component; overlapping them hides the small
+    // components entirely behind the edges write, the dominant one).
+    // meta/ stays strictly AFTER the group: it is the index's commit
+    // point — a tear anywhere above leaves no meta, never a valid index.
+    // (the q224 navigability shortcuts persist with the rest of the
+    // serving artifacts — round-12 verdict #4 named all three: router,
+    // seeds, long links; deterministic from the node set, stored so
+    // serving never recomputes the pool ranking)
+    timed("component_writes") {
+      graft.Concurrent.awaitAll(Seq(
+        () => pts.write.mode("overwrite").parquet(s"$dir/nodes"),
+        () => edges.select(col("id"), col("nbr"), col("dist"))
+          .write.mode("overwrite").parquet(s"$dir/edges"),
+        () => cent.write.mode("overwrite").parquet(s"$dir/centroids"),
+        () => cseeds.write.mode("overwrite").parquet(s"$dir/cseeds")) ++
+        longLinks.map { case (poolSize, perNode) =>
+          () => GraphSearch.longLinks(pts, poolSize, perNode)
+            .write.mode("overwrite").parquet(s"$dir/links")
+        })
     }
     import spark.implicits._
     Seq((n, dim, k, nlist, kmeansIters, fp, mod, trainN, seedsPerList))
@@ -259,13 +284,13 @@ object GraphIndexStore {
     * (process, sf, bench pass) serves q223/q225/q226/q229 (full) and
     * q227/q230 (base) — see [[GraphSearch.sharedRouterAndSeeds]]. */
   private def sharedFullRouter(s: SparkSession, sfDir: String)
-      : Int => (DataFrame, DataFrame) = mod =>
-    GraphSearch.sharedRouterAndSeeds(s, sfDir, "emb", Nlist, KmeansIters,
-      SeedsPerList, mod)(Tables.load(s, sfDir, "embeddings"))
+      : RouterProvider = p =>
+    GraphSearch.sharedRouterAndSeeds(s, sfDir, "emb", p.nlist, p.kmeansIters,
+      p.seedsPerList, p.mod)(Tables.load(s, sfDir, "embeddings"))
   private[graft] def sharedBaseRouter(s: SparkSession, sfDir: String)
-      : Int => (DataFrame, DataFrame) = mod =>
-    GraphSearch.sharedRouterAndSeeds(s, sfDir, "embBase4", Nlist, KmeansIters,
-      SeedsPerList, mod)(
+      : RouterProvider = p =>
+    GraphSearch.sharedRouterAndSeeds(s, sfDir, "embBase4", p.nlist,
+      p.kmeansIters, p.seedsPerList, p.mod)(
       Tables.load(s, sfDir, "embeddings").filter(col("vec_id") % 4 =!= 3))
 
   def buildAndSearch(s: SparkSession, sfDir: String): DataFrame = {
@@ -361,12 +386,18 @@ object GraphIndexStore {
       s"upsert k=$k does not match the index's build k=${m.getAs[Int]("k")} " +
         "(a smaller k would silently truncate every stored adjacency list)")
     val nodes = spark.read.parquet(s"$dir/nodes")
-    val dupN = nodes.select(col("vec_id"))
-      .join(pts.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    // the two validation reads are independent jobs — overlap them
+    // (guide §2.6); both must pass before anything is written
+    var dupN = -1L
+    var fp: (Long, Long, Int) = null
+    graft.Concurrent.awaitAll(Seq(
+      () => dupN = nodes.select(col("vec_id"))
+        .join(pts.select(col("vec_id")), Seq("vec_id"), "left_semi").count(),
+      () => fp = fingerprintOf(pts)))
     require(dupN == 0L,
       s"upsert requires disjoint vec_ids: $dupN already indexed " +
         "(the insert-only FAISS-add contract; updates need delete+insert)")
-    val (dn, dfp, ddim) = fingerprintOf(pts)
+    val (dn, dfp, ddim) = fp
     require(ddim == m.getAs[Int]("dim"),
       s"upsert delta dimension $ddim does not match the index's " +
         s"dim=${m.getAs[Int]("dim")}")
@@ -437,11 +468,16 @@ object GraphIndexStore {
     val m = spark.read.parquet(s"$dir/meta").collect()(0)
     val k = m.getAs[Int]("k")
     val nodes = spark.read.parquet(s"$dir/nodes")
-    val dupN = nodes.select(col("vec_id"))
-      .join(pts.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    // overlapped validation jobs, as in [[upsert]]
+    var dupN = -1L
+    var fp: (Long, Long, Int) = null
+    graft.Concurrent.awaitAll(Seq(
+      () => dupN = nodes.select(col("vec_id"))
+        .join(pts.select(col("vec_id")), Seq("vec_id"), "left_semi").count(),
+      () => fp = fingerprintOf(pts)))
     require(dupN == 0L,
       s"ingest requires disjoint vec_ids: $dupN already indexed")
-    val (dn, dfp, ddim) = fingerprintOf(pts)
+    val (dn, dfp, ddim) = fp
     require(ddim == m.getAs[Int]("dim"),
       s"ingest delta dimension $ddim does not match the index's " +
         s"dim=${m.getAs[Int]("dim")}")

@@ -251,10 +251,14 @@ object GraphSearch {
       s, sfDir, centKey, nlist, iters)(
       GraphIndexStore.trainSample(
         corpus.select(col("vec_id"), col("embedding")), mod))
-    val cseeds = graft.Materialized.table(s, sfDir,
-      s"cseeds-$centKey-n$nlist-i$iters-s$seedsPerList")(
-      clusterSeeds(corpus.select(col("vec_id"), col("embedding")),
-        cent, seedsPerList))
+    // seed assignment = one broadcast-argmin + a bounded window —
+    // same iterative-build scoping as the training (round-15)
+    val cseeds = graft.Tuning.withIterativeBuild(s) {
+      graft.Materialized.table(s, sfDir,
+        s"cseeds-$centKey-n$nlist-i$iters-s$seedsPerList")(
+        clusterSeeds(corpus.select(col("vec_id"), col("embedding")),
+          cent, seedsPerList))
+    }
     (cent, cseeds)
   }
 
@@ -474,17 +478,23 @@ object GraphSearch {
       // params to the q225/q226/q229 index builds, so one training per
       // (process, sf, pass) serves all four — rows unchanged (same
       // portable Lloyd's, parquet-lossless), oracle unchanged.
+      // training params come from GraphIndexStore (advice r14: a
+      // hardcoded copy here could silently diverge from the index
+      // family's and break the one-training-per-pass sharing)
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         val (cent, cseeds) = sharedRouterAndSeeds(s, dir, "emb",
-          nlist = 8, iters = 5, seedsPerList = 4)(emb)
+          nlist = GraphIndexStore.Nlist, iters = GraphIndexStore.KmeansIters,
+          seedsPerList = GraphIndexStore.SeedsPerList)(emb)
         routedWithCentroids(emb, KnnQueries.knn10(s, dir),
           emb.filter(col("vec_id") < 20), cent, cseeds,
           K, Beam, Hops, nprobe = 2)
           .orderBy(col("qid"), col("rn"))
       },
       Some(routedOracle(K, kGraph = K, beam = Beam, hops = Hops,
-        nlist = 8, nprobe = 2, seedsPerList = 4, iters = 5)),
+        nlist = GraphIndexStore.Nlist, nprobe = 2,
+        seedsPerList = GraphIndexStore.SeedsPerList,
+        iters = GraphIndexStore.KmeansIters)),
       doc = "ROUTED-entry graph search (NSG medoid entry generalized): a portable k-means router picks each query's 2 nearest clusters, the search enters at those clusters' own md5 seeds, then the same hop machinery - entry cost falls from O(coverage seeds) to one nlist-row probe + <= nprobe*seedsPerList scored entries; router training, routing, entries and every hop replayed in ONE oracle text"),
 
     Declared(

@@ -88,10 +88,14 @@ object Mrdf {
 
     val pts = points.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .persist()
-    val n = pts.count()
-    // Dimensionality feeds divide's a-priori driver-payload bound;
-    // one 1-row job per build, amortized over the outer iterations.
-    val dim = if (n == 0) 0 else pts.select(size(col("vec"))).head.getInt(0)
+    // ONE startup job: the count and the dimensionality (which feeds
+    // divide's a-priori driver-payload bound) share the aggregation
+    // that also materializes the persist (round-15: the loop is
+    // latency-bound at test scale — every saved job counts).
+    val nd = pts.agg(count(lit(1)),
+      coalesce(max(size(col("vec"))), lit(0))).collect()(0)
+    val n = nd.getLong(0)
+    val dim = nd.getInt(1)
     log.info(s"[mrdf] start n=$n k=${p.k} rho=${p.rho} alpha=${p.alpha} " +
       s"tau=${p.tau} seed=${p.seed} maxIter=${p.maxIter}")
 
@@ -110,15 +114,19 @@ object Mrdf {
       // existed in the previous graph), so the convergence Δ is a
       // column scan of the checkpointed merge output — the former
       // left_anti join against the previous graph re-shuffled both
-      // |E|-sized tables once per iteration.
+      // |E|-sized tables once per iteration. The checkpoint is LAZY
+      // (round-15): the Δ count below is its consuming action, so the
+      // descent + merge + checkpoint + count collapse into ONE job per
+      // round instead of an eager-materialize job plus a count job.
       val blockEdges = localGraphs(assigned, p, iter)
-      val mergedTagged = mergeGraphs(g, blockEdges, p.k).localCheckpoint()
+      val mergedTagged = mergeGraphs(g, blockEdges, p.k)
+        .localCheckpoint(eager = false)
       val t2 = System.nanoTime()
-      // mergedTagged is eagerly materialized, so the division caches
-      // are no longer needed; the old graph's checkpoint is dead too.
-      pinned.foreach(_.unpersist(blocking = false))
       val changedEdges =
         mergedTagged.filter(!col("is_old")).count()
+      // the count materialized the checkpoint, so the division caches
+      // are no longer needed; the old graph's checkpoint is dead too.
+      pinned.foreach(_.unpersist(blocking = false))
       val t3 = System.nanoTime()
       graft.Checkpoints.release(g)
       val merged = mergedTagged.select(col("id"), col("nbr"), col("dist"))

@@ -31,16 +31,18 @@ object MrdfQueries {
     * so the materialization is observationally identical to a rerun —
     * the fixed-seed spec asserts exactly that). */
   /** The divide/descend/merge loop at test α runs ~40 sub-MB shuffle
-    * rounds; scoping the build to 8 shuffle partitions (the streaming
-    * replays' precedent, [[graft.Tuning.withShufflePartitions]]) cuts
+    * rounds; scoping the build to the shared iterative-build width
+    * ([[graft.Tuning.IterativeBuildPartitions]], env-overridable) cuts
     * per-round task-setup overhead without touching the algorithm —
     * at the paper's α the same code runs under the cluster's own
-    * setting. */
-  private val BuildPartitions = 8
+    * setting. Output is partition-count independent: sampling is
+    * deterministic bottom-ρ by hash, the merge is an order-free top-k
+    * with a total (w, nbr) tie-break, and NN-Descent blocks are keyed
+    * by path, not partition (the fixed-seed spec asserts this). */
 
   private def testGraph(s: SparkSession, dir: String): DataFrame =
     Materialized.table(s, dir, "mrdf_test_graph") {
-      graft.Tuning.withShufflePartitions(s, BuildPartitions) {
+      graft.Tuning.withIterativeBuild(s) {
         // localCheckpoint inside the loop materializes every round's
         // shuffles within the scope; the returned frame is a scan of
         // the checkpointed blocks.
@@ -70,7 +72,7 @@ object MrdfQueries {
       // path, and rebuilding it here per bench run cost 11 s for a
       // 1-row self-oracle (round-4 verdict #3).
       "mrdf_graph_hash",
-      (s, dir) => graft.Tuning.withShufflePartitions(s, BuildPartitions) {
+      (s, dir) => graft.Tuning.withIterativeBuild(s) {
         Mrdf
           .buildGraph(Tables.load(s, dir, "embeddings"),
             Mrdf.Params(maxIter = 2))

@@ -128,38 +128,64 @@ object Ann {
   def kmeansCentroidsPortable(emb: DataFrame, k: Int, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val pts = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // LAZY localCheckpoint chain — same rationale as [[kmeansCentroids]]
-    // (round-14): plans stay truncated per round, all rounds execute
-    // inside the consumer's one action instead of iters+1 eager jobs.
+    // PACKED single-row rounds (round-15, guide §2/§5): the training
+    // corpus is bounded (the TrainTargetN sample rule) and the centroid
+    // table is k rows, yet the unpacked loop paid THREE shuffles per
+    // round (argmin groupBy(id), mean groupBy(cid,pos), repack
+    // groupBy(cid)) — ~18 shuffle stages of pure scheduling latency per
+    // training at any scale. Each round is now ONE global aggregation:
+    // centroids ride in a single packed row (cents: array<struct<cid,
+    // cvec>>), the argmin is a narrow broadcast projection over the
+    // point scan, and the member-sorted mean folds run as HOFs inside
+    // the aggregated row. Every numeric shape is IDENTICAL to the
+    // unpacked form (and thus to the DuckDB oracle texts): same md5
+    // bottom-k init ordered by (hk, id), same (d, cid) argmin
+    // tie-break, same sequential CAST-to-DOUBLE fold over members in
+    // id order per dim, same double/count division, same final FLOAT
+    // cast. LAZY localCheckpoint chain per round as before (round-14):
+    // all rounds execute inside the consumer's one action.
+    def packedMeans(assigned: DataFrame): DataFrame =
+      assigned
+        .agg(array_sort(collect_list(
+          struct(col("cid"), col("id"), col("vec")))).as("all"))
+        // `all` is sorted by (cid, id): cids come out ascending and
+        // each filtered group keeps id order — the fold order the
+        // oracle replays
+        .select(col("all"),
+          array_distinct(transform(col("all"), e => e.getField("cid")))
+            .as("cids"))
+        .select(col("cids"),
+          transform(col("cids"),
+            c => filter(col("all"), e => e.getField("cid") === c))
+            .as("groups"))
+        .select(zip_with(col("cids"), col("groups"), (c, g) =>
+          struct(c.as("cid"),
+            transform(
+              sequence(lit(0), size(element_at(g, 1).getField("vec")) - 1),
+              pos => (aggregate(g, lit(0.0), (acc, e) =>
+                acc + element_at(e.getField("vec"), pos + 1).cast("double"))
+                / size(g)).cast("float")).as("cvec"))).as("cents"))
     var cent = pts
       .withColumn("hk", conv(substring(
         md5(concat(lit("km|"), col("id").cast("string"))), 1, 15), 16, 10)
         .cast("long"))
-      .orderBy(col("hk"), col("id")).limit(k)
-      .withColumn("cid", row_number().over(
-        Window.orderBy(col("hk"), col("id"))) - 1)
-      .select(col("cid"), col("vec").as("cvec"))
+      .agg(array_sort(collect_list(
+        struct(col("hk"), col("id"), col("vec")))).as("all"))
+      .select(slice(col("all"), 1, k).as("top"))
+      .select(transform(col("top"), (e, i) =>
+        struct(i.cast("int").as("cid"), e.getField("vec").as("cvec")))
+        .as("cents"))
       .localCheckpoint(eager = false)
     (1 to iters).foreach { _ =>
-      val assigned = pts.join(broadcast(cent))
-        .select(col("id"), struct(
-          Distances.euclidean(col("vec"), col("cvec")).as("d"),
-          col("cid").as("cid"), col("vec").as("vec")).as("cand"))
-        .groupBy(col("id")).agg(min(col("cand")).as("m"))
-        .select(col("id"), col("m.cid").as("cid"), col("m.vec").as("vec"))
-      cent = assigned
-        .select(col("id"), col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(count(lit(1)).as("n"),
-          array_sort(collect_list(struct(col("id"), col("x")))).as("s"))
-        .withColumn("m", expr(
-          "aggregate(s, CAST(0 AS DOUBLE), (acc, e) -> acc + CAST(e.x AS DOUBLE)) / n"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
-        .select(col("cid"), transform(col("dims"), e => e("m").cast("float")).as("cvec"))
-        .localCheckpoint(eager = false)
+      val assigned = pts.crossJoin(broadcast(cent))
+        .select(col("id"), col("vec"),
+          array_min(transform(col("cents"), c => struct(
+            Distances.euclidean(col("vec"), c.getField("cvec")).as("d"),
+            c.getField("cid").as("cid")))).getField("cid").as("cid"))
+      cent = packedMeans(assigned).localCheckpoint(eager = false)
     }
-    cent
+    cent.select(explode(col("cents")).as("c"))
+      .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
   }
 
   /** Per-(process, sfDir) MATERIALIZED portable router (round-14
@@ -178,8 +204,14 @@ object Ann {
   def sharedPortableCentroids(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, corpusKey: String, nlist: Int, iters: Int)
       (corpus: => DataFrame): DataFrame =
-    graft.Materialized.table(spark, sfDir, s"kmpc-$corpusKey-n$nlist-i$iters")(
-      kmeansCentroidsPortable(corpus, nlist, iters))
+    // the Lloyd's chain is `iters` bounded-size rounds — scope the
+    // build to the iterative-build regime (round-15, measured: the
+    // shared router train was 3 s warm at the session's 32 partitions,
+    // dominated by tiny-task setup and per-stage planning, not compute)
+    graft.Tuning.withIterativeBuild(spark) {
+      graft.Materialized.table(spark, sfDir, s"kmpc-$corpusKey-n$nlist-i$iters")(
+        kmeansCentroidsPortable(corpus, nlist, iters))
+    }
 
   /** [[ivfKmeansTopK]] over the portable quantizer — the variant the
     * q175 oracle replays end to end (init, every Lloyd's round, list

@@ -78,8 +78,12 @@ object IvfIndexStore {
         .as("fingerprint"))
       .select(col("n_vectors"), col("dim"), lit(nlist).as("nlist"),
         lit(kmeansIters).as("kmeans_iters"), col("fingerprint"))
-    cent.write.mode("overwrite").parquet(s"$dir/centroids")
-    lists.write.mode("overwrite").parquet(s"$dir/lists")
+    // centroids and lists are independent jobs over a fresh dir — run
+    // them concurrently (guide §2.6); meta stays strictly last as the
+    // commit point (no meta ⇒ never a readable index)
+    graft.Concurrent.awaitAll(Seq(
+      () => cent.write.mode("overwrite").parquet(s"$dir/centroids"),
+      () => lists.write.mode("overwrite").parquet(s"$dir/lists")))
     meta.write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -183,16 +187,21 @@ object IvfIndexStore {
              maxListSize: Long = 0L): Unit = {
     val cent = spark.read.parquet(s"$dir/centroids")
     val pts = delta.select(col("vec_id"), col("embedding"))
-    val dupN = spark.read.parquet(s"$dir/lists").select(col("vec_id"))
-      .join(pts.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    // dup-check and delta fingerprint are independent read-only jobs —
+    // overlap them (guide §2.6); the append waits on the dup guard
+    var dupN = -1L
+    var d: org.apache.spark.sql.Row = null
+    graft.Concurrent.awaitAll(Seq(
+      () => dupN = spark.read.parquet(s"$dir/lists").select(col("vec_id"))
+        .join(pts.select(col("vec_id")), Seq("vec_id"), "left_semi").count(),
+      () => d = pts.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)))
+        .collect()(0)))
     require(dupN == 0L,
       s"upsert requires disjoint vec_ids: $dupN already indexed " +
         "(insert-only contract; updates need delete+insert)")
     assignToCentroids(pts, cent).write.mode("append").parquet(s"$dir/lists")
     val m = spark.read.parquet(s"$dir/meta").collect()(0)
-    val d = pts.agg(count(lit(1)),
-      coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)))
-      .collect()(0)
     import spark.implicits._
     Seq((m.getAs[Long]("n_vectors") + d.getLong(0), m.getAs[Int]("dim"),
         m.getAs[Int]("nlist"), m.getAs[Int]("kmeans_iters"),
