@@ -381,19 +381,21 @@ object GraphIndexStore {
   def upsert(spark: SparkSession, dir: String, delta: DataFrame,
              k: Int = K): Unit = {
     val pts = delta.select(col("vec_id"), col("embedding")).localCheckpoint()
-    val m = spark.read.parquet(s"$dir/meta").collect()(0)
-    require(k == m.getAs[Int]("k"),
-      s"upsert k=$k does not match the index's build k=${m.getAs[Int]("k")} " +
-        "(a smaller k would silently truncate every stored adjacency list)")
     val nodes = spark.read.parquet(s"$dir/nodes")
-    // the two validation reads are independent jobs — overlap them
-    // (guide §2.6); both must pass before anything is written
+    // the three validation reads (meta row, dup-check semi-join, delta
+    // fingerprint) are independent jobs — overlap them (guide §2.6);
+    // all must pass before anything is written
+    var m: org.apache.spark.sql.Row = null
     var dupN = -1L
     var fp: (Long, Long, Int) = null
     graft.Concurrent.awaitAll(Seq(
+      () => m = spark.read.parquet(s"$dir/meta").collect()(0),
       () => dupN = nodes.select(col("vec_id"))
         .join(pts.select(col("vec_id")), Seq("vec_id"), "left_semi").count(),
       () => fp = fingerprintOf(pts)))
+    require(k == m.getAs[Int]("k"),
+      s"upsert k=$k does not match the index's build k=${m.getAs[Int]("k")} " +
+        "(a smaller k would silently truncate every stored adjacency list)")
     require(dupN == 0L,
       s"upsert requires disjoint vec_ids: $dupN already indexed " +
         "(the insert-only FAISS-add contract; updates need delete+insert)")
@@ -415,8 +417,13 @@ object GraphIndexStore {
       .select(col("id"), col("c.nbr").as("nbr"), col("c.dist").as("dist"))
     val newEdges = patched.unionByName(
       deltaRows.select(col("id"), col("nbr"), col("dist"))).localCheckpoint()
-    pts.write.mode("append").parquet(s"$dir/nodes")
-    newEdges.write.mode("overwrite").parquet(s"$dir/edges")
+    // the edge set is materialized above BEFORE any file mutation (a
+    // failure cannot leave a half-written index); the two surviving
+    // writes read only checkpointed blocks, so they overlap (§2.6) —
+    // meta below stays the commit point
+    graft.Concurrent.awaitAll(Seq(
+      () => pts.write.mode("append").parquet(s"$dir/nodes"),
+      () => newEdges.write.mode("overwrite").parquet(s"$dir/edges")))
     import spark.implicits._
     Seq((m.getAs[Long]("n_vectors") + dn, m.getAs[Int]("dim"),
         m.getAs[Int]("k"), m.getAs[Int]("nlist"),
@@ -465,16 +472,17 @@ object GraphIndexStore {
   def ingestBatchApprox(spark: SparkSession, dir: String, delta: DataFrame,
       beam: Int = 8, hops: Int = 4, nprobe: Int = Nprobe): Unit = {
     val pts = delta.select(col("vec_id"), col("embedding")).localCheckpoint()
-    val m = spark.read.parquet(s"$dir/meta").collect()(0)
-    val k = m.getAs[Int]("k")
     val nodes = spark.read.parquet(s"$dir/nodes")
-    // overlapped validation jobs, as in [[upsert]]
+    // overlapped validation jobs (meta row included), as in [[upsert]]
+    var m: org.apache.spark.sql.Row = null
     var dupN = -1L
     var fp: (Long, Long, Int) = null
     graft.Concurrent.awaitAll(Seq(
+      () => m = spark.read.parquet(s"$dir/meta").collect()(0),
       () => dupN = nodes.select(col("vec_id"))
         .join(pts.select(col("vec_id")), Seq("vec_id"), "left_semi").count(),
       () => fp = fingerprintOf(pts)))
+    val k = m.getAs[Int]("k")
     require(dupN == 0L,
       s"ingest requires disjoint vec_ids: $dupN already indexed")
     val (dn, dfp, ddim) = fp
@@ -486,8 +494,11 @@ object GraphIndexStore {
     val edges = spark.read.parquet(s"$dir/edges")
     val patched = patchGraphApprox(nodes, edges, pts, k, beam, hops,
       router = Some((cent, cseeds)), nprobe = nprobe).localCheckpoint()
-    pts.write.mode("append").parquet(s"$dir/nodes")
-    patched.write.mode("overwrite").parquet(s"$dir/edges")
+    // materialize-before-mutate as in [[upsert]]; the two writes then
+    // consume only checkpointed blocks and overlap (§2.6)
+    graft.Concurrent.awaitAll(Seq(
+      () => pts.write.mode("append").parquet(s"$dir/nodes"),
+      () => patched.write.mode("overwrite").parquet(s"$dir/edges")))
     import spark.implicits._
     Seq((m.getAs[Long]("n_vectors") + dn, m.getAs[Int]("dim"),
         m.getAs[Int]("k"), m.getAs[Int]("nlist"),

@@ -223,7 +223,7 @@ object GraphSearch {
     * persistable next to the router like IVF lists. */
   def clusterSeeds(vectors: DataFrame, cent: DataFrame,
       seedsPerList: Int): DataFrame =
-    graft.similarity.IvfIndexStore.assignToCentroids(
+    graft.similarity.IvfIndexStore.assignIdsToCentroids(
         vectors.select(col("vec_id"), col("embedding")), cent)
       .withColumn("hk", conv(substring(
         md5(concat(lit("gs|"), col("vec_id").cast("string"))), 1, 15), 16, 10)

@@ -47,12 +47,31 @@ object IvfIndexStore {
     * row per point crosses the shuffle, never N×nlist (plan-gated). */
   private[graft] def assignToCentroids(pts: DataFrame,
       cent: DataFrame): DataFrame =
+    // the argmin struct carries ONLY (d, cid) — round-15, measured at
+    // 1M×1024: carrying the 64-float vector inside every candidate
+    // struct put the embedding through the N×nlist join stream ~1000×
+    // over (cluster_seeds 851.8 s of a 937.5 s index write). (d, cid)
+    // is a unique prefix, so the winner is unchanged; the embedding is
+    // recovered with first() — every candidate row of a vec_id carries
+    // the identical vector, so the value is deterministic.
+    pts.join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), struct(
+        Distances.euclidean(col("embedding"), col("cvec")).as("d"),
+        col("cid").as("cid")).as("cand"))
+      .groupBy(col("vec_id")).agg(min(col("cand")).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("m.cid").as("cid"), col("vec_id"), col("embedding"))
+
+  /** [[assignToCentroids]] when the caller needs only (cid, vec_id) —
+    * the cluster-seeds build: no vector ever enters the aggregation. */
+  private[graft] def assignIdsToCentroids(pts: DataFrame,
+      cent: DataFrame): DataFrame =
     pts.join(broadcast(cent))
       .select(col("vec_id"), struct(
         Distances.euclidean(col("embedding"), col("cvec")).as("d"),
-        col("cid").as("cid"), col("embedding").as("v")).as("cand"))
+        col("cid").as("cid")).as("cand"))
       .groupBy(col("vec_id")).agg(min(col("cand")).as("m"))
-      .select(col("m.cid").as("cid"), col("vec_id"), col("m.v").as("embedding"))
+      .select(col("m.cid").as("cid"), col("vec_id"))
 
   /** Build the portable IVF index over `emb` and write it under `dir`.
     * Deterministic for a given corpus (md5 bottom-k init, ordered-fold
@@ -187,21 +206,23 @@ object IvfIndexStore {
              maxListSize: Long = 0L): Unit = {
     val cent = spark.read.parquet(s"$dir/centroids")
     val pts = delta.select(col("vec_id"), col("embedding"))
-    // dup-check and delta fingerprint are independent read-only jobs —
-    // overlap them (guide §2.6); the append waits on the dup guard
+    // dup-check, delta fingerprint and the meta row are independent
+    // read-only jobs — overlap them (guide §2.6); the append waits on
+    // the dup guard
     var dupN = -1L
     var d: org.apache.spark.sql.Row = null
+    var m: org.apache.spark.sql.Row = null
     graft.Concurrent.awaitAll(Seq(
       () => dupN = spark.read.parquet(s"$dir/lists").select(col("vec_id"))
         .join(pts.select(col("vec_id")), Seq("vec_id"), "left_semi").count(),
       () => d = pts.agg(count(lit(1)),
         coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)))
-        .collect()(0)))
+        .collect()(0),
+      () => m = spark.read.parquet(s"$dir/meta").collect()(0)))
     require(dupN == 0L,
       s"upsert requires disjoint vec_ids: $dupN already indexed " +
         "(insert-only contract; updates need delete+insert)")
     assignToCentroids(pts, cent).write.mode("append").parquet(s"$dir/lists")
-    val m = spark.read.parquet(s"$dir/meta").collect()(0)
     import spark.implicits._
     Seq((m.getAs[Long]("n_vectors") + d.getLong(0), m.getAs[Int]("dim"),
         m.getAs[Int]("nlist"), m.getAs[Int]("kmeans_iters"),
