@@ -45,33 +45,53 @@ object IvfIndexStore {
     * list splits: the centroid table broadcasts (≤ nlist rows), the
     * per-point reduction is a map-side-combined aggregation, so ONE
     * row per point crosses the shuffle, never N×nlist (plan-gated). */
+  /** The centroid table as a driver-local argmin payload. BOUNDED by
+    * construction: the coarse quantizer is nlist rows (8 at test SFs,
+    * 1024 in the 1M sweep) — the same a-priori-bounded driver transfer
+    * as MRDF's smallLevel arm, and exactly how FAISS-family systems
+    * hold the coarse quantizer. Rows sorted by cid so the expression's
+    * first-wins tie rule equals the min(struct(d, cid)) tie-break. */
+  private def centArgminPayload(cent: DataFrame)
+      : (Seq[Int], java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, Array[Array[Float]]]) = {
+    val rows = cent.select(col("cid"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cmap = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Array[Float]]]()
+    cmap.put(org.apache.spark.unsafe.types.UTF8String.fromString(""),
+      rows.map(_._2))
+    (rows.map(_._1).toSeq, cmap)
+  }
+
+  /** Nearest-centroid assignment as ONE narrow codegen projection —
+    * round-15, measured at 1M×1024 (GraphIndexScale): the former
+    * broadcast-join + per-id argmin aggregation streamed N×nlist
+    * candidate rows (cluster_seeds 851.8 s of a 937.5 s index write
+    * with the vector inside each candidate struct; 471.7 s with the
+    * struct narrowed to (d, cid)). [[org.apache.spark.sql.graft.NearestCentroidIdx]]
+    * loops the bounded centroid array inside codegen instead — no
+    * join, no aggregation, no shuffle. Assignments are bit-identical:
+    * the expression computes the same strict-fold Euclidean doubles as
+    * [[Distances.euclidean]] and its first-wins-on-tie rule over the
+    * cid-sorted array equals the min(struct(d, cid)) tie-break (the
+    * MRDF divide-arm equivalence, asserted in PlanSpecs). */
   private[graft] def assignToCentroids(pts: DataFrame,
-      cent: DataFrame): DataFrame =
-    // the argmin struct carries ONLY (d, cid) — round-15, measured at
-    // 1M×1024: carrying the 64-float vector inside every candidate
-    // struct put the embedding through the N×nlist join stream ~1000×
-    // over (cluster_seeds 851.8 s of a 937.5 s index write). (d, cid)
-    // is a unique prefix, so the winner is unchanged; the embedding is
-    // recovered with first() — every candidate row of a vec_id carries
-    // the identical vector, so the value is deterministic.
-    pts.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), struct(
-        Distances.euclidean(col("embedding"), col("cvec")).as("d"),
-        col("cid").as("cid")).as("cand"))
-      .groupBy(col("vec_id")).agg(min(col("cand")).as("m"),
-        first(col("embedding")).as("embedding"))
-      .select(col("m.cid").as("cid"), col("vec_id"), col("embedding"))
+      cent: DataFrame): DataFrame = {
+    val (cids, cmap) = centArgminPayload(cent)
+    if (cids.isEmpty)
+      return pts.filter(lit(false))
+        .select(lit(0).as("cid"), col("vec_id"), col("embedding"))
+    val idx = org.apache.spark.sql.graft.VectorExpressions
+      .nearestCentroidIdx(cmap, col("embedding"), lit(""))
+    pts.select(element_at(typedlit(cids), idx + 1).as("cid"),
+      col("vec_id"), col("embedding"))
+  }
 
   /** [[assignToCentroids]] when the caller needs only (cid, vec_id) —
-    * the cluster-seeds build: no vector ever enters the aggregation. */
+    * the cluster-seeds build. */
   private[graft] def assignIdsToCentroids(pts: DataFrame,
       cent: DataFrame): DataFrame =
-    pts.join(broadcast(cent))
-      .select(col("vec_id"), struct(
-        Distances.euclidean(col("embedding"), col("cvec")).as("d"),
-        col("cid").as("cid")).as("cand"))
-      .groupBy(col("vec_id")).agg(min(col("cand")).as("m"))
-      .select(col("m.cid").as("cid"), col("vec_id"))
+    assignToCentroids(pts, cent).select(col("cid"), col("vec_id"))
 
   /** Build the portable IVF index over `emb` and write it under `dir`.
     * Deterministic for a given corpus (md5 bottom-k init, ordered-fold

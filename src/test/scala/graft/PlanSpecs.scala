@@ -304,18 +304,37 @@ class PlanSpecs extends SparkSpec {
       s"the per-id k-slice must be an aggregation:\n$p")
   }
 
-  test("q218/q220 centroid assignment: broadcast argmin aggregation, one row per point past the shuffle") {
+  test("q218/q220 centroid assignment: one narrow codegen projection, no join, no shuffle") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val cent = graft.similarity.Ann.kmeansCentroidsPortable(emb, 8, 2)
-    val p = graft.similarity.IvfIndexStore
+    val df = graft.similarity.IvfIndexStore
       .assignToCentroids(emb.select("vec_id", "embedding"), cent)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"the nlist-row centroid table must broadcast into the pair stream:\n$p")
+    val p = df.queryExecution.executedPlan.toString
+    // round-15: the bounded (nlist-row) quantizer rides task-shipped
+    // inside the codegen argmin expression — the former broadcast-join
+    // + per-id min(struct) streamed N×nlist candidate rows (measured
+    // 851.8 s of a 937.5 s index write at 1M×1024)
+    assert(p.contains("nearest_centroid_idx"),
+      s"assignment must be the codegen argmin expression:\n$p")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"assignment must be a narrow projection — no join, no shuffle:\n$p")
     assert(!p.contains("Window"),
-      "the per-point argmin must be the min(struct) aggregation, not a window")
-    assert(p.contains("partial_min") || p.contains("HashAggregate"),
-      s"assignment must map-side combine before the shuffle:\n$p")
+      "the per-point argmin must never be a window")
+    // arm equivalence: the expression's assignments equal the
+    // broadcast-join + min(struct(d, cid)) form bit-for-bit (same
+    // strict-fold Euclidean, first-wins tie == lowest cid)
+    import org.apache.spark.sql.functions.{broadcast, col, min, struct}
+    val joined = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cent))
+      .select(col("vec_id"), struct(
+        graft.linalg.Distances.euclidean(col("embedding"), col("cvec")).as("d"),
+        col("cid").as("cid")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val a = df.select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = joined.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a == b, "expression argmin must equal the join-form argmin")
   }
 
   test("q217 collapse: per-group top-m is the k-min aggregation over the pair stream, not a window") {
